@@ -1,0 +1,88 @@
+"""Cross-engine expression helpers.
+
+Several operators (MinHash, SimHash, fingerprints) need a hash function that
+produces *identical integers* in Spark and in the DuckDB oracle. Neither
+engine's native 64-bit hash matches the other (Spark xxhash64 vs DuckDB
+hash), but both expose md5 over strings with identical hex output, so we
+derive a 60-bit integer from the md5 hex prefix:
+
+    Spark : CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT)
+    DuckDB: ('0x' || substr(md5(x), 1, 15))::BIGINT
+
+15 hex digits = 60 bits < 2^63, so the cast is exact in both engines. All
+derived modular arithmetic is done mod a 31-bit Mersenne prime after first
+reducing the 60-bit value, which keeps every intermediate below 2^62 —
+overflow-free under Spark's ANSI mode and DuckDB alike.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 2^31 - 1 (Mersenne prime) — modulus for all cross-engine hash families.
+MOD_P = 2_147_483_647
+
+# Reference-faithful tokenizer delimiters: distwc.c:14 splits on " \t\n\r".
+TOKEN_DELIM_RE = "[ \\t\\n\\r]+"
+
+
+# ---------------------------------------------------------------------------
+# Spark side
+# ---------------------------------------------------------------------------
+
+def md5_long60(col: Column | str) -> Column:
+    """60-bit integer from the md5 hex prefix (cross-engine stable)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def h31(col: Column | str) -> Column:
+    """Cross-engine stable hash reduced into [0, MOD_P)."""
+    return F.pmod(md5_long60(col), F.lit(MOD_P))
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of a text column, empty tokens removed.
+
+    Mirrors the reference tokenizer + empty-key drop (distwc.c:14-17,
+    mapreduce.c:205-207): split on the delimiter run, drop zero-length
+    tokens produced by leading/trailing/consecutive delimiters.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, TOKEN_DELIM_RE), lambda t: F.length(t) > 0)
+
+
+def money_sum(col: Column | str, alias: str, scale: int = 2) -> Column:
+    """Order-independent exact SUM of a double money column.
+
+    Casting to DECIMAL before aggregating makes the sum exact integer
+    arithmetic (associative + commutative), so Spark and DuckDB agree
+    bit-for-bit regardless of partitioning/merge order; the final cast back
+    to DOUBLE keeps the output schema engine-neutral.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB side (SQL-string builders used when generating oracle SQL)
+# ---------------------------------------------------------------------------
+
+def duck_md5_long60(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+def duck_h31(expr: str) -> str:
+    return f"({duck_md5_long60(expr)} % {MOD_P})"
+
+
+def duck_tokens(expr: str) -> str:
+    """DuckDB list of non-empty whitespace tokens (matches :func:`tokens`)."""
+    return (
+        f"list_filter(string_split_regex({expr}, '[ \\t\\n\\r]+'), t -> length(t) > 0)"
+    )
+
+
+def duck_money_sum(expr: str, alias: str, scale: int = 2) -> str:
+    return f"CAST(sum(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE) AS {alias}"

@@ -1,0 +1,7 @@
+from multithreaded_mapreduce_library_spark.sources.tables import (  # noqa: F401
+    TABLES,
+    default_sf_dir,
+    load_table,
+    register_views,
+    table_path,
+)

@@ -1,0 +1,18 @@
+from __future__ import annotations
+
+import pytest
+
+from multithreaded_mapreduce_library_spark.session import get_spark
+
+SMOKE_SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark(app_name="tests", cpus=8, shuffle_partitions=8)
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SMOKE_SF

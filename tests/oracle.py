@@ -1,0 +1,83 @@
+"""Local oracle-differential harness — the same check the driver runs.
+
+Runs a registered query through Spark and its oracle SQL through DuckDB on
+the same parquet tables, then compares row count, sorted column names, and an
+order-insensitive canonicalized value multiset. Exact by design: queries are
+built so both engines produce identical values (see registry module doc).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+from decimal import Decimal
+
+import duckdb
+
+from multithreaded_mapreduce_library_spark.sources import TABLES, table_path
+
+
+def run_duckdb(sql: str, sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+        )
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    con.close()
+    return cols, rows
+
+
+def canon(v) -> str:
+    """Engine-neutral canonical string for one value."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        if v == int(v) and abs(v) < 2**53:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, Decimal):
+        f = float(v)
+        return str(int(f)) if f == int(f) and abs(f) < 2**53 else repr(f)
+    if isinstance(v, bool):
+        return str(bool(v))
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+
+def canonical_rows(cols: list[str], rows) -> list[tuple[str, ...]]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+
+
+def compare_query(spark, spec, sf_dir: str) -> None:
+    """Assert the Spark result and the DuckDB oracle result match."""
+    sdf = spec.builder(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = sdf.columns
+    ocols, orows = run_duckdb(spec.oracle, sf_dir)
+
+    assert sorted(scols) == sorted(ocols), (
+        f"{spec.name}: column mismatch spark={sorted(scols)} oracle={sorted(ocols)}"
+    )
+    assert len(srows) == len(orows), (
+        f"{spec.name}: row count mismatch spark={len(srows)} oracle={len(orows)}"
+    )
+    sc = canonical_rows(scols, srows)
+    oc = canonical_rows(ocols, orows)
+    if sc != oc:
+        diffs = [(a, b) for a, b in zip(sc, oc) if a != b][:5]
+        raise AssertionError(
+            f"{spec.name}: value mismatch; first sorted-row diffs (spark, oracle): {diffs}"
+        )

@@ -1,1 +1,198 @@
-"""Placeholder — populated in a later milestone."""
+"""Event-time operators over the ``events`` table: JSON extraction,
+tumbling/sliding windows, session windows, keep-first dedup.
+
+These are the batch twins of the Structured Streaming operators in
+:mod:`multithreaded_mapreduce_library_spark.streaming` — same window
+semantics (epoch-aligned tumble/slide, gap-based sessions), checkable
+against a SQL oracle, whereas the streaming variants get rows-only checks.
+The reference is strictly batch with no time semantics at all
+(SURVEY.md §2.2: streaming ABSENT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from multithreaded_mapreduce_library_spark.registry import register
+from multithreaded_mapreduce_library_spark.sources import load_table
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+@register(
+    "json_extract",
+    oracle="""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       count(*) AS cnt,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY 1
+""",
+    tags=("scalar", "json", "events"),
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the props payload + grouped stats."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select(k.alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
+    "time_tumbling",
+    oracle=f"""
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '{TS_FMT_DUCK}') AS window_start,
+       event_type,
+       count(*) AS cnt,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("events", "time-window"),
+    doc=(
+        "Tumbling 1-hour event-time windows (epoch-aligned, matching "
+        "Structured Streaming's window() semantics)."
+    ),
+)
+def time_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "time_sliding",
+    oracle=f"""
+SELECT strftime(ws, '{TS_FMT_DUCK}') AS window_start, event_type, count(*) AS cnt
+FROM (
+  SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS ws,
+         event_type, ts
+  FROM events
+)
+WHERE ts >= ws AND ts < ws + INTERVAL 60 MINUTE
+GROUP BY 1, 2
+""",
+    tags=("events", "time-window"),
+    doc=(
+        "Sliding windows (1h length, 30m slide): each event lands in two "
+        "overlapping windows; the oracle materializes the same window set "
+        "via epoch-aligned buckets."
+    ),
+)
+def time_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
+@register(
+    "sessionize",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) < INTERVAL 15 MINUTE
+              THEN 0 ELSE 1 END AS brk
+  FROM events
+), numbered AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '{TS_FMT_DUCK}') AS session_start,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM numbered
+GROUP BY user_id, sid
+""",
+    tags=("events", "session-window"),
+    doc=(
+        "Sessionization with a 15-minute inactivity gap via session_window "
+        "— the batch twin of streaming session windows. Oracle reproduces "
+        "the gap semantics with gaps-and-islands (lag + cumulative break "
+        "count). Session identity depends only on ts values, so tie order "
+        "is irrelevant."
+    ),
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "15 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", TS_FMT_SPARK).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "dedup_keep_first",
+    oracle=f"""
+SELECT user_id, event_type, event_id,
+       strftime(ts, '{TS_FMT_DUCK}') AS first_ts
+FROM (
+  SELECT user_id, event_type, event_id, ts,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+  FROM events
+)
+WHERE rn = 1
+""",
+    tags=("events", "dedup"),
+    doc=(
+        "Keep-first dedup by (user, event_type): the batch form of streaming "
+        "dropDuplicates state, deterministic via (ts, event_id) ordering."
+    ),
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            "event_type",
+            "event_id",
+            "ts",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.date_format("ts", TS_FMT_SPARK).alias("first_ts"),
+        )
+    )

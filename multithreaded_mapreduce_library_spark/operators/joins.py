@@ -1,1 +1,300 @@
-"""Placeholder — populated in a later milestone."""
+"""Join operator inventory — absent from the reference entirely
+(SURVEY.md §2.2: "joins: ABSENT — no join of any kind"); users of the
+reference would hand-roll reduce-side joins in Mapper/Reducer code. Here
+every variant is declarative so Catalyst picks the physical strategy:
+
+- broadcast-hash for the small dims (region/nation/supplier — explicitly
+  hinted, and under autoBroadcastJoinThreshold anyway);
+- sort-merge (with AQE skew splitting) for fact-fact joins at scale;
+- shuffled-hash where hinted.
+
+At 100 TB the fact-fact joins shuffle on the join key once; dims never
+shuffle (broadcast). No driver-side collects anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multithreaded_mapreduce_library_spark.functions import duck_money_sum, money_sum
+from multithreaded_mapreduce_library_spark.registry import register
+from multithreaded_mapreduce_library_spark.sources import load_table
+
+
+@register(
+    "join_broadcast",
+    oracle=f"""
+SELECT r_name, n_name,
+       count(*) AS n_customers,
+       {duck_money_sum('c_acctbal', 'sum_acctbal')}
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+    tags=("join", "broadcast", "aggregation"),
+    doc="Star-schema rollup through two broadcast joins (no shuffle of the fact side).",
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            money_sum("c_acctbal", "sum_acctbal"),
+        )
+    )
+
+
+@register(
+    "join_large",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+    tags=("join", "sort-merge", "aggregation"),
+    doc=(
+        "Fact-fact equi-join (lineitem ⋈ orders). Sort-merge at scale; both "
+        "sides shuffle once on the join key, AQE handles skew."
+    ),
+)
+def join_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(revenue).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_left",
+    oracle="""
+SELECT n_events, count(*) AS n_customers FROM (
+  SELECT c_custkey, count(event_id) AS n_events
+  FROM customer LEFT JOIN events ON user_id = c_custkey
+  GROUP BY c_custkey
+) GROUP BY n_events
+""",
+    tags=("join", "outer"),
+    doc=(
+        "Left outer join preserving customers with zero events (count(col) "
+        "skips the null-extended rows), then an event-count histogram."
+    ),
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    e = load_table(spark, sf_dir, "events")
+    per_cust = (
+        c.join(e, e.user_id == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("event_id").alias("n_events"))
+    )
+    return per_cust.groupBy("n_events").agg(F.count("*").alias("n_customers"))
+
+
+@register(
+    "join_right",
+    oracle="""
+SELECT p_brand, count(l_orderkey) AS n_lineitems
+FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""",
+    tags=("join", "outer"),
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join keeping parts with no lineitems."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey, "right")
+        .groupBy("p_brand")
+        .agg(F.count("l_orderkey").alias("n_lineitems"))
+    )
+
+
+@register(
+    "join_full",
+    oracle="""
+SELECT coalesce(ck, sk) AS nationkey,
+       (ck IS NOT NULL) AS has_customers,
+       (sk IS NOT NULL) AS has_suppliers
+FROM (SELECT DISTINCT c_nationkey AS ck FROM customer)
+FULL OUTER JOIN (SELECT DISTINCT s_nationkey AS sk FROM supplier) ON ck = sk
+""",
+    tags=("join", "outer"),
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join over asymmetric key sets (null-extended both ways)."""
+    ck = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("ck")).distinct()
+    sk = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("sk")).distinct()
+    return ck.join(sk, ck.ck == sk.sk, "full").select(
+        F.coalesce("ck", "sk").alias("nationkey"),
+        F.col("ck").isNotNull().alias("has_customers"),
+        F.col("sk").isNotNull().alias("has_suppliers"),
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+""",
+    tags=("join", "semi"),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (EXISTS): customers with at least one event."""
+    c = load_table(spark, sf_dir, "customer")
+    e = load_table(spark, sf_dir, "events")
+    return c.join(e, e.user_id == c.c_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+SELECT c_custkey
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+""",
+    tags=("join", "anti"),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (NOT EXISTS): customers with no events."""
+    c = load_table(spark, sf_dir, "customer")
+    e = load_table(spark, sf_dir, "events")
+    return c.join(e, e.user_id == c.c_custkey, "left_anti").select("c_custkey")
+
+
+@register(
+    "join_cross",
+    oracle="""
+SELECT r_name, o_orderstatus AS status, count(*) AS one
+FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+GROUP BY r_name, o_orderstatus
+""",
+    tags=("join", "cross"),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two tiny inputs (both broadcast-sized)."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    st = load_table(spark, sf_dir, "orders").select(F.col("o_orderstatus").alias("status")).distinct()
+    return r.crossJoin(st).groupBy("r_name", "status").agg(F.count("*").alias("one"))
+
+
+@register(
+    "join_range",
+    oracle=f"""
+SELECT p_brand,
+       count(*) AS n_matches,
+       {duck_money_sum('l_quantity', 'sum_qty')}
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+         AND l_quantity BETWEEN p_size / 10.0 AND p_size
+GROUP BY p_brand
+""",
+    tags=("join", "range", "theta"),
+    doc=(
+        "Equi-join with a range residual predicate (theta join). The equi "
+        "component keys the shuffle so the range check is evaluated "
+        "post-match — no nested-loop blowup at scale."
+    ),
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        (li.l_partkey == p.p_partkey)
+        & (li.l_quantity >= p.p_size / 10.0)
+        & (li.l_quantity <= p.p_size)
+    )
+    return (
+        li.join(p, cond)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_matches"), money_sum("l_quantity", "sum_qty"))
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       strftime(max(c.ts), '%Y-%m-%d %H:%M:%S.%f') AS last_click_ts,
+       count(*) AS n_prior_clicks
+FROM events p
+JOIN events c ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id, p.ts
+""",
+    tags=("join", "asof"),
+    doc=(
+        "As-of join: latest click at-or-before each purchase, per user. "
+        "Composed from an equi-join on the partition key (user) plus a "
+        "time-bound residual and an argmax aggregate — the key-partitioned "
+        "shuffle keeps it scalable; for very deep histories the same op is "
+        "expressible per-user via applyInPandas merge_asof."
+    ),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    return (
+        p.join(c, (p.user_id == c.c_user) & (c.c_ts <= p.p_ts))
+        .groupBy("event_id", "user_id", "p_ts")
+        .agg(
+            F.max("c_ts").alias("max_c_ts"),
+            F.count("*").alias("n_prior_clicks"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+            F.date_format("max_c_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_click_ts"),
+            "n_prior_clicks",
+        )
+    )
+
+
+@register(
+    "join_shuffle_hash",
+    oracle=f"""
+SELECT s_name,
+       count(*) AS n_items,
+       {duck_money_sum('l_quantity', 'sum_qty')}
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+""",
+    tags=("join", "shuffle-hash", "hint"),
+)
+def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffled-hash join via hint (no sort needed — wins when one side is
+    much smaller per partition but too big to broadcast)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").hint("shuffle_hash")
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("n_items"), money_sum("l_quantity", "sum_qty"))
+    )

@@ -1,1 +1,585 @@
-"""Placeholder — populated in a later milestone."""
+"""Relational operator inventory: filters, projections, aggregations,
+distinct, grouping sets/rollup/cube, set ops, sorts/limits, conditional
+aggregation, pivot, scalar functions (string/math/date).
+
+The reference has only two built-in predicates (NULL/empty-key drops,
+mapreduce.c:205-207 and 254-256) and user-code aggregation (distwc.c:23-34);
+everything else here is capability the reference lacks (SURVEY.md §2.2
+"ABSENT" rows), expressed declaratively so Catalyst handles pushdown,
+pruning, partial aggregation and join strategy. Every query pairs with a
+DuckDB oracle via the registry.
+
+Exactness conventions (see registry module doc): DECIMAL-routed money sums,
+string-formatted dates, double division only on exact inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multithreaded_mapreduce_library_spark.functions import (
+    duck_money_sum,
+    money_sum,
+)
+from multithreaded_mapreduce_library_spark.registry import register
+from multithreaded_mapreduce_library_spark.sources import load_table, register_views
+
+
+# ---------------------------------------------------------------------------
+# filters / projections
+# ---------------------------------------------------------------------------
+
+@register(
+    "filter_project",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity,
+       strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_discount > 0.05
+""",
+    tags=("relational", "filter", "projection"),
+    doc="Predicate + projection; both pushed into the parquet scan by Catalyst.",
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") >= "1998-01-01") & (F.col("l_discount") > 0.05))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregations
+# ---------------------------------------------------------------------------
+
+@register(
+    "pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {duck_money_sum('l_quantity', 'sum_qty')},
+       {duck_money_sum('l_extendedprice', 'sum_base_price')},
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("relational", "aggregation", "flagship"),
+    doc=(
+        "TPC-H Q1-shaped pricing summary. The Spark agg gets map-side partial "
+        "aggregation — the combiner the reference's shuffle lacks "
+        "(mapreduce.c:204-222, SURVEY.md §2.2)."
+    ),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= "2000-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money_sum("l_quantity", "sum_qty"),
+            money_sum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price.cast("decimal(18,6)")).cast("double").alias("sum_disc_price"),
+            F.sum(charge.cast("decimal(18,6)")).cast("double").alias("sum_charge"),
+            (F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / F.count("*")).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_stats",
+    oracle=f"""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price,
+       {duck_money_sum('o_totalprice', 'sum_price')},
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("relational", "aggregation"),
+    doc="count/min/max/sum/avg in one grouped aggregate (hash agg + partials).",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        money_sum("o_totalprice", "sum_price"),
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double") / F.count("*")).alias("avg_price"),
+    )
+
+
+@register(
+    "count_distinct",
+    oracle="""
+SELECT o_orderstatus,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("relational", "aggregation", "distinct"),
+    doc="Distinct aggregation (expand + two-phase agg under the hood).",
+)
+def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "distinct_rows",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    tags=("relational", "distinct"),
+    doc=(
+        "Row-level distinct. Generalizes the reference's key-level dedup "
+        "directory (unique_keys, mapreduce.c:123-132)."
+    ),
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "having_filter",
+    oracle="""
+SELECT o_custkey, count(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 12
+""",
+    tags=("relational", "aggregation", "filter"),
+    doc="Post-aggregation predicate (HAVING).",
+)
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+# ---------------------------------------------------------------------------
+# grouping sets / rollup / cube
+# ---------------------------------------------------------------------------
+
+@register(
+    "group_rollup",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus, o_orderpriority) AS grp_id,
+       count(*) AS n_orders,
+       {duck_money_sum('o_totalprice', 'sum_price')}
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+    tags=("relational", "rollup"),
+)
+def group_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals (status → status+priority → grand total)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("grp_id"),
+        F.count("*").alias("n_orders"),
+        money_sum("o_totalprice", "sum_price"),
+    ).select("o_orderstatus", "o_orderpriority", "grp_id", "n_orders", "sum_price")
+
+
+@register(
+    "group_cube",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS grp_id,
+       count(*) AS cnt
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    tags=("relational", "cube"),
+)
+def group_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 2^n grouping combinations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("grp_id"),
+        F.count("*").alias("cnt"),
+    ).select("l_returnflag", "l_linestatus", "grp_id", "cnt")
+
+
+@register(
+    "grouping_sets",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus, o_orderpriority) AS grp_id,
+       count(*) AS n_orders,
+       {duck_money_sum('o_totalprice', 'sum_price')}
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+""",
+    tags=("relational", "grouping-sets", "sql-api"),
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via the SQL API (spark.sql path coverage)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping_id(o_orderstatus, o_orderpriority) AS grp_id,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations
+# ---------------------------------------------------------------------------
+
+@register(
+    "setop_union",
+    oracle="""
+SELECT nationkey, count(*) AS cnt FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION ALL
+  SELECT s_nationkey AS nationkey FROM supplier
+) GROUP BY nationkey
+""",
+    tags=("relational", "setop"),
+    doc=(
+        "UNION ALL. The reference's multi-file input is an implicit union of "
+        "splits (mapreduce.c:173-175); this is the explicit operator."
+    ),
+)
+def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionAll(s).groupBy("nationkey").agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "setop_intersect",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+""",
+    tags=("relational", "setop"),
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "setop_except",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey FROM supplier
+""",
+    tags=("relational", "setop"),
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct semantics)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+# ---------------------------------------------------------------------------
+# sorts / limits
+# ---------------------------------------------------------------------------
+
+@register(
+    "orderby_limit",
+    oracle="""
+SELECT o_orderkey, o_totalprice, strftime(o_orderdate, '%Y-%m-%d') AS order_date
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+    tags=("relational", "sort", "limit"),
+    doc=(
+        "Global top-N (TakeOrderedAndProject — no full sort at scale). The "
+        "reference has no sort at all (SURVEY.md §2.2); tiebreak on the "
+        "unique key makes the limit deterministic."
+    ),
+)
+def orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# conditional expressions / pivot
+# ---------------------------------------------------------------------------
+
+@register(
+    "case_when",
+    oracle=f"""
+SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 200000 THEN 'medium'
+            ELSE 'large' END AS price_tier,
+       count(*) AS n_orders,
+       {duck_money_sum('o_totalprice', 'sum_price')}
+FROM orders
+GROUP BY 1
+""",
+    tags=("relational", "case"),
+)
+def case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing + grouped aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    tier = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .otherwise("large")
+    )
+    return o.groupBy(tier.alias("price_tier")).agg(
+        F.count("*").alias("n_orders"),
+        money_sum("o_totalprice", "sum_price"),
+    )
+
+
+@register(
+    "conditional_agg",
+    oracle=f"""
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS finished_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("relational", "aggregation", "case"),
+)
+def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered/conditional aggregation (count FILTER, sum CASE)."""
+    o = load_table(spark, sf_dir, "orders")
+    dec0 = F.lit(0).cast("decimal(18,2)")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+        F.sum(
+            F.when(
+                F.col("o_orderstatus") == "F", F.col("o_totalprice").cast("decimal(18,2)")
+            ).otherwise(dec0)
+        )
+        .cast("double")
+        .alias("finished_price"),
+    )
+
+
+@register(
+    "pivot_status",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("relational", "pivot"),
+)
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order status values into columns (explicit value list — no
+    extra distinct-values job, which matters at scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# subqueries
+# ---------------------------------------------------------------------------
+
+@register(
+    "scalar_subquery",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > 3 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) FROM orders)
+""",
+    tags=("relational", "subquery", "sql-api"),
+)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate (orders 3× above the mean price)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 3 * (
+            SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) FROM orders
+        )
+        """
+    )
+
+
+@register(
+    "sample_hash",
+    oracle=f"""
+SELECT doc_id, n_chars
+FROM documents
+WHERE (('0x' || substr(md5(text), 1, 15))::BIGINT) % 10 = 0
+""",
+    tags=("relational", "sampling"),
+    doc=(
+        "Deterministic hash-based sampling — the scale-safe alternative to "
+        "TABLESAMPLE (reproducible across engines and runs)."
+    ),
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from multithreaded_mapreduce_library_spark.functions import md5_long60
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(F.pmod(md5_long60(F.col("text")), F.lit(10)) == 0).select(
+        "doc_id", "n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar functions
+# ---------------------------------------------------------------------------
+
+@register(
+    "scalar_string",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       lower(p_brand) AS brand_lower,
+       substr(p_type, 1, 5) AS type_prefix,
+       length(p_name) AS name_len,
+       concat(p_brand, '#', p_type) AS brand_type,
+       replace(p_name, ' ', '_') AS name_snake,
+       regexp_extract(p_name, '[a-z]+') AS first_word,
+       strpos(p_type, 'a') AS a_pos,
+       trim(lpad(p_brand, 12, ' ')) AS brand_trim
+FROM part
+""",
+    tags=("relational", "scalar", "string"),
+)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function coverage: case, substr, length, concat, replace,
+    regexp_extract, position, pad/trim."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.regexp_extract("p_name", "[a-z]+", 0).alias("first_word"),
+        F.instr(F.col("p_type"), "a").alias("a_pos"),
+        F.trim(F.lpad("p_brand", 12, " ")).alias("brand_trim"),
+    )
+
+
+@register(
+    "scalar_math",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_orderkey % 7 AS key_mod,
+       round(abs(l_discount - 0.05), 4) AS disc_dev,
+       CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+       CAST(floor(l_quantity / 2) AS BIGINT) AS qty_half_floor,
+       round(sqrt(l_extendedprice), 6) AS price_sqrt,
+       round(ln(l_extendedprice + 1), 6) AS price_ln,
+       round(pow(1 - l_discount, 2), 8) AS disc_sq
+FROM lineitem
+WHERE l_orderkey % 100 = 0
+""",
+    tags=("relational", "scalar", "math"),
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function coverage: mod, abs, ceil/floor, sqrt, ln, pow (rounded
+    where libm vs JVM could differ in the last ulp)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") % 100 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor(F.col("l_quantity") / 2).alias("qty_half_floor"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.pow(1 - F.col("l_discount"), 2), 8).alias("disc_sq"),
+    )
+
+
+@register(
+    "scalar_date",
+    oracle="""
+SELECT o_orderkey,
+       year(o_orderdate) AS order_year,
+       month(o_orderdate) AS order_month,
+       day(o_orderdate) AS order_day,
+       quarter(o_orderdate) AS order_quarter,
+       isodow(o_orderdate) AS order_isodow,
+       date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_start,
+       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month_start
+FROM orders
+WHERE o_orderkey % 50 = 0
+""",
+    tags=("relational", "scalar", "date"),
+)
+def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function coverage: extract fields, ISO weekday, datediff,
+    interval arithmetic, truncation."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") % 50 == 0).select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.weekday(F.col("o_orderdate")).cast("long").alias("order_isodow_raw").alias("_wd"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd").alias(
+            "due_date"
+        ),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "order_month_start"
+        ),
+    ).withColumn("order_isodow", (F.col("_wd") + 1).cast("long")).drop("_wd")

@@ -1,1 +1,225 @@
-"""Placeholder — populated in a later milestone."""
+"""Window-function inventory — ranking, analytic, and frame-based ops,
+all absent from the reference (SURVEY.md §2.2).
+
+Determinism discipline for oracle-exactness: every ORDER BY inside a window
+either ends with a unique key (o_orderkey) or only feeds rank/dense_rank
+(whose outputs depend on sort-key values, not tie order). Running sums go
+through DECIMAL so the frame accumulation is exact in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from multithreaded_mapreduce_library_spark.registry import register
+from multithreaded_mapreduce_library_spark.sources import load_table
+
+
+@register(
+    "window_rank",
+    oracle="""
+SELECT o_orderkey, o_orderpriority, o_totalprice, rnk, drnk FROM (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rnk,
+         dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS drnk
+  FROM orders
+) WHERE rnk <= 10
+""",
+    tags=("window", "rank"),
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank + dense_rank per priority class (tie-stable by construction)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc())
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rnk") <= 10)
+    )
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+    tags=("window", "topk"),
+    doc=(
+        "Top-k per group via row_number with a full tiebreak — the standard "
+        "scale pattern (single shuffle on the group key; no global sort)."
+    ),
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_running",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       count(*) OVER w AS n_orders_so_far,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_so_far
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    tags=("window", "frame", "running"),
+)
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running count + running (decimal-exact) sum per customer."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count("*").over(w).alias("n_orders_so_far"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("spend_so_far"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       coalesce(date_diff('day',
+                CAST(lag(o_orderdate) OVER w AS DATE),
+                CAST(o_orderdate AS DATE)), -1) AS days_since_prev,
+       coalesce(lead(o_orderkey) OVER w, -1) AS next_orderkey
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    tags=("window", "analytic"),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics: per-customer inter-order gap and next order."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.coalesce(
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lag(F.col("o_orderdate").cast("date")).over(w),
+            ),
+            F.lit(-1),
+        ).alias("days_since_prev"),
+        F.coalesce(F.lead("o_orderkey").over(w), F.lit(-1)).alias("next_orderkey"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+SELECT o_orderkey, o_totalprice,
+       count(*) OVER w AS n_in_band,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_in_band
+FROM orders
+WINDOW w AS (ORDER BY o_totalprice RANGE BETWEEN 500 PRECEDING AND CURRENT ROW)
+""",
+    tags=("window", "frame", "range"),
+    doc=(
+        "RANGE frame over a numeric ordering (value-based, not row-based): "
+        "all orders within $500 below the current price."
+    ),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.orderBy("o_totalprice").rangeBetween(-500, W.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.count("*").over(w).alias("n_in_band"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("sum_in_band"),
+    )
+
+
+@register(
+    "window_ntile",
+    oracle="""
+SELECT o_orderkey,
+       ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS price_quartile
+FROM orders
+""",
+    tags=("window", "ntile"),
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile assignment (unique ordering makes tiles deterministic)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return o.select("o_orderkey", F.ntile(4).over(w).alias("price_quartile"))
+
+
+@register(
+    "window_first_last",
+    oracle="""
+SELECT DISTINCT o_custkey,
+       first_value(o_orderkey) OVER w AS best_orderkey,
+       last_value(o_orderkey) OVER w AS worst_orderkey
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    tags=("window", "analytic"),
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value with an explicit full-partition frame (the
+    default frame would make last_value the current row)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            F.first("o_orderkey").over(w).alias("best_orderkey"),
+            F.last("o_orderkey").over(w).alias("worst_orderkey"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "window_share",
+    oracle="""
+SELECT event_type, cnt,
+       round(cnt / (sum(cnt) OVER ()), 8) AS share
+FROM (SELECT event_type, CAST(count(*) AS DOUBLE) AS cnt FROM events GROUP BY event_type)
+""",
+    tags=("window", "analytic", "aggregation"),
+)
+def window_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-window share-of-total (unpartitioned window over an aggregate)."""
+    e = load_table(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(F.count("*").cast("double").alias("cnt"))
+    return per_type.select(
+        "event_type",
+        "cnt",
+        F.round(F.col("cnt") / F.sum("cnt").over(W.partitionBy()), 8).alias("share"),
+    )

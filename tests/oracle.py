@@ -17,7 +17,7 @@ import duckdb
 from multithreaded_mapreduce_library_spark.sources import TABLES, table_path
 
 
-def run_duckdb(sql: str, sf_dir: str):
+def run_duckdb(sql: str, sf_dir: str, with_types: bool = False):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -26,8 +26,50 @@ def run_duckdb(sql: str, sf_dir: str):
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]
     rows = cur.fetchall()
+    types = None
+    if with_types:
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+        types = {d[0]: d[1] for d in desc}
     con.close()
+    if with_types:
+        return cols, rows, types
     return cols, rows
+
+
+_DUCK_CLASS = (
+    ("BIGINT", "int"), ("INTEGER", "int"), ("SMALLINT", "int"), ("TINYINT", "int"),
+    ("UBIGINT", "int"), ("HUGEINT", "int"),
+    ("DOUBLE", "float"), ("FLOAT", "float"), ("DECIMAL", "float"),
+    ("VARCHAR", "str"), ("BOOLEAN", "bool"),
+    ("TIMESTAMP", "ts"), ("DATE", "ts"), ("[]", "list"),
+)
+
+_SPARK_CLASS = (
+    ("bigint", "int"), ("int", "int"), ("smallint", "int"), ("tinyint", "int"),
+    ("double", "float"), ("float", "float"), ("decimal", "float"),
+    ("string", "str"), ("boolean", "bool"),
+    ("timestamp", "ts"), ("date", "ts"), ("array", "list"),
+)
+
+
+def _type_class(t: str, table) -> str:
+    for pat, cls in table:
+        if pat.lower() in t.lower():
+            return cls
+    return t
+
+
+def check_type_alignment(sdf, duck_types: dict[str, str], name: str) -> None:
+    """Coarse int/float/str/bool/ts class must agree per column — an int
+    column on one side hashing as float on the other would break the
+    driver's value-hash even when the values are numerically equal."""
+    for col, styp in sdf.dtypes:
+        scls = _type_class(styp, _SPARK_CLASS)
+        ocls = _type_class(duck_types[col], _DUCK_CLASS)
+        assert scls == ocls, (
+            f"{name}: column {col!r} type-class mismatch spark={styp}({scls}) "
+            f"oracle={duck_types[col]}({ocls})"
+        )
 
 
 def canon(v) -> str:
@@ -66,7 +108,8 @@ def compare_query(spark, spec, sf_dir: str) -> None:
     sdf = spec.builder(spark, sf_dir)
     srows = [tuple(r) for r in sdf.collect()]
     scols = sdf.columns
-    ocols, orows = run_duckdb(spec.oracle, sf_dir)
+    ocols, orows, otypes = run_duckdb(spec.oracle, sf_dir, with_types=True)
+    check_type_alignment(sdf, otypes, spec.name)
 
     assert sorted(scols) == sorted(ocols), (
         f"{spec.name}: column mismatch spark={sorted(scols)} oracle={sorted(ocols)}"

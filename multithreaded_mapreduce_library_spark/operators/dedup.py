@@ -1,1 +1,378 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication operators over ``documents`` — exact, MinHash+LSH,
+SimHash, and n-gram Jaccard (SURVEY.md §2.3 extension operators; the
+reference's only dedup-adjacent machinery is the per-partition unique-key
+directory, mapreduce.c:123-132).
+
+Cross-engine exactness trick: every hash in these operators derives from
+the shared md5-based 60-bit integer (functions module), with all modular
+arithmetic below 2^62, so the Spark builder and the *generated* DuckDB
+oracle compute identical integers — MinHash minima, SimHash bits and band
+keys match bit-for-bit. The Spark side stays entirely in JVM built-ins
+(no Python UDFs) so whole-stage codegen applies.
+
+Scale notes (100 TB story):
+- exact dedup: hash-groupBy — one shuffle on the content hash.
+- MinHash LSH: shingle explode → per-doc signature (one shuffle) → band
+  explode → band-bucket self-join (shuffle on band key). Candidate pairs
+  only — never the O(n²) cross join.
+- SimHash: banded the same way (4×12-bit bands over 48-bit signatures ⇒
+  guaranteed recall for Hamming ≤ 3 — pigeonhole: ≤3 flips leave ≥1 band
+  untouched).
+- n-gram Jaccard: candidate pairs via the inverted shingle index join;
+  demoted to rare-shingle pairs at scale (a stop-shingle cutoff caps the
+  per-shingle fanout, like a df-cutoff in an inverted index).
+"""
+
+from __future__ import annotations
+
+from functools import reduce as _reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multithreaded_mapreduce_library_spark.functions import (
+    MOD_P,
+    duck_tokens,
+    h31,
+    tokens,
+)
+from multithreaded_mapreduce_library_spark.registry import register
+from multithreaded_mapreduce_library_spark.sources import load_table
+
+# MinHash family: h_i(x) = (a_i * h31(x) + b_i) mod P. Coefficients are
+# small (< 2^17) so a_i * h31 < 2^48 — overflow-free in both engines.
+MINHASH_PARAMS: tuple[tuple[int, int], ...] = (
+    (5167, 12553), (7589, 28411), (9173, 44017), (11261, 59671),
+    (13217, 75223), (15391, 90847), (17489, 106451), (19577, 122069),
+    (21611, 137687), (23687, 153313), (25747, 168899), (27791, 184511),
+    (29873, 200129), (31957, 215741), (34019, 231359), (36097, 246967),
+)
+N_HASHES = len(MINHASH_PARAMS)
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+# 48-bit signatures: highest-discrimination width whose per-bit weight
+# (1 << 47) still sums safely in a signed 64-bit BIGINT in both engines.
+# Hamming ≤ 3 with 4 bands of 12 bits guarantees recall (3 flipped bits
+# can corrupt at most 3 bands — at least one band survives intact).
+SIMHASH_BITS = 48
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+SIMHASH_MAX_HAMMING = 3
+
+JACCARD_THRESHOLD = 0.08
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS keeper_id,
+       count(*) AS copies
+FROM documents
+GROUP BY 1
+""",
+    tags=("dedup", "llm-pipeline"),
+    doc=(
+        "Exact dedup by content hash: one shuffle on md5(text), keep the "
+        "lowest doc_id per group. At 100 TB the hash (not the text) is the "
+        "shuffle key, so shuffle volume is O(rows), not O(bytes)."
+    ),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# shared shingle machinery
+# ---------------------------------------------------------------------------
+
+def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 3-word shingles per doc with their h31 hash (JVM-only)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens("text").alias("toks"))
+    shingles = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 2),
+                    lambda i: F.array_join(F.slice("toks", i, 3), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("shingle"),
+    ).distinct()
+    return shingles.withColumn("h", h31(F.col("shingle")))
+
+
+_DUCK_SHINGLES = f"""
+toks AS (SELECT doc_id, {duck_tokens('text')} AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                               i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+  FROM toks
+),
+hs AS (SELECT doc_id, (('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MOD_P}) AS h FROM sh)
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _minhash_agg_cols() -> list[Column]:
+    return [
+        F.min(F.pmod(F.col("h") * a + b, F.lit(MOD_P))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+
+
+def _duck_minhash_cols() -> str:
+    return ",\n         ".join(
+        f"min((h * {a} + {b}) % {MOD_P}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+
+
+def _band_sig(prefix: str, band: int) -> str:
+    cols = ", ".join(f"{prefix}mh{band * ROWS_PER_BAND + j}" for j in range(ROWS_PER_BAND))
+    return f"concat_ws('-', {cols})"
+
+
+_MINHASH_ORACLE = f"""
+WITH {_DUCK_SHINGLES},
+mh AS (SELECT doc_id, {_duck_minhash_cols()} FROM hs GROUP BY doc_id),
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band, {_band_sig('', b)} AS sig FROM mh"
+      for b in range(N_BANDS)
+  )}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       round(({" + ".join(f"(x.mh{i} = y.mh{i})::INT" for i in range(N_HASHES))}) / {N_HASHES}.0, 6) AS est_jaccard
+FROM pairs p
+JOIN mh x ON x.doc_id = p.doc_a
+JOIN mh y ON y.doc_id = p.doc_b
+"""
+
+
+@register(
+    "dedup_minhash",
+    oracle=_MINHASH_ORACLE,
+    tags=("dedup", "minhash", "lsh", "llm-pipeline"),
+    doc=(
+        f"MinHash ({N_HASHES} hashes) + LSH banding ({N_BANDS}×{ROWS_PER_BAND}): "
+        "near-dup candidate pairs with estimated Jaccard. Shuffles: shingles→"
+        "signature agg, band self-join. Never materializes the n² pair space."
+    ),
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hs = _shingles_df(spark, sf_dir)
+    mh = hs.groupBy("doc_id").agg(*_minhash_agg_cols())
+
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "-", *[F.col(f"mh{b * ROWS_PER_BAND + j}") for j in range(ROWS_PER_BAND)]
+            ).alias("sig"),
+        )
+        for b in range(N_BANDS)
+    ]
+    bands = mh.select("doc_id", F.explode(F.array(*band_structs)).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+
+    left = bands.alias("a")
+    right = bands.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    x = mh.alias("x")
+    y = mh.alias("y")
+    eq_terms = [
+        F.when(F.col(f"x.mh{i}") == F.col(f"y.mh{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    ]
+    est = _reduce(lambda p, q: p + q, eq_terms) / float(N_HASHES)
+    return (
+        pairs.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(y, F.col("y.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (banded)
+# ---------------------------------------------------------------------------
+
+def _duck_simhash_bit_sums() -> str:
+    return ",\n         ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+
+
+_SIMHASH_ORACLE = f"""
+WITH toks AS (SELECT doc_id, unnest({duck_tokens('text')}) AS tok FROM documents),
+th AS (SELECT doc_id, (('0x' || substr(md5(tok), 1, 15))::BIGINT % {MOD_P}) AS h FROM toks),
+bits AS (SELECT doc_id, {_duck_simhash_bit_sums()} FROM th GROUP BY doc_id),
+sims AS (
+  SELECT doc_id,
+         ({" + ".join(f"(CASE WHEN s{b} >= 0 THEN {1 << b}::BIGINT ELSE 0 END)" for b in range(SIMHASH_BITS))}) AS simhash
+  FROM bits
+),
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, simhash, {j} AS band, (simhash >> {j * SIMHASH_BAND_BITS}) & {(1 << SIMHASH_BAND_BITS) - 1} AS bval FROM sims"
+      for j in range(SIMHASH_BANDS)
+  )}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=_SIMHASH_ORACLE,
+    tags=("dedup", "simhash", "lsh", "llm-pipeline"),
+    doc=(
+        f"{SIMHASH_BITS}-bit SimHash over token hashes (tf-weighted ±1 votes "
+        f"per bit), candidate pairs via {SIMHASH_BANDS}-band LSH, kept when "
+        f"Hamming distance ≤ {SIMHASH_MAX_HAMMING}. Entirely JVM-side bit "
+        "arithmetic — no UDFs."
+    ),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    th = d.select("doc_id", F.explode(tokens("text")).alias("tok")).withColumn(
+        "h", h31(F.col("tok"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    bits = th.groupBy("doc_id").agg(*bit_sums)
+    sim_terms = [
+        F.when(F.col(f"s{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        for b in range(SIMHASH_BITS)
+    ]
+    sims = bits.select(
+        "doc_id", _reduce(lambda p, q: p + q, sim_terms).alias("simhash")
+    )
+
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.expr(
+                f"(simhash >> {j * SIMHASH_BAND_BITS}) & {(1 << SIMHASH_BAND_BITS) - 1}"
+            ).alias("bval"),
+        )
+        for j in range(SIMHASH_BANDS)
+    ]
+    bands = sims.select(
+        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", "simhash", F.col("bs.band").alias("band"), F.col("bs.bval").alias("bval"))
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.expr("a.simhash ^ b.simhash")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+_JACCARD_ORACLE = f"""
+WITH {_DUCK_SHINGLES},
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+SELECT doc_a, doc_b,
+       round(n_common / (x.n + y.n - n_common), 8) AS jaccard
+FROM common
+JOIN sizes x ON x.doc_id = doc_a
+JOIN sizes y ON y.doc_id = doc_b
+WHERE n_common / (x.n + y.n - n_common) >= {JACCARD_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_JACCARD_ORACLE,
+    tags=("dedup", "jaccard", "llm-pipeline"),
+    doc=(
+        "Exact n-gram (3-shingle) Jaccard over candidate pairs from the "
+        "inverted shingle index — pairs sharing ≥1 shingle only, so the "
+        "n² pair space is never built. At 100 TB add a document-frequency "
+        "cutoff on hot shingles to cap join fanout (MinHash is the "
+        "preferred scale path; this is the exact-verification stage)."
+    ),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles_df(spark, sf_dir).select("doc_id", "shingle")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x = sizes.alias("x")
+    y = sizes.alias("y")
+    jac = F.col("n_common") / (F.col("x.n") + F.col("y.n") - F.col("n_common"))
+    return (
+        common.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(y, F.col("y.doc_id") == F.col("doc_b"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 8).alias("jaccard"))
+    )

@@ -1,0 +1,158 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata,
+with decode/feature-extract/frame-sample implemented as Arrow-batched
+Pandas functions over ``mapInPandas`` (SURVEY.md §2.3).
+
+The container has no image/audio codecs, so the *decode* step is a
+clearly-marked stub (`NotImplementedError` unless PIL/soundfile appear);
+everything Spark-side — schema, binary encoding, metadata struct, batch
+iteration, partitioning — is real and tested. The fixture corpus has no
+binary column, so media bytes are derived deterministically from
+documents.text (utf-8 encode), which also makes the metadata query
+oracle-checkable in DuckDB.
+
+Scale notes: binary payloads ride parquet as-is (no row-group bloat beyond
+the bytes themselves); feature extraction is embarrassingly parallel per
+Arrow batch — the shuffle-free shape you want for 100 TB of media. Column
+pruning still applies: a metadata-only query never deserializes the blob.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from multithreaded_mapreduce_library_spark.registry import register
+from multithreaded_mapreduce_library_spark.sources import load_table
+
+N_HIST_BINS = 16
+FRAME_BYTES = 64  # fake "frame" granularity for frame sampling
+
+
+def attach_media(docs: DataFrame) -> DataFrame:
+    """Add an opaque binary payload + typed metadata struct to documents.
+
+    ``media`` is the utf-8 encoding of the text (deterministic stand-in for
+    real image/audio bytes); ``meta`` carries the typed sidecar a real
+    pipeline stores next to the blob (mime, nominal dims, byte length).
+    """
+    mime = (
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+    )
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("media"),
+        F.struct(
+            mime.alias("mime"),
+            F.octet_length("text").alias("byte_len"),
+            (F.pmod(F.col("doc_id") * 37 + 11, F.lit(1024)) + 16).alias("width"),
+            (F.pmod(F.col("doc_id") * 53 + 7, F.lit(768)) + 16).alias("height"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(blob: bytes, mime: str):
+    """STUB: real decode requires codec libraries absent from this
+    container. The Spark-side contract (bytes + mime in, decoded tensor
+    out) is what matters; swap in PIL/soundfile/pyav in a real deployment.
+    """
+    try:
+        if mime == "image/png":
+            from PIL import Image  # noqa: F401
+        elif mime == "audio/wav":
+            import soundfile  # noqa: F401
+        else:
+            import av  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            f"decode_media({mime}): codec library not available in this "
+            "environment — plumbing is real, decode is stubbed"
+        ) from exc
+    raise NotImplementedError("codec present but decode intentionally stubbed in v1")
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("byte_len", T.LongType(), False),
+        T.StructField("n_frames", T.LongType(), False),
+        T.StructField("histogram", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched feature extraction: byte histogram (the deterministic
+    stand-in for a decoded-pixel feature) + frame count at FRAME_BYTES
+    granularity. Vectorized numpy per batch — no per-row Python."""
+    import numpy as np
+
+    for pdf in batches:
+        out = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+            arr = np.frombuffer(blob, dtype=np.uint8)
+            hist = np.bincount(arr >> 4, minlength=N_HIST_BINS).astype("float64")
+            total = max(len(arr), 1)
+            out.append(
+                (
+                    int(doc_id),
+                    int(len(arr)),
+                    int(-(-len(arr) // FRAME_BYTES)),
+                    np.round(hist / total, 6).tolist(),
+                )
+            )
+        yield pd.DataFrame(out, columns=["doc_id", "byte_len", "n_frames", "histogram"])
+
+
+@register(
+    "multimodal_metadata",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS mime,
+       octet_length(encode(text)) AS byte_len,
+       ((doc_id * 37 + 11) % 1024 + 16) AS width,
+       ((doc_id * 53 + 7) % 768 + 16) AS height
+FROM documents
+""",
+    tags=("multimodal", "llm-pipeline"),
+    doc=(
+        "Typed metadata projection over the media table — reads only the "
+        "metadata struct, never the blob (column pruning keeps 100 TB of "
+        "payload bytes out of the scan)."
+    ),
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_media(load_table(spark, sf_dir, "documents"))
+    return media.select(
+        "doc_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.byte_len").cast("long").alias("byte_len"),
+        F.col("meta.width").cast("long").alias("width"),
+        F.col("meta.height").cast("long").alias("height"),
+    )
+
+
+@register(
+    "multimodal_features",
+    oracle=None,  # binary feature path — rows-only check (non-SQL-expressible)
+    tags=("multimodal", "pandas-udf", "llm-pipeline"),
+    doc=(
+        "Feature extraction over binary media via mapInPandas (Arrow "
+        "batches): byte histogram + frame count per document, joined back "
+        "to metadata. The real decode hook is decode_media (stubbed here)."
+    ),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_media(load_table(spark, sf_dir, "documents"))
+    feats = media.select("doc_id", "media").mapInPandas(_feature_batches, FEATURE_SCHEMA)
+    return feats.join(
+        multimodal_metadata(spark, sf_dir).select("doc_id", "mime"), "doc_id"
+    ).select("doc_id", "mime", "byte_len", "n_frames", "histogram")

@@ -1,1 +1,244 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity search over the ``embeddings`` table (array<float>, 64-dim):
+brute-force cosine top-k, sign-bit LSH bucketing, bucketed near-dup pairs,
+and an IVF-style probe (SURVEY.md §2.3; PAPERS.md top-k similarity search).
+
+Bit-exactness across engines: cosine is computed as a *sequential left
+fold* over double-cast elements in both engines — Spark ``aggregate()``
+and DuckDB ``list_reduce`` both fold left-to-right, and IEEE doubles make
+(+, *, sqrt, /) deterministic given identical operand order — so scores
+match bit-for-bit and rankings can't diverge. All JVM-side higher-order
+functions; no Python UDFs in these paths.
+
+Scale notes: brute-force is the correctness baseline (query-set × corpus
+— fine when the query set is small and broadcast; never corpus × corpus).
+The LSH/IVF variants bound the candidate set per query so the join is
+bucket-local — that's the 100 TB path, with the bucket id as the shuffle/
+cluster key.
+"""
+
+from __future__ import annotations
+
+from functools import reduce as _reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from multithreaded_mapreduce_library_spark.registry import register
+from multithreaded_mapreduce_library_spark.sources import load_table
+
+DIM = 64
+N_SIGN_BITS = 8  # sign-bit LSH: 2^8 = 256 buckets
+QUERY_MOD = 50  # vec_id % QUERY_MOD == 0 defines the query set
+TOP_K = 5
+NEAR_DUP_COSINE = 0.25
+
+
+# ---------------------------------------------------------------------------
+# cross-engine cosine
+# ---------------------------------------------------------------------------
+
+def _dvec(col: str) -> Column:
+    return F.expr(f"transform({col}, x -> CAST(x AS DOUBLE))")
+
+
+def _fold_sum(arr_expr: str) -> str:
+    # Spark SQL sequential left fold (aggregate == reduce).
+    return f"aggregate({arr_expr}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+
+
+_SPARK_COSINE = (
+    "({dot} / (sqrt({na}) * sqrt({nb})))".format(
+        dot=_fold_sum("zip_with(va, vb, (x, y) -> x * y)"),
+        na=_fold_sum("transform(va, x -> x * x)"),
+        nb=_fold_sum("transform(vb, x -> x * x)"),
+    )
+)
+
+
+def _duck_fold_sum(arr_expr: str) -> str:
+    return f"list_reduce({arr_expr}, (acc, x) -> acc + x)"
+
+
+def _duck_cosine(a: str, b: str) -> str:
+    va = f"list_transform({a}, x -> CAST(x AS DOUBLE))"
+    vb = f"list_transform({b}, x -> CAST(x AS DOUBLE))"
+    dot = _duck_fold_sum(
+        f"list_transform(generate_series(1, {DIM}), i -> {va}[i] * {vb}[i])"
+    )
+    na = _duck_fold_sum(f"list_transform({va}, x -> x * x)")
+    nb = _duck_fold_sum(f"list_transform({vb}, x -> x * x)")
+    return f"({dot} / (sqrt({na}) * sqrt({nb})))"
+
+
+def _sign_bucket_spark(col: str, nbits: int) -> Column:
+    terms = [
+        F.when(F.expr(f"{col}[{i}] > 0"), F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(nbits)
+    ]
+    return _reduce(lambda p, q: p + q, terms)
+
+
+def _sign_bucket_duck(col: str, nbits: int) -> str:
+    # DuckDB lists are 1-indexed; Spark arrays 0-indexed — offset by one.
+    return "(" + " + ".join(
+        f"(CASE WHEN {col}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(nbits)
+    ) + ")"
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+@register(
+    "sim_topk_bruteforce",
+    oracle=f"""
+SELECT query_id, neighbor_id, cosine, rnk FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_duck_cosine('q.embedding', 'c.embedding')}, 6) AS cosine,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_duck_cosine('q.embedding', 'c.embedding')} DESC, c.vec_id
+         ) AS rnk
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id % {QUERY_MOD} = 0
+)
+WHERE rnk <= {TOP_K}
+""",
+    tags=("similarity", "topk", "llm-pipeline"),
+    doc=(
+        "Brute-force cosine top-k for a small query set against the full "
+        "corpus: broadcast the queries, score every (query, candidate) "
+        "pair, rank per query. The exact baseline the ANN variants are "
+        "measured against."
+    ),
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (
+        e.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(F.col("vec_id").alias("query_id"), _dvec("embedding").alias("va"))
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), _dvec("embedding").alias("vb"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_exact", F.expr(_SPARK_COSINE))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_exact").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos_exact", 6).alias("cosine"), "rnk")
+    )
+
+
+@register(
+    "sim_lsh_buckets",
+    oracle=f"""
+SELECT {_sign_bucket_duck('embedding', N_SIGN_BITS)} AS bucket,
+       count(*) AS n_vectors,
+       min(vec_id) AS min_vec_id
+FROM embeddings
+GROUP BY 1
+""",
+    tags=("similarity", "lsh", "llm-pipeline"),
+    doc=(
+        f"Sign-bit LSH index: {N_SIGN_BITS} axis-hyperplane bits → "
+        f"{1 << N_SIGN_BITS} buckets (exact float sign tests — no arithmetic "
+        "to diverge). The bucket id is the cluster/shuffle key at scale."
+    ),
+)
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select(_sign_bucket_spark("embedding", N_SIGN_BITS).alias("bucket"), "vec_id")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+@register(
+    "sim_near_dup",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_sign_bucket_duck('embedding', N_SIGN_BITS)} AS bucket
+  FROM embeddings
+)
+SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       round({_duck_cosine('x.embedding', 'y.embedding')}, 6) AS cosine
+FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE {_duck_cosine('x.embedding', 'y.embedding')} >= {NEAR_DUP_COSINE}
+""",
+    tags=("similarity", "dedup", "lsh", "llm-pipeline"),
+    doc=(
+        "Embedding-cosine near-dup pairs, bucket-local: candidates share a "
+        f"{N_SIGN_BITS}-bit sign bucket, then exact cosine ≥ {NEAR_DUP_COSINE}. "
+        "The bucket join caps the pair space at sum(bucket²) — the n² cross "
+        "join never exists."
+    ),
+)
+def sim_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        _dvec("embedding").alias("v"),
+        _sign_bucket_spark("embedding", N_SIGN_BITS).alias("bucket"),
+    )
+    x = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("bucket").alias("bk")
+    )
+    y = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("bucket").alias("bk2")
+    )
+    return (
+        x.join(y, (F.col("bk") == F.col("bk2")) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("cos_exact", F.expr(_SPARK_COSINE))
+        .filter(F.col("cos_exact") >= NEAR_DUP_COSINE)
+        .select("vec_a", "vec_b", F.round("cos_exact", 6).alias("cosine"))
+    )
+
+
+@register(
+    "sim_topk_ivf",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_sign_bucket_duck('embedding', 4)} AS cell
+  FROM embeddings
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_duck_cosine('q.embedding', 'c.embedding')}, 6) AS cosine,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_duck_cosine('q.embedding', 'c.embedding')} DESC, c.vec_id
+         ) AS rnk
+  FROM b q JOIN b c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+  WHERE q.vec_id % {QUERY_MOD} = 0
+)
+WHERE rnk <= 3
+""",
+    tags=("similarity", "topk", "ivf", "llm-pipeline"),
+    doc=(
+        "IVF-style ANN: coarse-quantize the corpus into 16 cells (4 sign "
+        "bits standing in for trained centroids), probe only the query's "
+        "cell, exact-rank within it. Same plan shape as a trained IVF: "
+        "cell id = partition key, per-cell top-k, no global scan per query."
+    ),
+)
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("v"), _sign_bucket_spark("embedding", 4).alias("cell")
+    )
+    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("va"), "cell"
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vb"), F.col("cell").alias("cell2"))
+    scored = (
+        q.join(c, (F.col("cell") == F.col("cell2")) & (F.col("query_id") != F.col("neighbor_id")))
+        .withColumn("cos_exact", F.expr(_SPARK_COSINE))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_exact").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", F.round("cos_exact", 6).alias("cosine"), "rnk")
+    )

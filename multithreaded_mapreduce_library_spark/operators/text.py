@@ -11,10 +11,15 @@ reference lacks, SURVEY.md §2.2).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from multithreaded_mapreduce_library_spark.functions import duck_tokens, tokens
+from multithreaded_mapreduce_library_spark.functions import (
+    MOD_P,
+    duck_tokens,
+    h31,
+    tokens,
+)
 from multithreaded_mapreduce_library_spark.registry import register
 from multithreaded_mapreduce_library_spark.sources import load_table
 
@@ -38,3 +43,224 @@ def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# token statistics
+# ---------------------------------------------------------------------------
+
+# BPE-ish pre-tokenizer classes: letter runs, digit runs, single non-space
+# symbols. Identical regex semantics in Java regex and RE2 for this pattern.
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r]"
+
+
+@register(
+    "token_stats",
+    oracle=f"""
+SELECT doc_id,
+       len({duck_tokens('text')}) AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '{BPE_RE}')) AS n_bpe_tokens,
+       round(length(replace(text, ' ', '')) / len({duck_tokens('text')}), 6) AS chars_per_token
+FROM documents
+WHERE len({duck_tokens('text')}) > 0
+""",
+    tags=("text", "llm-pipeline"),
+    doc=(
+        "Token counting per document: whitespace tokens plus a BPE-style "
+        "regex pre-tokenization (letter runs / digit runs / single symbols) "
+        "— the standard cheap token-budget estimator for training-data "
+        "pipelines. Pure JVM expressions, one scan, no shuffle."
+    ),
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_ws = F.size(tokens("text"))
+    n_bpe = F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_RE), 0))
+    return (
+        d.filter(n_ws > 0)
+        .select(
+            "doc_id",
+            n_ws.alias("n_ws_tokens"),
+            n_bpe.alias("n_bpe_tokens"),
+            F.round(
+                F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / n_ws, 6
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+@register(
+    "quality_score",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, n_chars, {duck_tokens('text')} AS toks,
+         length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       round(len(list_filter(toks, t -> t IN {STOPWORDS!r})) / len(toks), 6) AS stopword_ratio,
+       round(n_punct / n_chars, 6) AS punct_ratio,
+       round(len(list_distinct(toks)) / len(toks), 6) AS type_token_ratio,
+       round(length(array_to_string(toks, '')) / len(toks), 6) AS avg_token_len
+FROM t
+WHERE len(toks) > 0
+""",
+    tags=("text", "quality", "llm-pipeline"),
+    doc=(
+        "Document quality signals: stopword ratio, punctuation density, "
+        "type-token ratio (lexical diversity), mean token length — the "
+        "classic cheap filters (C4/Gopher-style) ahead of expensive model "
+        "scoring. All ratios are exact-int divisions, so engines agree."
+    ),
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    base = d.select(
+        "doc_id",
+        "n_chars",
+        toks.alias("toks"),
+        F.length(F.regexp_replace(F.col("text"), "[^.,!?;:]", "")).alias("n_punct"),
+    ).filter(F.size("toks") > 0)
+    n = F.size("toks")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    return base.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(F.size(F.filter("toks", lambda t: F.array_contains(stop_arr, t))) / n, 6).alias(
+            "stopword_ratio"
+        ),
+        F.round(F.col("n_punct") / F.col("n_chars"), 6).alias("punct_ratio"),
+        F.round(F.size(F.array_distinct("toks")) / n, 6).alias("type_token_ratio"),
+        F.round(F.length(F.array_join("toks", "")) / n, 6).alias("avg_token_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# language identification (corpus-derived lexicons, deterministic)
+# ---------------------------------------------------------------------------
+
+LEXICON_TOP_N = 20
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({duck_tokens('text')}) AS token FROM documents
+),
+lexicon AS (
+  SELECT lang AS lex_lang, token FROM (
+    SELECT lang, token, row_number() OVER (
+             PARTITION BY lang ORDER BY count(*) DESC, token
+           ) AS rn
+    FROM tok GROUP BY lang, token
+  ) WHERE rn <= {LEXICON_TOP_N}
+),
+doc_tok AS (SELECT DISTINCT doc_id, lang, token FROM tok),
+scores AS (
+  SELECT d.doc_id, d.lang AS actual_lang, l.lex_lang, count(*) AS n_matches
+  FROM doc_tok d JOIN lexicon l ON d.token = l.token
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id, actual_lang, lex_lang AS predicted_lang, n_matches,
+       (lex_lang = actual_lang) AS is_correct
+FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY doc_id ORDER BY n_matches DESC, lex_lang
+         ) AS rn
+  FROM scores
+) WHERE rn = 1
+""",
+    tags=("text", "lang-id", "llm-pipeline"),
+    doc=(
+        "n-gram-lexicon language ID: derive a top-N token lexicon per "
+        "language from the corpus itself (one agg), score each document by "
+        "distinct-token overlap per lexicon (one join + agg), argmax with a "
+        "deterministic tiebreak. Two shuffles total; the lexicon side is "
+        "broadcast-sized at any corpus scale."
+    ),
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(tokens("text")).alias("token"))
+
+    w_lex = W.partitionBy("lang").orderBy(F.col("cnt").desc(), "token")
+    lexicon = (
+        tok.groupBy("lang", "token")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rn", F.row_number().over(w_lex))
+        .filter(F.col("rn") <= LEXICON_TOP_N)
+        .select(F.col("lang").alias("lex_lang"), "token")
+    )
+
+    doc_tok = tok.select("doc_id", F.col("lang").alias("actual_lang"), "token").distinct()
+    scores = (
+        doc_tok.join(F.broadcast(lexicon), "token")
+        .groupBy("doc_id", "actual_lang", "lex_lang")
+        .agg(F.count("*").alias("n_matches"))
+    )
+    w_pred = W.partitionBy("doc_id").orderBy(F.col("n_matches").desc(), "lex_lang")
+    return (
+        scores.withColumn("rn", F.row_number().over(w_pred))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "actual_lang",
+            F.col("lex_lang").alias("predicted_lang"),
+            "n_matches",
+            (F.col("lex_lang") == F.col("actual_lang")).alias("is_correct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting (polynomial rolling hash)
+# ---------------------------------------------------------------------------
+
+FP_BASE = 131
+FP_PREFIX = 64  # fingerprint the first 64 tokens
+# B^i mod P, shared literally by both engines so the modular sums agree.
+FP_POWERS = tuple(pow(FP_BASE, i, MOD_P) for i in range(FP_PREFIX))
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {duck_tokens('text')}[1:{FP_PREFIX}] AS toks FROM documents
+),
+pos AS (
+  SELECT doc_id, generate_subscripts(toks, 1) AS i, unnest(toks) AS tok FROM toks
+)
+SELECT doc_id,
+       sum((('0x' || substr(md5(tok), 1, 15))::BIGINT % {MOD_P})
+           * ([{','.join(str(p) for p in FP_POWERS)}][i]) % {MOD_P}) % {MOD_P} AS fingerprint
+FROM pos
+GROUP BY doc_id
+""",
+    tags=("text", "fingerprint", "llm-pipeline"),
+    doc=(
+        f"Polynomial rolling-hash fingerprint of the first {FP_PREFIX} "
+        f"tokens (base {FP_BASE} mod 2^31-1), with the power table shared "
+        "literally across engines — exact integer arithmetic end-to-end. "
+        "Position-sensitive (unlike bag-of-words hashes), so reordered "
+        "copies get different fingerprints; identical prefixes collide "
+        "intentionally for prefix-dup detection."
+    ),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.slice(tokens("text"), 1, FP_PREFIX).alias("toks"))
+    pos = toks.select("doc_id", F.posexplode("toks").alias("i0", "tok"))
+    powers = F.array(*[F.lit(p) for p in FP_POWERS])
+    term = F.pmod(h31(F.col("tok")) * F.element_at(powers, F.col("i0") + 1), F.lit(MOD_P))
+    return pos.groupBy("doc_id").agg(F.pmod(F.sum(term), F.lit(MOD_P)).alias("fingerprint"))

@@ -46,6 +46,7 @@ _OPERATOR_MODULES = (
     "multithreaded_mapreduce_library_spark.operators.events",
     "multithreaded_mapreduce_library_spark.operators.dedup",
     "multithreaded_mapreduce_library_spark.operators.similarity",
+    "multithreaded_mapreduce_library_spark.operators.multimodal",
     "multithreaded_mapreduce_library_spark.operators.mapreduce_queries",
     "multithreaded_mapreduce_library_spark.streaming.queries",
 )

@@ -1,1 +1,194 @@
-"""Placeholder — populated in a later milestone."""
+"""Structured Streaming operators over the events table.
+
+The reference is strictly batch — two synchronous phases with full barriers
+(mapreduce.c:176,188); streaming is part of the mandated capability set
+beyond it (SURVEY.md §2.2). Each operator here is a readStream →
+transform → writeStream pipeline; the registry builders execute with
+``trigger(availableNow=True)`` into a memory sink and return the settled
+result, so the driver's rows-only check observes a real streaming run
+(these are non-SQL-expressible per the contract — no oracle entries).
+
+Batch twins with full DuckDB oracles live in ``operators/events.py``
+(time_tumbling / time_sliding / sessionize / dedup_keep_first) — the
+pytest suite asserts stream == batch where modes allow exact comparison.
+
+Scale notes: watermarks bound state (late data beyond the delay is
+dropped); tumbling/sliding aggs shuffle on (window, key); session windows
+shuffle on the session key; dedup state is per-key and watermark-expired.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multithreaded_mapreduce_library_spark.registry import register
+from multithreaded_mapreduce_library_spark.sources import table_path
+
+_sink_ids = itertools.count()
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (schema pinned from the
+    batch reader; ts arrives as nanos-long and is converted exactly)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(table_path(sf_dir, "events"))
+    # The file source requires a directory; stream the sf dir filtered to
+    # the events file (real deployments point at an arriving-files dir).
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    return stream
+
+
+def run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
+    """Execute a streaming DataFrame to completion (availableNow) into a
+    memory sink and return the settled result as a batch DataFrame."""
+    name = f"stream_sink_{next(_sink_ids)}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+@register(
+    "stream_tumbling",
+    oracle=None,  # streaming — rows-only check; batch twin: time_tumbling
+    tags=("streaming", "time-window"),
+    doc=(
+        "Tumbling 1-hour windowed count/sum as a streaming aggregation "
+        "(complete mode), replaying the fixture via availableNow. Matches "
+        "the batch time_tumbling operator exactly (asserted in tests)."
+    ),
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+    return run_to_memory(agg, "complete")
+
+
+@register(
+    "stream_sliding_watermark",
+    oracle=None,  # streaming — rows-only check; batch twin: time_sliding
+    tags=("streaming", "time-window", "watermark"),
+    doc=(
+        "Sliding windows (1h/30m) with a 2-hour watermark in append mode: "
+        "only watermark-finalized windows are emitted — the late-data-drop "
+        "semantics a replay can observe (trailing windows stay open)."
+    ),
+)
+def stream_sliding_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    agg = (
+        s.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "cnt",
+        )
+    )
+    return run_to_memory(agg, "append")
+
+
+@register(
+    "stream_dedup",
+    oracle=None,  # streaming — rows-only check; batch twin: dedup_keep_first
+    tags=("streaming", "dedup", "stateful"),
+    doc=(
+        "Stateful streaming dedup on event_id under a 1-hour watermark "
+        "(state expires with the watermark — bounded memory at 100 TB/day "
+        "event volumes)."
+    ),
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    deduped = s.dropDuplicates(["event_id"]).select(
+        "event_id", "user_id", "event_type",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_s"),
+    )
+    return run_to_memory(deduped, "append")
+
+
+@register(
+    "stream_session",
+    oracle=None,  # streaming — rows-only check; batch twin: sessionize
+    tags=("streaming", "session-window", "stateful"),
+    doc=(
+        "Streaming session windows (15-minute gap) per user with a 30-min "
+        "watermark, append mode: sessions emit once closed by the "
+        "watermark."
+    ),
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir).withWatermark("ts", "30 minutes")
+    agg = (
+        s.groupBy(F.session_window("ts", "15 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", TS_FMT_SPARK).alias("session_start"),
+            "n_events",
+        )
+    )
+    return run_to_memory(agg, "append")
+
+
+@register(
+    "stream_stateful_running_max",
+    oracle=None,  # custom stateful streaming op — rows-only check
+    tags=("streaming", "stateful", "pandas-udf"),
+    doc=(
+        "Custom stateful operator via applyInPandasWithState: per-user "
+        "running max/count of event value carried in explicit GroupState — "
+        "the escape hatch for operators Spark lacks natively."
+    ),
+)
+def stream_stateful_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    s = events_stream(spark, sf_dir).select("user_id", "value")
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        mx, n = state.get if state.exists else (float("-inf"), 0)
+        for pdf in pdfs:
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+                n += int(len(pdf))
+        state.update((mx, n))
+        yield pd.DataFrame({"user_id": [key[0]], "max_value": [mx], "n_events": [n]})
+
+    out = s.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, max_value double, n_events long",
+        stateStructType="max_value double, n_events long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(out, "update")

@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Queries are forced end-to-end with the noop sink (full computation, no
+driver-side collect). One tiny warmup job amortizes JVM/codegen startup so
+the numbers reflect steady-state operator cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from multithreaded_mapreduce_library_spark.registry import load_all
+from multithreaded_mapreduce_library_spark.session import get_spark
+
+# Headline set: one representative per operator family (scan+agg, joins,
+# windows, text explode, dedup/LSH, vector search, event-time ops).
+HEADLINE = (
+    "pricing_summary",
+    "join_large",
+    "join_broadcast",
+    "window_topk_per_group",
+    "wordcount",
+    "dedup_exact",
+    "dedup_minhash",
+    "sim_topk_bruteforce",
+    "time_tumbling",
+    "sessionize",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(app_name="bench")
+    specs = load_all()
+
+    # warmup: touch the JVM, codegen, and the parquet reader on the fact
+    # table once (fixture files have a single row group, so scans are
+    # single-task; warmup takes the first-touch JIT out of the timings)
+    specs["agg_stats"].builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    specs["filter_project"].builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = specs[name].builder(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -95,8 +95,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shared shingle machinery
 # ---------------------------------------------------------------------------
 
-def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct 3-word shingles per doc with their h31 hash (JVM-only)."""
+def _shingles_df(spark: SparkSession, sf_dir: str, distinct: bool = True) -> DataFrame:
+    """3-word shingles per doc with their h31 hash (JVM-only).
+
+    ``distinct=False`` skips the per-doc dedup shuffle — correct whenever
+    the consumer is duplicate-insensitive (MinHash minima are)."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", tokens("text").alias("toks"))
     shingles = toks.select(
@@ -110,7 +113,9 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).otherwise(F.array().cast("array<string>"))
         ).alias("shingle"),
-    ).distinct()
+    )
+    if distinct:
+        shingles = shingles.distinct()
     return shingles.withColumn("h", h31(F.col("shingle")))
 
 
@@ -181,9 +186,12 @@ JOIN mh y ON y.doc_id = p.doc_b
     ),
 )
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    hs = _shingles_df(spark, sf_dir)
+    hs = _shingles_df(spark, sf_dir, distinct=False)
     mh = hs.groupBy("doc_id").agg(*_minhash_agg_cols())
 
+    # Carry the full signature through the band join (one array column) so
+    # the Jaccard estimate is computed in-place — avoids two extra
+    # signature-lookup joins (= two shuffles) after candidate generation.
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -193,34 +201,32 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(N_BANDS)
     ]
-    bands = mh.select("doc_id", F.explode(F.array(*band_structs)).alias("bs")).select(
-        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    sig_arr = F.array(*[F.col(f"mh{i}") for i in range(N_HASHES)])
+    bands = mh.select(
+        "doc_id", sig_arr.alias("sig_arr"), F.explode(F.array(*band_structs)).alias("bs")
+    ).select(
+        "doc_id", "sig_arr", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
 
     left = bands.alias("a")
     right = bands.alias("b")
-    pairs = (
+    est = F.expr(
+        "aggregate(zip_with(a.sig_arr, b.sig_arr, (x, y) -> IF(x = y, 1, 0)),"
+        f" 0, (acc, x) -> acc + x) / CAST({N_HASHES} AS DOUBLE)"
+    )
+    return (
         left.join(
             right,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(est, 6).alias("est_jaccard"),
+        )
         .distinct()
-    )
-
-    x = mh.alias("x")
-    y = mh.alias("y")
-    eq_terms = [
-        F.when(F.col(f"x.mh{i}") == F.col(f"y.mh{i}"), 1).otherwise(0)
-        for i in range(N_HASHES)
-    ]
-    est = _reduce(lambda p, q: p + q, eq_terms) / float(N_HASHES)
-    return (
-        pairs.join(x, F.col("x.doc_id") == F.col("doc_a"))
-        .join(y, F.col("y.doc_id") == F.col("doc_b"))
-        .select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
     )
 
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from multithreaded_mapreduce_library_spark.functions import fixed_point
 from multithreaded_mapreduce_library_spark.registry import register
 from multithreaded_mapreduce_library_spark.sources import load_table
 
@@ -54,7 +55,7 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '{TS_FMT_DUCK}') AS window_start,
        event_type,
        count(*) AS cnt,
-       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       (sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) / 1000000) AS sum_value
 FROM events
 GROUP BY 1, 2
 """,
@@ -70,7 +71,7 @@ def time_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("cnt"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            (F.sum(fixed_point("value", 1_000_000)) / 1_000_000).alias("sum_value"),
         )
         .select(
             F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
@@ -129,7 +130,7 @@ WITH flagged AS (
 SELECT user_id,
        strftime(min(ts), '{TS_FMT_DUCK}') AS session_start,
        count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       (sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) / 1000000) AS sum_value
 FROM numbered
 GROUP BY user_id, sid
 """,
@@ -148,7 +149,7 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.session_window("ts", "15 minutes").alias("w"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            (F.sum(fixed_point("value", 1_000_000)) / 1_000_000).alias("sum_value"),
         )
         .select(
             "user_id",

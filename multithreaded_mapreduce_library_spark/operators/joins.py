@@ -56,7 +56,7 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderpriority,
        count(*) AS n_items,
-       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+       (sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) / 100) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
@@ -70,13 +70,13 @@ GROUP BY o_orderpriority
 def join_large(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
-    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_items"),
-            F.sum(revenue).cast("double").alias("revenue"),
+            money_sum(revenue, "revenue"),
         )
     )
 

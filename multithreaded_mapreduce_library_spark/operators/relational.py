@@ -9,7 +9,7 @@ everything else here is capability the reference lacks (SURVEY.md §2.2
 pruning, partial aggregation and join strategy. Every query pairs with a
 DuckDB oracle via the registry.
 
-Exactness conventions (see registry module doc): DECIMAL-routed money sums,
+Exactness conventions (see registry module doc): fixed-point money sums,
 string-formatted dates, double division only on exact inputs.
 """
 
@@ -19,7 +19,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from multithreaded_mapreduce_library_spark.functions import (
+    duck_fixed_point,
     duck_money_sum,
+    fixed_point,
     money_sum,
 )
 from multithreaded_mapreduce_library_spark.registry import register
@@ -64,10 +66,10 @@ def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_returnflag, l_linestatus,
        {duck_money_sum('l_quantity', 'sum_qty')},
        {duck_money_sum('l_extendedprice', 'sum_base_price')},
-       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+       {duck_money_sum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+       {duck_money_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+       (sum({duck_fixed_point('l_quantity')}) / 100) / count(*) AS avg_qty,
+       (sum({duck_fixed_point('l_extendedprice')}) / 100) / count(*) AS avg_price,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -90,10 +92,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             money_sum("l_quantity", "sum_qty"),
             money_sum("l_extendedprice", "sum_base_price"),
-            F.sum(disc_price.cast("decimal(18,6)")).cast("double").alias("sum_disc_price"),
-            F.sum(charge.cast("decimal(18,6)")).cast("double").alias("sum_charge"),
-            (F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double") / F.count("*")).alias("avg_qty"),
-            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / F.count("*")).alias("avg_price"),
+            money_sum(disc_price, "sum_disc_price"),
+            money_sum(charge, "sum_charge"),
+            ((F.sum(fixed_point("l_quantity")) / 100) / F.count("*")).alias("avg_qty"),
+            ((F.sum(fixed_point("l_extendedprice")) / 100) / F.count("*")).alias("avg_price"),
             F.count("*").alias("count_order"),
         )
     )
@@ -107,7 +109,7 @@ SELECT o_orderpriority,
        min(o_totalprice) AS min_price,
        max(o_totalprice) AS max_price,
        {duck_money_sum('o_totalprice', 'sum_price')},
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+       (sum({duck_fixed_point('o_totalprice')}) / 100) / count(*) AS avg_price
 FROM orders
 GROUP BY o_orderpriority
 """,
@@ -121,7 +123,7 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
         money_sum("o_totalprice", "sum_price"),
-        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double") / F.count("*")).alias("avg_price"),
+        ((F.sum(fixed_point("o_totalprice")) / 100) / F.count("*")).alias("avg_price"),
     )
 
 
@@ -244,7 +246,7 @@ def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderstatus, o_orderpriority,
                grouping_id(o_orderstatus, o_orderpriority) AS grp_id,
                count(*) AS n_orders,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+               sum(floor(o_totalprice * 100 + 0.5)) / 100 AS sum_price
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         """
@@ -377,7 +379,7 @@ def case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_orderpriority,
        count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
        count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
-       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS finished_price
+       sum(CASE WHEN o_orderstatus = 'F' THEN {duck_fixed_point('o_totalprice')} ELSE 0 END) / 100 AS finished_price
 FROM orders
 GROUP BY o_orderpriority
 """,
@@ -386,17 +388,17 @@ GROUP BY o_orderpriority
 def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered/conditional aggregation (count FILTER, sum CASE)."""
     o = load_table(spark, sf_dir, "orders")
-    dec0 = F.lit(0).cast("decimal(18,2)")
     return o.groupBy("o_orderpriority").agg(
         F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
         F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
-        F.sum(
-            F.when(
-                F.col("o_orderstatus") == "F", F.col("o_totalprice").cast("decimal(18,2)")
-            ).otherwise(dec0)
-        )
-        .cast("double")
-        .alias("finished_price"),
+        (
+            F.sum(
+                F.when(
+                    F.col("o_orderstatus") == "F", fixed_point("o_totalprice")
+                ).otherwise(F.lit(0))
+            )
+            / 100
+        ).alias("finished_price"),
     )
 
 
@@ -433,7 +435,7 @@ def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderkey, o_totalprice
 FROM orders
-WHERE o_totalprice > 3 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) FROM orders)
+WHERE o_totalprice > 3 * (SELECT (sum(floor(o_totalprice * 100 + 0.5)) / 100) / count(*) FROM orders)
 """,
     tags=("relational", "subquery", "sql-api"),
 )
@@ -445,7 +447,7 @@ def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderkey, o_totalprice
         FROM orders
         WHERE o_totalprice > 3 * (
-            SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) FROM orders
+            SELECT (sum(floor(o_totalprice * 100 + 0.5)) / 100) / count(*) FROM orders
         )
         """
     )

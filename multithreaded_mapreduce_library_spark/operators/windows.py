@@ -4,7 +4,8 @@ all absent from the reference (SURVEY.md §2.2).
 Determinism discipline for oracle-exactness: every ORDER BY inside a window
 either ends with a unique key (o_orderkey) or only feeds rank/dense_rank
 (whose outputs depend on sort-key values, not tie order). Running sums go
-through DECIMAL so the frame accumulation is exact in both engines.
+through fixed-point integers so the frame accumulation is exact in both
+engines.
 """
 
 from __future__ import annotations
@@ -12,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from multithreaded_mapreduce_library_spark.functions import fixed_point
 from multithreaded_mapreduce_library_spark.registry import register
 from multithreaded_mapreduce_library_spark.sources import load_table
 
@@ -78,7 +80,7 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_custkey, o_orderkey,
        count(*) OVER w AS n_orders_so_far,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_so_far
+       (sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w / 100) AS spend_so_far
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -86,7 +88,7 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
     tags=("window", "frame", "running"),
 )
 def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running count + running (decimal-exact) sum per customer."""
+    """Running count + running (fixed-point-exact) sum per customer."""
     o = load_table(spark, sf_dir, "orders")
     w = (
         W.partitionBy("o_custkey")
@@ -97,7 +99,7 @@ def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         F.count("*").over(w).alias("n_orders_so_far"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("spend_so_far"),
+        (F.sum(fixed_point("o_totalprice")).over(w) / 100).alias("spend_so_far"),
     )
 
 
@@ -137,7 +139,7 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderkey, o_totalprice,
        count(*) OVER w AS n_in_band,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_in_band
+       (sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w / 100) AS sum_in_band
 FROM orders
 WINDOW w AS (ORDER BY o_totalprice RANGE BETWEEN 500 PRECEDING AND CURRENT ROW)
 """,
@@ -154,7 +156,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_totalprice",
         F.count("*").over(w).alias("n_in_band"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("sum_in_band"),
+        (F.sum(fixed_point("o_totalprice")).over(w) / 100).alias("sum_in_band"),
     )
 
 

@@ -8,8 +8,9 @@ registry, so a query is "done" exactly when it is registered and oracle-green.
 
 Conventions that make the order-insensitive value-hash comparison exact:
 - alias every computed column identically in Spark and SQL;
-- aggregate money through DECIMAL (order-independent, exact) then cast the
-  result to DOUBLE;
+- aggregate money through fixed-point integers (functions.fixed_point:
+  floor(x*scale+0.5) — order-independent exact sums, ~5× faster than
+  DECIMAL aggregation), divided back to DOUBLE at the end;
 - emit timestamps as formatted strings (or DATE), never raw timestamps;
 - round genuinely float-path outputs (e.g. cosine) and break ranking ties on
   a unique key.

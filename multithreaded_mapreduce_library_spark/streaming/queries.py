@@ -79,7 +79,9 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("cnt"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            (F.sum(F.floor(F.col("value") * 1_000_000 + F.lit(0.5))) / 1_000_000).alias(
+                "sum_value"
+            ),
         )
         .select(
             F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),

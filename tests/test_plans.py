@@ -1,0 +1,79 @@
+"""Plan audits: the physical plans must be the ones we'd want at 100 TB —
+filters and pruning at the scan, broadcasts for dims, partial aggregation,
+codegen coverage (the brief's .explain discipline)."""
+
+from __future__ import annotations
+
+from multithreaded_mapreduce_library_spark.plans import (
+    codegen_stage_count,
+    formatted_plan,
+    has_node,
+    pushed_filters,
+    read_schemas,
+)
+from multithreaded_mapreduce_library_spark.registry import load_all
+
+SPECS = load_all()
+
+
+def test_filter_pushdown_and_pruning(spark, sf_dir):
+    df = SPECS["filter_project"].builder(spark, sf_dir)
+    pf = pushed_filters(df)
+    assert pf, "filter_project: no filters reached the parquet scan"
+    assert any("l_shipdate" in p or "l_discount" in p for p in pf)
+    schemas = read_schemas(df)
+    assert schemas and all("l_extendedprice" not in s for s in schemas), (
+        "unused column not pruned from the scan"
+    )
+
+
+def test_pricing_summary_partial_agg_and_codegen(spark, sf_dir):
+    df = SPECS["pricing_summary"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2, "missing partial (map-side) aggregation"
+    assert codegen_stage_count(df) >= 1, "no whole-stage codegen"
+    pf = pushed_filters(df)
+    assert pf and any("l_shipdate" in p for p in pf)
+
+
+def test_join_broadcast_uses_broadcast(spark, sf_dir):
+    df = SPECS["join_broadcast"].builder(spark, sf_dir)
+    assert has_node(df, "BroadcastHashJoin"), "dim joins must broadcast"
+    assert not has_node(df, "SortMergeJoin")
+
+
+def test_join_large_is_equi_join(spark, sf_dir):
+    df = SPECS["join_large"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    ), "fact-fact join fell off the hash/merge paths"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_wordcount_shape(spark, sf_dir):
+    df = SPECS["wordcount"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Generate" in plan  # explode
+    assert plan.count("HashAggregate") >= 2  # partial + final count
+    schemas = read_schemas(df)
+    assert schemas and all("lang" not in s for s in schemas), "scan must prune to text only"
+
+
+def test_semi_anti_join_nodes(spark, sf_dir):
+    semi = formatted_plan(SPECS["join_semi"].builder(spark, sf_dir))
+    anti = formatted_plan(SPECS["join_anti"].builder(spark, sf_dir))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_sim_bruteforce_broadcasts_queries(spark, sf_dir):
+    df = SPECS["sim_topk_bruteforce"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Broadcast" in plan, "query set must broadcast (never shuffle the corpus per query)"
+
+
+def test_no_cartesian_in_lsh_paths(spark, sf_dir):
+    for name in ("dedup_minhash", "dedup_simhash", "sim_near_dup", "sim_topk_ivf"):
+        plan = formatted_plan(SPECS[name].builder(spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{name}: O(n²) cross join in plan"

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from multithreaded_mapreduce_library_spark.functions import (
     duck_fixed_point,
     duck_money_sum,
+    duck_tokens,
     fixed_point,
     money_sum,
 )
@@ -585,3 +586,151 @@ def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
             "order_month_start"
         ),
     ).withColumn("order_isodow", (F.col("_wd") + 1).cast("long")).drop("_wd")
+
+
+# ---------------------------------------------------------------------------
+# array / map scalar functions
+# ---------------------------------------------------------------------------
+
+@register(
+    "scalar_array",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {duck_tokens('text')} AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       array_to_string(toks[1:3], '_') AS first3,
+       array_to_string(list_sort(toks[1:3]), '_') AS first3_sorted,
+       list_contains(toks, 'the') AS has_the,
+       len(list_distinct(toks)) AS n_distinct,
+       toks[len(toks)] AS last_token
+FROM t WHERE len(toks) > 0
+""",
+    tags=("relational", "scalar", "array"),
+)
+def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function coverage: slice, sort, contains, distinct, element
+    access — higher-order array ops stay JVM-side (no UDFs)."""
+    d = load_table(spark, sf_dir, "documents")
+    from multithreaded_mapreduce_library_spark.functions import tokens
+
+    t = d.select("doc_id", tokens("text").alias("toks")).filter(F.size("toks") > 0)
+    return t.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.array_join(F.slice("toks", 1, 3), "_").alias("first3"),
+        F.array_join(F.array_sort(F.slice("toks", 1, 3)), "_").alias("first3_sorted"),
+        F.array_contains("toks", "the").alias("has_the"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.element_at("toks", F.size("toks")).alias("last_token"),
+    )
+
+
+@register(
+    "scalar_map",
+    oracle="""
+SELECT event_type,
+       CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2 WHEN 'purchase' THEN 10
+                       WHEN 'signup' THEN 5 ELSE 0 END AS weight,
+       count(*) AS cnt,
+       count(*) * (CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2 WHEN 'purchase' THEN 10
+                                   WHEN 'signup' THEN 5 ELSE 0 END) AS weighted
+FROM events
+GROUP BY event_type
+""",
+    tags=("relational", "scalar", "map"),
+)
+def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType coverage: literal map construction + element_at lookup with a
+    default (the oracle expresses the identical lookup semantics as CASE —
+    DuckDB's MAP type has no hashable wire format to compare directly)."""
+    e = load_table(spark, sf_dir, "events")
+    weights = F.create_map(
+        F.lit("click"), F.lit(1),
+        F.lit("view"), F.lit(2),
+        F.lit("purchase"), F.lit(10),
+        F.lit("signup"), F.lit(5),
+    )
+    w = F.coalesce(F.element_at(weights, F.col("event_type")), F.lit(0))
+    return (
+        e.groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "event_type",
+            F.coalesce(F.element_at(weights, F.col("event_type")), F.lit(0)).alias("weight"),
+            "cnt",
+            (F.col("cnt") * F.coalesce(F.element_at(weights, F.col("event_type")), F.lit(0))).alias(
+                "weighted"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact percentiles
+# ---------------------------------------------------------------------------
+
+@register(
+    "percentiles",
+    oracle="""
+SELECT o_orderpriority,
+       quantile_cont(o_totalprice, 0.25) AS p25,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.9) AS p90,
+       count(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("relational", "aggregation", "percentile"),
+)
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark percentile() and
+    DuckDB quantile_cont share the linear-interpolation definition). At
+    scale prefer approx_percentile with a set error bound — exact
+    percentile sorts each group."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# skew-salted aggregation
+# ---------------------------------------------------------------------------
+
+N_SALTS = 8
+
+
+@register(
+    "agg_salted_skew",
+    oracle=f"""
+SELECT l_returnflag,
+       count(*) AS n_items,
+       {duck_money_sum('l_quantity', 'sum_qty')}
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("relational", "aggregation", "skew", "salting"),
+    doc=(
+        f"Two-phase salted aggregation over a 3-value (maximally skewed) "
+        f"key: phase 1 groups by (key, salt={N_SALTS} buckets from a row-"
+        "local column) computing partial integer sums, phase 2 merges "
+        "partials per key. Semantics-preserving by construction (integer "
+        "sums are associative), so the oracle is the PLAIN group-by — the "
+        "manual form of what AQE skew handling does, for when the skew is "
+        "in an aggregation rather than a join."
+    ),
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = li.withColumn("salt", F.pmod(F.col("l_orderkey"), F.lit(N_SALTS)))
+    phase1 = salted.groupBy("l_returnflag", "salt").agg(
+        F.count("*").alias("pc"),
+        F.sum(fixed_point("l_quantity")).alias("ps"),
+    )
+    return phase1.groupBy("l_returnflag").agg(
+        F.sum("pc").alias("n_items"),
+        (F.sum("ps") / 100).alias("sum_qty"),
+    )

@@ -1,0 +1,166 @@
+"""UDF / UDAF / UDTF surface — the reference's *entire* query model is
+user-defined functions (SURVEY.md §2.2: ``Mapper`` = UDTF, ``Reducer`` =
+UDAF, ``MR_Partitioner`` = custom partitioner; mapreduce.h:5-6,40). The
+facade (:mod:`..mapreduce`) reproduces that model verbatim on RDDs; this
+module exposes the modern Spark equivalents — Arrow-vectorized Pandas UDFs
+— with DuckDB oracles proving they compute standard semantics.
+
+Performance doctrine (pyspark guide): built-ins > pandas UDFs > row
+UDFs. These queries intentionally exercise the pandas tier; identical
+logic exists as pure built-ins elsewhere in the inventory, and the bench
+keeps UDF paths out of the headline set.
+
+Exactness: the scalar UDF mirrors an IEEE double expression (same operand
+order as the oracle); the UDAF accumulates in int64 cents (numpy integer
+sums are exact, so pandas' pairwise summation can't diverge from the
+oracle's sequential sum).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from multithreaded_mapreduce_library_spark.registry import register
+from multithreaded_mapreduce_library_spark.sources import load_table
+
+
+def _net_price_udf():
+    # Defined lazily: pandas_udf registration requires an active session.
+    @pandas_udf("double")
+    def _net_price(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        # Same operand order as the oracle expression: ((p*(1-d))*(1+t)).
+        return (price * (1 - disc)) * (1 + tax)
+
+    return _net_price
+
+
+@register(
+    "pandas_udf_scalar",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round((l_extendedprice * (1 - l_discount)) * (1 + l_tax), 4) AS net_price
+FROM lineitem
+WHERE l_orderkey % 200 = 0
+""",
+    tags=("udf", "pandas", "scalar"),
+)
+def pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar Pandas UDF (batch-at-a-time numpy math —
+    the 10-100× path over row-at-a-time Python UDFs)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 200 == 0)
+    net_price = _net_price_udf()
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            net_price(F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")), 4
+        ).alias("net_price"),
+    )
+
+
+def _weighted_disc_udaf():
+    @pandas_udf("double")
+    def _weighted_disc_cents(disc: pd.Series, qty: pd.Series) -> float:
+        # int64-cents accumulation: exact regardless of pandas' summation
+        # order.
+        import numpy as np
+
+        num = int(np.floor(disc * qty * 10_000 + 0.5).astype("int64").sum())
+        den = int(np.floor(qty * 100 + 0.5).astype("int64").sum())
+        return num / den / 100.0
+
+    @pandas_udf("long")
+    def _n_items(qty: pd.Series) -> int:
+        # pandas UDAFs can't mix with JVM aggregates in one agg() —
+        # count rides the same Arrow exchange instead.
+        return int(len(qty))
+
+    return _weighted_disc_cents, _n_items
+
+
+@register(
+    "pandas_udaf_grouped",
+    oracle="""
+SELECT l_returnflag,
+       (sum(CAST(floor(l_discount * l_quantity * 10000 + 0.5) AS BIGINT))
+        / sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))) / 100.0 AS wavg_discount,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("udf", "pandas", "udaf"),
+)
+def pandas_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate Pandas UDAF: quantity-weighted mean discount per
+    return flag — the modern form of the reference's Reducer
+    (distwc.c:23-34: drain values, fold)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    weighted_disc, n_items = _weighted_disc_udaf()
+    return li.groupBy("l_returnflag").agg(
+        weighted_disc(F.col("l_discount"), F.col("l_quantity")).alias("wavg_discount"),
+        n_items(F.col("l_quantity")).alias("n_items"),
+    )
+
+
+@register(
+    "grouped_map_zscore",
+    oracle="""
+WITH s AS (
+  SELECT o_orderpriority,
+         max(o_totalprice) AS mx, min(o_totalprice) AS mn
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderkey, o.o_orderpriority,
+       round((o_totalprice - mn) / (mx - mn), 6) AS price_minmax
+FROM orders o JOIN s ON o.o_orderpriority = s.o_orderpriority
+WHERE o_orderkey % 100 = 0
+""",
+    tags=("udf", "pandas", "grouped-map"),
+)
+def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map: per-group min-max normalization, each
+    group as a pandas DataFrame (per-key dataframe-in/dataframe-out — the
+    shape the reference's per-key Reducer scheduling approximated,
+    mapreduce.c:179-187, minus the task-per-key overhead)."""
+
+    def minmax(pdf: pd.DataFrame) -> pd.DataFrame:
+        mx, mn = pdf["o_totalprice"].max(), pdf["o_totalprice"].min()
+        out = pdf[pdf["o_orderkey"] % 100 == 0][["o_orderkey", "o_orderpriority", "o_totalprice"]]
+        out = out.assign(
+            price_minmax=((out["o_totalprice"] - mn) / (mx - mn)).round(6)
+        )
+        return out[["o_orderkey", "o_orderpriority", "price_minmax"]]
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").applyInPandas(
+        minmax, "o_orderkey long, o_orderpriority string, price_minmax double"
+    )
+
+
+@register(
+    "map_in_pandas_filter",
+    oracle="""
+SELECT doc_id, n_chars, lang
+FROM documents
+WHERE n_chars > 300 AND lang IN ('en', 'fr')
+""",
+    tags=("udf", "pandas", "map-in-pandas"),
+)
+def map_in_pandas_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas partition-batch iterator (the custom-scan/operator
+    escape hatch): vectorized predicate over Arrow batches."""
+
+    def flt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pdf[(pdf["n_chars"] > 300) & (pdf["lang"].isin(["en", "fr"]))][
+                ["doc_id", "n_chars", "lang"]
+            ]
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.mapInPandas(flt, "doc_id long, n_chars long, lang string")

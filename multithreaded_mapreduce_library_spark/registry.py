@@ -48,6 +48,7 @@ _OPERATOR_MODULES = (
     "multithreaded_mapreduce_library_spark.operators.dedup",
     "multithreaded_mapreduce_library_spark.operators.similarity",
     "multithreaded_mapreduce_library_spark.operators.multimodal",
+    "multithreaded_mapreduce_library_spark.operators.udfs",
     "multithreaded_mapreduce_library_spark.operators.mapreduce_queries",
     "multithreaded_mapreduce_library_spark.streaming.queries",
 )

@@ -1,0 +1,105 @@
+"""Parity tests for the cross-engine primitives every oracle relies on:
+the md5-derived 60-bit hash, fixed-point quantization, and the sequential
+cosine fold. If these agree on adversarial inputs, the generated oracles
+agree by construction."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import duckdb
+
+from pyspark.sql import functions as F
+
+from multithreaded_mapreduce_library_spark.functions import (
+    MOD_P,
+    duck_md5_long60,
+    md5_long60,
+)
+
+
+def test_md5_long60_parity(spark):
+    rng = random.Random(42)
+    words = ["", "a", " ", "\t", "naïve", "日本語", "x" * 500] + [
+        "".join(rng.choice("abcdefghij ._-") for _ in range(rng.randint(1, 40)))
+        for _ in range(200)
+    ]
+    sdf = spark.createDataFrame([(w,) for w in words], ["s"])
+    got = {r["s"]: r["h"] for r in sdf.select("s", md5_long60(F.col("s")).alias("h")).collect()}
+    con = duckdb.connect()
+    for w in words:
+        (exp,) = con.execute(f"SELECT {duck_md5_long60('?')}", [w]).fetchone()
+        assert got[w] == exp, f"hash divergence for {w!r}"
+        assert 0 <= exp < 2**60
+
+
+def test_fixed_point_parity(spark):
+    rng = random.Random(7)
+    vals = [0.0, 0.005, 1.005, -1.005, 2.675, 1e9 + 0.005] + [
+        rng.uniform(-1e6, 1e6) for _ in range(500)
+    ]
+    sdf = spark.createDataFrame([(v,) for v in vals], ["x"])
+    got = [
+        r["fx"]
+        for r in sdf.select(F.floor(F.col("x") * 100 + F.lit(0.5)).alias("fx")).collect()
+    ]
+    con = duckdb.connect()
+    for v, g in zip(vals, got):
+        (exp,) = con.execute("SELECT CAST(floor(? * 100 + 0.5) AS BIGINT)", [v]).fetchone()
+        assert g == exp, f"fixed-point divergence for {v!r}: spark={g} duck={exp}"
+        # python reference: same IEEE expression
+        assert g == math.floor(v * 100 + 0.5)
+
+
+def test_sequential_fold_cosine_parity(spark):
+    rng = random.Random(99)
+    pairs = [
+        (
+            [rng.uniform(-1, 1) for _ in range(64)],
+            [rng.uniform(-1, 1) for _ in range(64)],
+        )
+        for _ in range(50)
+    ]
+    sdf = spark.createDataFrame(pairs, ["va", "vb"])
+    fold = "aggregate({0}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    dot = fold.format("zip_with(va, vb, (x, y) -> x * y)")
+    na = fold.format("transform(va, x -> x * x)")
+    nb = fold.format("transform(vb, x -> x * x)")
+    got = [
+        r["c"]
+        for r in sdf.select(F.expr(f"{dot} / (sqrt({na}) * sqrt({nb}))").alias("c")).collect()
+    ]
+    con = duckdb.connect()
+    for (va, vb), g in zip(pairs, got):
+        (exp,) = con.execute(
+            """
+            SELECT list_reduce(list_transform(generate_series(1, 64), i -> a[i] * b[i]), (acc, x) -> acc + x)
+                   / (sqrt(list_reduce(list_transform(a, x -> x * x), (acc, x) -> acc + x))
+                      * sqrt(list_reduce(list_transform(b, x -> x * x), (acc, x) -> acc + x)))
+            FROM (SELECT ?::DOUBLE[] AS a, ?::DOUBLE[] AS b)
+            """,
+            [va, vb],
+        ).fetchone()
+        assert g == exp, f"cosine bit-divergence: {g!r} vs {exp!r}"
+
+    # python sequential reference confirms the fold order
+    va, vb = pairs[0]
+    dot_py = 0.0
+    for x, y in zip(va, vb):
+        dot_py += x * y
+    na_py = 0.0
+    for x in va:
+        na_py += x * x
+    nb_py = 0.0
+    for y in vb:
+        nb_py += y * y
+    assert got[0] == dot_py / (math.sqrt(na_py) * math.sqrt(nb_py))
+
+
+def test_mod_p_headroom():
+    # every hash-family intermediate stays below 2^62 (ANSI-overflow-safe)
+    from multithreaded_mapreduce_library_spark.operators.dedup import MINHASH_PARAMS
+
+    for a, b in MINHASH_PARAMS:
+        assert a * (MOD_P - 1) + b < 2**62

@@ -389,3 +389,46 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(money_sum(revenue, "revenue"), F.count("*").alias("n_items"))
     )
+
+
+N_JOIN_SALTS = 8
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+WITH dim AS (SELECT l_returnflag AS rf, count(*) AS flag_total FROM lineitem GROUP BY 1)
+SELECT l_returnflag, count(*) AS n_items, min(flag_total) AS flag_total
+FROM lineitem JOIN dim ON l_returnflag = rf
+GROUP BY l_returnflag
+""",
+    tags=("join", "skew", "salting"),
+    doc=(
+        "Salted join on a maximally skewed key (3 distinct values over the "
+        "whole fact table): the dim side is replicated across "
+        f"{N_JOIN_SALTS} salts and the fact side salts on a row-local "
+        "column, spreading each hot key over N tasks. Oracle is the plain "
+        "join — salting is semantics-preserving. This is the manual "
+        "fallback when AQE skew-join splitting can't apply (e.g. "
+        "aggregation-feeding joins)."
+    ),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # salt from a row-local id: any per-row value works — it only spreads
+    # rows of one hot key across N_JOIN_SALTS join tasks
+    fact = li.select("l_returnflag").withColumn(
+        "salt", F.pmod(F.monotonically_increasing_id(), F.lit(N_JOIN_SALTS)).cast("int")
+    )
+    dim = li.groupBy(F.col("l_returnflag").alias("rf")).agg(
+        F.count("*").alias("flag_total")
+    )
+    salts = spark.range(N_JOIN_SALTS).select(F.col("id").cast("int").alias("dsalt"))
+    dim_salted = dim.crossJoin(salts)
+    joined = fact.join(
+        dim_salted,
+        (fact.l_returnflag == dim_salted.rf) & (F.col("salt") == F.col("dsalt")),
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"), F.min("flag_total").alias("flag_total")
+    )

@@ -251,3 +251,62 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("query_id", "neighbor_id", F.round("cos_exact", 6).alias("cosine"), "rnk")
     )
+
+
+@register(
+    "sim_topk_vectorized",
+    oracle=None,  # BLAS-reordered float sums — bit-equality not guaranteed;
+    # pytest asserts agreement with sim_topk_bruteforce to 1e-9
+    tags=("similarity", "topk", "pandas-udf", "llm-pipeline"),
+    doc=(
+        "Vectorized top-k: the query matrix (tiny) broadcasts to every "
+        "executor; each Arrow batch of candidates computes all pair "
+        "cosines as one numpy matmul (BLAS). The high-throughput scale "
+        "path when the query set fits in memory — same plan shape as "
+        "bruteforce, ~vectorized inner loop."
+    ),
+)
+def sim_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        e.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )  # tiny query set (|corpus|/QUERY_MOD rows) — broadcast, not a data scan
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype="int64")
+    q_mat = np.array([r["embedding"] for r in qrows], dtype="float64")
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    bq = spark.sparkContext.broadcast((q_ids, q_mat, q_norm))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat, qn = bq.value
+        for pdf in batches:
+            c_ids = pdf["vec_id"].to_numpy(dtype="int64")
+            c_mat = np.array(list(pdf["embedding"]), dtype="float64")
+            if len(c_mat) == 0:
+                continue
+            c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+            sims = (c_mat @ mat.T) / np.outer(c_norm, qn)  # (n_cand, n_query)
+            n, q = sims.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids[None, :], n, axis=0).ravel(),
+                    "neighbor_id": np.repeat(c_ids, q),
+                    "cos_exact": sims.ravel(),
+                }
+            )
+
+    scored = e.select("vec_id", "embedding").mapInPandas(
+        score, "query_id long, neighbor_id long, cos_exact double"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = W.partitionBy("query_id").orderBy(F.col("cos_exact").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos_exact", 6).alias("cosine"), "rnk")
+    )

@@ -63,3 +63,16 @@ def test_stream_stateful_running_max(spark, sf_dir):
            .agg(F.max("value").alias("mx"), F.count("*").alias("n"))
            .collect()}
     assert out == exp
+
+
+def test_vectorized_topk_agrees_with_bruteforce(spark, sf_dir):
+    """BLAS matmul path must reproduce the exact fold path: identical
+    neighbor ranking, cosines within float reassociation error."""
+    bf = {(r["query_id"], r["rnk"]): (r["neighbor_id"], r["cosine"])
+          for r in SPECS["sim_topk_bruteforce"].builder(spark, sf_dir).collect()}
+    vec = {(r["query_id"], r["rnk"]): (r["neighbor_id"], r["cosine"])
+           for r in SPECS["sim_topk_vectorized"].builder(spark, sf_dir).collect()}
+    assert set(bf) == set(vec)
+    for k in bf:
+        assert bf[k][0] == vec[k][0], f"neighbor ranking diverged at {k}"
+        assert abs(bf[k][1] - vec[k][1]) < 1e-9

@@ -16,5 +16,14 @@ Layout
 
 __version__ = "0.1.0"
 
-from multithreaded_mapreduce_library_spark.session import get_spark  # noqa: F401
+from multithreaded_mapreduce_library_spark.mapreduce import (  # noqa: F401
+    djb2,
+    mr_partitioner,
+    mr_run,
+)
 from multithreaded_mapreduce_library_spark.registry import QUERIES, load_all  # noqa: F401
+from multithreaded_mapreduce_library_spark.session import get_spark  # noqa: F401
+from multithreaded_mapreduce_library_spark.sources import (  # noqa: F401
+    load_table,
+    register_views,
+)

@@ -734,3 +734,29 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pc").alias("n_items"),
         (F.sum("ps") / 100).alias("sum_qty"),
     )
+
+
+@register(
+    "unpivot_measures",
+    oracle="""
+SELECT l_orderkey, l_linenumber, measure, value
+FROM (
+  SELECT l_orderkey, l_linenumber,
+         unnest(['quantity', 'extendedprice', 'discount']) AS measure,
+         unnest([l_quantity, l_extendedprice, l_discount]) AS value
+  FROM lineitem
+)
+WHERE l_orderkey % 500 = 0
+""",
+    tags=("relational", "unpivot"),
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide measures -> long key/value rows) via the native
+    unpivot operator — the inverse of pivot_status."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 500 == 0)
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    ).withColumn("measure", F.expr("substring(measure, 3)"))

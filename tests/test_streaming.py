@@ -76,3 +76,72 @@ def test_vectorized_topk_agrees_with_bruteforce(spark, sf_dir):
     for k in bf:
         assert bf[k][0] == vec[k][0], f"neighbor ranking diverged at {k}"
         assert abs(bf[k][1] - vec[k][1]) < 1e-9
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """True late-data semantics needs real micro-batch sequencing: with
+    availableNow, Spark plans all batches' watermarks upfront, so a late
+    file in the same run is NOT filtered (observed empirically). Run a
+    live processingTime stream instead: file 1 commits and advances the
+    watermark, then file 2 arrives with a 3-hours-late event — the state
+    store drops it (numRowsDroppedByWatermark) and it never reaches the
+    append output."""
+    import datetime as dt
+    import time
+
+    from pyspark.sql import functions as F
+
+    src_dir = tmp_path / "late_src"
+    src_dir.mkdir()
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+
+    stream = (
+        spark.readStream.schema("id long, ts timestamp")
+        .parquet(str(src_dir / "*"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"), F.min("id").alias("min_id"))
+    )
+
+    on_time = [(i, base + dt.timedelta(minutes=i)) for i in range(60)]
+    spark.createDataFrame(on_time, "id long, ts timestamp").coalesce(1).write.parquet(
+        str(src_dir / "batch1")
+    )
+
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("late_live_sink")
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if any(p["numInputRows"] == 60 for p in q.recentProgress):
+                break
+            time.sleep(0.3)
+        else:
+            raise AssertionError(f"batch1 never processed: {q.recentProgress}")
+
+        late = [(1000, base - dt.timedelta(hours=3))]
+        fresh = [(1001, base + dt.timedelta(minutes=59))]
+        spark.createDataFrame(late + fresh, "id long, ts timestamp").coalesce(
+            1
+        ).write.parquet(str(src_dir / "batch2"))
+
+        deadline = time.time() + 60
+        dropped = 0
+        while time.time() < deadline:
+            for p in q.recentProgress:
+                if p["numInputRows"] == 2 and p["stateOperators"]:
+                    dropped = p["stateOperators"][0]["numRowsDroppedByWatermark"]
+                    break
+            if dropped:
+                break
+            time.sleep(0.3)
+        assert dropped == 1, f"late row not dropped by watermark: {q.recentProgress}"
+        ids = {r["min_id"] for r in spark.table("late_live_sink").collect()}
+        assert 1000 not in ids
+    finally:
+        q.stop()

@@ -50,17 +50,29 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into a
-    memory sink and return the settled result as a batch DataFrame."""
+    memory sink and return the settled result as a batch DataFrame.
+
+    Streaming state stores are created one per shuffle partition; under a
+    default 200-partition session that is ~200 HDFS-backed stores per
+    stateful op for a single-file replay (6-11s of pure overhead at
+    sf0.1). Pin a modest state parallelism for the run, restore after.
+    """
+    spark = stream_df.sparkSession
     name = f"stream_sink_{next(_sink_ids)}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 @register(

@@ -382,3 +382,61 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 8).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy (edit-distance) dedup with blocking
+# ---------------------------------------------------------------------------
+
+FUZZY_MAX_DIST = 1
+# block on everything but the last 2 chars: candidate pairs stay block-local
+FUZZY_BLOCK_LEN_OFF = 2
+
+
+@register(
+    "dedup_fuzzy_names",
+    oracle=f"""
+WITH b AS (
+  SELECT c_custkey, c_name,
+         substr(c_name, 1, length(c_name) - {FUZZY_BLOCK_LEN_OFF}) AS blk
+  FROM customer
+)
+SELECT x.blk AS blk, count(*) AS n_fuzzy_pairs,
+       min(x.c_custkey) AS example_a, min(y.c_custkey) AS example_b
+FROM b x JOIN b y ON x.blk = y.blk AND x.c_custkey < y.c_custkey
+WHERE levenshtein(x.c_name, y.c_name) <= {FUZZY_MAX_DIST}
+GROUP BY x.blk
+""",
+    tags=("dedup", "fuzzy", "levenshtein", "llm-pipeline"),
+    doc=(
+        "Fuzzy dedup by edit distance with prefix blocking: candidate "
+        "pairs share a name-prefix block (bounded block size ⇒ bounded "
+        f"pair fanout), kept when levenshtein ≤ {FUZZY_MAX_DIST}. Classic "
+        "record-linkage blocking — the n² pair space never materializes; "
+        "the block key is the shuffle key at scale."
+    ),
+)
+def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.expr(
+            f"substr(c_name, 1, length(c_name) - {FUZZY_BLOCK_LEN_OFF})"
+        ).alias("blk"),
+    )
+    x = c.select(
+        F.col("c_custkey").alias("ka"), F.col("c_name").alias("na"), F.col("blk").alias("ba")
+    )
+    y = c.select(
+        F.col("c_custkey").alias("kb"), F.col("c_name").alias("nb"), F.col("blk").alias("bb")
+    )
+    return (
+        x.join(y, (F.col("ba") == F.col("bb")) & (F.col("ka") < F.col("kb")))
+        .filter(F.levenshtein(F.col("na"), F.col("nb")) <= FUZZY_MAX_DIST)
+        .groupBy(F.col("ba").alias("blk"))
+        .agg(
+            F.count("*").alias("n_fuzzy_pairs"),
+            F.min("ka").alias("example_a"),
+            F.min("kb").alias("example_b"),
+        )
+    )

@@ -760,3 +760,49 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="value",
     ).withColumn("measure", F.expr("substring(measure, 3)"))
+
+
+@register(
+    "variance_stats",
+    oracle="""
+WITH d AS (
+  SELECT o_orderpriority, CAST(floor(o_totalprice + 0.5) AS BIGINT) AS x
+  FROM orders
+)
+SELECT o_orderpriority, n, var_pop_price, sqrt(var_pop_price) AS stddev_pop_price
+FROM (
+  SELECT o_orderpriority,
+         count(*) AS n,
+         (CAST(count(*) AS DOUBLE) * CAST(sum(x * x) AS DOUBLE)
+          - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE))
+         / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS var_pop_price
+  FROM d GROUP BY o_orderpriority
+)
+""",
+    tags=("relational", "aggregation", "statistics"),
+    doc=(
+        "Population variance/stddev computed from EXACT integer sums "
+        "(dollar-rounded values; sum(x) and sum(x*x) are overflow-checked "
+        "int64), converted to double once and combined with the identical "
+        "IEEE formula in both engines — deterministic where native "
+        "var_pop would drift with partitioning order. Bound: |x| <= 7e5, "
+        "so sum(x*x) < 2^63 up to ~1.8e7 rows per group; beyond that "
+        "switch the squares to DECIMAL."
+    ),
+)
+def variance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    x = F.floor(F.col("o_totalprice") + 0.5)
+    g = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(x * x).alias("sx2"),
+        F.sum(x).alias("sx"),
+    )
+    nd = F.col("n").cast("double")
+    var = (nd * F.col("sx2").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")) / (nd * nd)
+    return g.select(
+        "o_orderpriority",
+        "n",
+        var.alias("var_pop_price"),
+        F.sqrt(var).alias("stddev_pop_price"),
+    )

@@ -806,3 +806,88 @@ def variance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         var.alias("var_pop_price"),
         F.sqrt(var).alias("stddev_pop_price"),
     )
+
+
+@register(
+    "correlated_subquery",
+    oracle="""
+SELECT l_partkey, count(*) AS n_min_items, min(l_orderkey) AS first_order
+FROM lineitem l
+WHERE l_quantity = (
+  SELECT min(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+)
+GROUP BY l_partkey
+""",
+    tags=("relational", "subquery", "sql-api"),
+)
+def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q2/Q17 shape): rows matching their
+    group's minimum. Catalyst decorrelates this into an aggregate + self
+    join — no per-row re-execution."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_partkey, count(*) AS n_min_items, min(l_orderkey) AS first_order
+        FROM lineitem l
+        WHERE l_quantity = (
+          SELECT min(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+        )
+        GROUP BY l_partkey
+        """
+    )
+
+
+@register(
+    "scd2_merge",
+    oracle="""
+WITH updates AS (
+  SELECT c_custkey, c_acctbal * 2 AS new_acctbal
+  FROM customer WHERE c_custkey % 10 = 0
+),
+unchanged AS (
+  SELECT c.c_custkey, c.c_acctbal, 1 AS version, TRUE AS is_current
+  FROM customer c WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = c.c_custkey)
+),
+expired AS (
+  SELECT c.c_custkey, c.c_acctbal, 1 AS version, FALSE AS is_current
+  FROM customer c JOIN updates u ON u.c_custkey = c.c_custkey
+),
+fresh AS (
+  SELECT c_custkey, new_acctbal AS c_acctbal, 2 AS version, TRUE AS is_current
+  FROM updates
+)
+SELECT * FROM unchanged UNION ALL SELECT * FROM expired UNION ALL SELECT * FROM fresh
+""",
+    tags=("relational", "merge", "scd2"),
+    doc=(
+        "SCD2 / MERGE-INTO emulation without a table format (pyspark guide "
+        "'CDC/SCD2' pattern): anti-join keeps unchanged rows current, "
+        "matched rows are expired and re-inserted as a new version. With "
+        "Delta/Iceberg this collapses to one MERGE; plan shape (one "
+        "join + union) is the same."
+    ),
+)
+def scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    updates = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", (F.col("c_acctbal") * 2).alias("new_acctbal")
+    )
+    unchanged = c.join(updates, "c_custkey", "left_anti").select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit(1).alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    expired = c.join(updates.select("c_custkey"), "c_custkey").select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit(1).alias("version"),
+        F.lit(False).alias("is_current"),
+    )
+    fresh = updates.select(
+        "c_custkey",
+        F.col("new_acctbal").alias("c_acctbal"),
+        F.lit(2).alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    return unchanged.unionAll(expired).unionAll(fresh)

@@ -440,3 +440,104 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("kb").alias("example_b"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup clustering: connected components over candidate pairs
+# ---------------------------------------------------------------------------
+
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE {_DUCK_SHINGLES.strip().lstrip()},
+mh AS (SELECT doc_id, {_duck_minhash_cols()} FROM hs GROUP BY doc_id),
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band, {_band_sig('', b)} AS sig FROM mh"
+      for b in range(N_BANDS)
+  )}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+members AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach(doc_id, lbl) AS (
+  SELECT doc_id, doc_id FROM members
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.doc_id
+)
+SELECT cluster_id, count(*) AS cluster_size,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM (SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id)
+GROUP BY cluster_id
+"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=_COMPONENTS_ORACLE,
+    tags=("dedup", "iterative", "graph", "llm-pipeline"),
+    doc=(
+        "Duplicate clusters = connected components over the MinHash "
+        "candidate-pair graph, via iterative min-label propagation "
+        "(alternating small-star joins) until a fixpoint — the canonical "
+        "way to turn pairwise near-dup hits into keep-one groups. "
+        "Iteration count is O(log(largest component)); each round is one "
+        "join + one aggregate, and the per-round convergence check is a "
+        "single scalar aggregate (the only driver-side value). On a real "
+        "cluster the same loop runs unchanged (or via GraphX/Pregel / "
+        "GraphFrames connectedComponents). Oracle: recursive-CTE "
+        "transitive closure over the identical pair set."
+    ),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionAll(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
+    edges = edges.persist()
+
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "lbl", F.col("doc_id")
+    ).persist()
+
+    for _ in range(32):  # bound >> log2(max component size)
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+
+    out = (
+        labels.groupBy(F.col("lbl").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+    result = out.localCheckpoint()  # materialize before unpersisting inputs
+    edges.unpersist()
+    labels.unpersist()
+    return result

@@ -164,3 +164,45 @@ def map_in_pandas_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return d.mapInPandas(flt, "doc_id long, n_chars long, lang string")
+
+
+@register(
+    "udtf_tokenize",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \\t\\n\\r]+'), x -> length(x) > 0) AS toks
+  FROM documents WHERE doc_id % 50 = 0
+)
+SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS token
+FROM t
+""",
+    tags=("udf", "udtf", "sql-api"),
+)
+def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) via LATERAL join — the modern form of
+    the reference's Mapper contract (one input -> n output rows,
+    mapreduce.h:5). Arrow-batched; registered per-session."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class Tokenize:
+        def eval(self, text: str):
+            cleaned = text.replace("\t", " ").replace("\n", " ").replace("\r", " ")
+            pos = 0
+            for tok in cleaned.split(" "):
+                if tok:
+                    yield pos, tok
+                    pos += 1
+
+    spark.udtf.register("mr_tokenize", Tokenize)
+    from multithreaded_mapreduce_library_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT doc_id, t.pos, t.token
+        FROM documents, LATERAL mr_tokenize(text) AS t
+        WHERE doc_id % 50 = 0
+        """
+    )

@@ -102,3 +102,35 @@ def test_facade_text_sink_partition_count_matches_djb2(spark, sf_dir, tmp_path):
     # test_mapreduce_facade.py::test_mr_run_partition_layout_matches_djb2
     total = sum(1 for f in files for ln in open(f) if ln.strip())
     assert total == len(words)
+
+
+def test_mrtext_custom_source_file_per_partition(spark, sf_dir, tmp_path):
+    """Custom Python DataSource: reference split model (one partition per
+    file, file name visible to the consumer) — wordcount through it
+    matches a plain python count."""
+    from collections import Counter
+
+    from multithreaded_mapreduce_library_spark.sources.mrtext import read_mrtext
+
+    contents = ["hello world\thello", "world  again\n\nhello"]
+    paths = []
+    for i, c in enumerate(contents):
+        p = tmp_path / f"split{i}.txt"
+        p.write_text(c)
+        paths.append(str(p))
+
+    df = read_mrtext(spark, paths)
+    assert df.rdd.getNumPartitions() == len(paths)
+    assert set(df.columns) == {"file", "line"}
+
+    words = (
+        df.select(F.explode(F.split("line", "[ \\t]+")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .count()
+    )
+    got = {r["w"]: r["count"] for r in words.collect()}
+    exp = Counter(
+        t for c in contents for line in c.split("\n") for t in line.replace("\t", " ").split(" ") if t
+    )
+    assert got == dict(exp)

@@ -25,8 +25,10 @@ from multithreaded_mapreduce_library_spark.session import get_spark
 # windows, text explode, dedup/LSH, vector search, event-time ops).
 HEADLINE = (
     "pricing_summary",
+    "forecast_revenue",
     "join_large",
     "join_broadcast",
+    "shipping_priority",
     "window_topk_per_group",
     "wordcount",
     "dedup_exact",

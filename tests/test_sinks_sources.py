@@ -8,7 +8,6 @@ import os
 
 from pyspark.sql import functions as F
 
-from multithreaded_mapreduce_library_spark.mapreduce import mr_partitioner
 from multithreaded_mapreduce_library_spark.registry import load_all
 from multithreaded_mapreduce_library_spark.sources import load_table
 from multithreaded_mapreduce_library_spark.sources.sinks import (

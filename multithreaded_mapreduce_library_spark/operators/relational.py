@@ -575,7 +575,8 @@ def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").alias("order_month"),
         F.dayofmonth("o_orderdate").alias("order_day"),
         F.quarter("o_orderdate").alias("order_quarter"),
-        F.weekday(F.col("o_orderdate")).cast("long").alias("order_isodow_raw").alias("_wd"),
+        # Spark weekday(): Monday=0; ISO dow is Monday=1 (duck isodow)
+        (F.weekday(F.col("o_orderdate")) + 1).cast("long").alias("order_isodow"),
         F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
             "days_since_epoch_start"
         ),
@@ -585,7 +586,7 @@ def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
             "order_month_start"
         ),
-    ).withColumn("order_isodow", (F.col("_wd") + 1).cast("long")).drop("_wd")
+    )
 
 
 # ---------------------------------------------------------------------------

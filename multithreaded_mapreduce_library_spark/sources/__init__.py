@@ -1,3 +1,7 @@
+from multithreaded_mapreduce_library_spark.sources.mrtext import (  # noqa: F401
+    read_mrtext,
+    register_mrtext,
+)
 from multithreaded_mapreduce_library_spark.sources.tables import (  # noqa: F401
     TABLES,
     default_sf_dir,

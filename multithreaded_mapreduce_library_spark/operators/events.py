@@ -197,3 +197,52 @@ def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts", TS_FMT_SPARK).alias("first_ts"),
         )
     )
+
+
+@register(
+    "hypertable_rollup",
+    oracle=f"""
+WITH e AS (
+  SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '{TS_FMT_DUCK}') AS bucket_hour,
+         strftime(time_bucket(INTERVAL 1 DAY, ts), '{TS_FMT_DUCK}') AS bucket_day,
+         event_type, value
+  FROM events
+)
+SELECT bucket_day, bucket_hour, event_type,
+       GROUPING(bucket_day, bucket_hour, event_type) AS grp_id,
+       count(*) AS cnt,
+       (sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) / 1000000) AS sum_value
+FROM e
+GROUP BY GROUPING SETS ((bucket_day, bucket_hour, event_type),
+                        (bucket_day, event_type),
+                        (bucket_day))
+""",
+    tags=("events", "time-window", "rollup", "llm-pipeline"),
+    doc=(
+        "Hypertable-style continuous-aggregate rollup: hour- and "
+        "day-resolution aggregates computed in ONE pass via grouping sets "
+        "over time buckets (hour within day within total), instead of one "
+        "scan per resolution. The pattern behind TimescaleDB-like rollup "
+        "tables, expressed as a single Catalyst Expand + aggregate."
+    ),
+)
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("hour", "ts"), TS_FMT_SPARK).alias("bucket_hour"),
+        F.date_format(F.date_trunc("day", "ts"), TS_FMT_SPARK).alias("bucket_day"),
+        "event_type",
+        "value",
+    )
+    e.createOrReplaceTempView("hypertable_events")
+    return spark.sql(
+        """
+        SELECT bucket_day, bucket_hour, event_type,
+               grouping_id(bucket_day, bucket_hour, event_type) AS grp_id,
+               count(*) AS cnt,
+               sum(floor(value * 1000000 + 0.5)) / 1000000 AS sum_value
+        FROM hypertable_events
+        GROUP BY GROUPING SETS ((bucket_day, bucket_hour, event_type),
+                                (bucket_day, event_type),
+                                (bucket_day))
+        """
+    )

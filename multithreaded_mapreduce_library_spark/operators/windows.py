@@ -225,3 +225,39 @@ def window_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         F.round(F.col("cnt") / F.sum("cnt").over(W.partitionBy()), 8).alias("share"),
     )
+
+
+@register(
+    "window_distribution",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       round(percent_rank() OVER w, 8) AS pct_rank,
+       round(cume_dist() OVER w, 8) AS cum_dist,
+       nth_value(o_orderkey, 3) OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice DESC, o_orderkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_orderkey
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+""",
+    tags=("window", "distribution"),
+    doc=(
+        "Distribution analytics: percent_rank/cume_dist (tie-safe — they "
+        "depend only on sort-key values) and nth_value with an explicit "
+        "full-partition frame and unique ordering."
+    ),
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    w_nth = (
+        W.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 8).alias("cum_dist"),
+        F.nth_value("o_orderkey", 3).over(w_nth).alias("third_orderkey"),
+    )

@@ -523,7 +523,7 @@ SELECT l_orderkey, l_linenumber,
        round(abs(l_discount - 0.05), 4) AS disc_dev,
        CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
        CAST(floor(l_quantity / 2) AS BIGINT) AS qty_half_floor,
-       round(sqrt(l_extendedprice), 6) AS price_sqrt,
+       floor(sqrt(l_extendedprice) * 1000000 + 0.5) / 1000000 AS price_sqrt,
        round(ln(l_extendedprice + 1), 6) AS price_ln,
        round(pow(1 - l_discount, 2), 8) AS disc_sq
 FROM lineitem
@@ -542,7 +542,11 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
         F.ceil("l_quantity").alias("qty_ceil"),
         F.floor(F.col("l_quantity") / 2).alias("qty_half_floor"),
-        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        # floor-quantized, not round(): engines' round() can flip near
+        # decimal boundaries at this magnitude (see pandas_udf_scalar)
+        (F.floor(F.sqrt("l_extendedprice") * 1_000_000 + F.lit(0.5)) / 1_000_000).alias(
+            "price_sqrt"
+        ),
         F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
         F.round(F.pow(1 - F.col("l_discount"), 2), 8).alias("disc_sq"),
     )

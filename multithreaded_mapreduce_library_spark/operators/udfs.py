@@ -44,7 +44,7 @@ def _net_price_udf():
     "pandas_udf_scalar",
     oracle="""
 SELECT l_orderkey, l_linenumber,
-       round((l_extendedprice * (1 - l_discount)) * (1 + l_tax), 4) AS net_price
+       floor((l_extendedprice * (1 - l_discount)) * (1 + l_tax) * 10000 + 0.5) / 10000 AS net_price
 FROM lineitem
 WHERE l_orderkey % 200 = 0
 """,
@@ -52,15 +52,20 @@ WHERE l_orderkey % 200 = 0
 )
 def pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-vectorized scalar Pandas UDF (batch-at-a-time numpy math —
-    the 10-100× path over row-at-a-time Python UDFs)."""
+    the 10-100× path over row-at-a-time Python UDFs).
+
+    Output quantized via floor(x*1e4+0.5)/1e4 rather than round(): the two
+    engines' round() disagree near decimal boundaries on large magnitudes
+    (Spark rounds the exact BigDecimal expansion; DuckDB rounds after a
+    lossy float multiply — observed flips at sf0.1), while floor of the
+    identical IEEE expression is bit-deterministic."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 200 == 0)
     net_price = _net_price_udf()
+    raw = net_price(F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax"))
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(
-            net_price(F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")), 4
-        ).alias("net_price"),
+        (F.floor(raw * 10000 + F.lit(0.5)) / 10000).alias("net_price"),
     )
 
 

@@ -51,6 +51,7 @@ _OPERATOR_MODULES = (
     "multithreaded_mapreduce_library_spark.operators.udfs",
     "multithreaded_mapreduce_library_spark.operators.approx",
     "multithreaded_mapreduce_library_spark.operators.tpch_shapes",
+    "multithreaded_mapreduce_library_spark.operators.tpch_more",
     "multithreaded_mapreduce_library_spark.operators.mapreduce_queries",
     "multithreaded_mapreduce_library_spark.streaming.queries",
 )

@@ -77,3 +77,32 @@ def test_no_cartesian_in_lsh_paths(spark, sf_dir):
     for name in ("dedup_minhash", "dedup_simhash", "sim_near_dup", "sim_topk_ivf"):
         plan = formatted_plan(SPECS[name].builder(spark, sf_dir))
         assert "CartesianProduct" not in plan, f"{name}: O(n²) cross join in plan"
+
+
+def test_tpch_more_star_joins_broadcast_dims(spark, sf_dir):
+    """The new TPC-H shapes must keep every dimension on the broadcast
+    path and never fall into a cartesian product; scalar-subquery
+    join-backs may only appear as a 1-row BroadcastNestedLoopJoin."""
+    for name in ("product_profit", "volume_shipping", "market_share",
+                 "min_cost_supplier", "excess_shipments"):
+        plan = formatted_plan(SPECS[name].builder(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, f"{name}: dims must broadcast"
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+
+
+def test_tpch_more_scalar_subqueries_stay_broadcast(spark, sf_dir):
+    for name in ("important_parts", "top_supplier", "dormant_customers",
+                 "small_qty_revenue"):
+        plan = formatted_plan(SPECS[name].builder(spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+
+
+def test_waiting_orders_semi_anti_shape(spark, sf_dir):
+    plan = formatted_plan(SPECS["waiting_orders"].builder(spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_priority_shipping_partial_agg(spark, sf_dir):
+    plan = formatted_plan(SPECS["priority_shipping"].builder(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2, "missing map-side combine"

@@ -36,6 +36,8 @@ HEADLINE = (
     "sim_topk_bruteforce",
     "time_tumbling",
     "sessionize",
+    "product_profit",
+    "waiting_orders",
 )
 
 

@@ -97,9 +97,12 @@ def test_tpch_more_scalar_subqueries_stay_broadcast(spark, sf_dir):
         assert "CartesianProduct" not in plan, f"{name}: cartesian product"
 
 
-def test_waiting_orders_semi_anti_shape(spark, sf_dir):
+def test_waiting_orders_shape(spark, sf_dir):
+    """Decorrelated EXISTS/NOT-EXISTS: two per-order aggregates joined
+    co-partitioned, the F-orders check as a semi join, no cartesian."""
     plan = formatted_plan(SPECS["waiting_orders"].builder(spark, sf_dir))
-    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "LeftSemi" in plan
+    assert plan.count("HashAggregate") >= 4  # two partial+final agg pairs
     assert "CartesianProduct" not in plan
 
 

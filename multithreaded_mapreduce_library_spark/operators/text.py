@@ -264,3 +264,164 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     powers = F.array(*[F.lit(p) for p in FP_POWERS])
     term = F.pmod(h31(F.col("tok")) * F.element_at(powers, F.col("i0") + 1), F.lit(MOD_P))
     return pos.groupBy("doc_id").agg(F.pmod(F.sum(term), F.lit(MOD_P)).alias("fingerprint"))
+
+
+TFIDF_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({duck_tokens('text')}) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+),
+df AS (
+  SELECT token AS df_token, count(*) AS df FROM tf GROUP BY token
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, token, tf,
+         CAST(floor(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) * 1000000 + 0.5) AS BIGINT) AS score_fx
+  FROM tf JOIN df ON token = df_token CROSS JOIN n
+)
+SELECT doc_id, token, tf, score_fx / 1000000.0 AS tfidf
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score_fx DESC, token) <= 5
+"""
+
+
+@register(
+    "tf_idf",
+    oracle=TFIDF_ORACLE,
+    tags=("text", "tf-idf", "window"),
+)
+def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed TF-IDF (tf · (ln((N+1)/(df+1)) + 1)), top-5 terms per doc.
+
+    Exactness: the score is fixed-point-quantized (1e-6) immediately after
+    the identical float expression on both engines, so the per-doc ranking
+    and the score column compare as integers — ties broken by token.
+
+    Shuffle story: one agg exchange on (doc_id, token) for TF; DF is an
+    agg over that result (token key); DF and the 1-row N both broadcast
+    back; the top-5 window exchanges on doc_id. The raw token stream is
+    shuffled exactly once. 100 TB: DF table scales with |vocab| — for
+    web-scale vocabularies hash-partition the join instead of broadcast.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df")).withColumnRenamed(
+        "token", "df_token"
+    )
+    n = d.groupBy().agg(F.count("*").alias("n_docs"))
+    score = (
+        F.col("tf")
+        * (F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0))
+    )
+    scored = (
+        tf.join(F.broadcast(df), F.col("token") == F.col("df_token"))
+        .crossJoin(F.broadcast(n))
+        .withColumn("score_fx", F.floor(score * 1_000_000 + F.lit(0.5)))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score_fx").desc(), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "token", "tf", (F.col("score_fx") / 1_000_000.0).alias("tfidf"))
+    )
+
+
+BM25_TERMS = ("spark", "join", "window")
+
+BM25_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({duck_tokens('text')}) AS token FROM documents
+),
+dl AS (
+  SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT CAST(sum(dl) AS DOUBLE) / count(*) FROM dl) AS avgdl
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok
+  WHERE token IN ('spark', 'join', 'window')
+  GROUP BY doc_id, token
+),
+df AS (
+  SELECT token AS df_token, count(*) AS df FROM tf GROUP BY token
+),
+term_scores AS (
+  SELECT doc_id,
+         CAST(floor(
+           ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           * 1000000 + 0.5) AS BIGINT) AS score_fx
+  FROM tf
+  JOIN df ON token = df_token
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+)
+SELECT doc_id, sum(score_fx) / 1000000.0 AS bm25
+FROM term_scores
+GROUP BY doc_id
+ORDER BY sum(score_fx) DESC, doc_id
+LIMIT 20
+"""
+
+
+@register(
+    "bm25_search",
+    oracle=BM25_ORACLE,
+    tags=("text", "bm25", "search", "topk"),
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) document scores for the query
+    {spark, join, window}: top 20 docs, doc_id tiebreak.
+
+    Exactness: each per-term score is fixed-point-quantized (1e-6) right
+    after the identical float expression — the per-doc sum over terms is
+    then an integer sum, immune to accumulation order; avgdl is the same
+    CAST(sum AS DOUBLE)/count on both engines.
+
+    Shuffle story: the token stream shuffles once for doc lengths
+    (doc_id key) and once for the query-filtered TF (doc_id, token — tiny
+    after the IN filter); DF and corpus stats broadcast; the top-20 is
+    TakeOrderedAndProject, no global sort. 100 TB: everything after the
+    TF filter is proportional to |matching docs| · |query terms|.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.groupBy().agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl")
+    ).crossJoin(d.groupBy().agg(F.count("*").alias("n_docs")))
+    tf = (
+        tok.filter(F.col("token").isin(*BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count("*").alias("df")).withColumnRenamed(
+        "token", "df_token"
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    term_score = (
+        idf
+        * (F.col("tf") * F.lit(2.2))
+        / (F.col("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl")))
+    )
+    scores = (
+        tf.join(F.broadcast(df), F.col("token") == F.col("df_token"))
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("score_fx", F.floor(term_score * 1_000_000 + F.lit(0.5)))
+    )
+    return (
+        scores.groupBy("doc_id")
+        .agg(F.sum("score_fx").alias("sum_fx"))
+        .orderBy(F.col("sum_fx").desc(), "doc_id")
+        .limit(20)
+        .select("doc_id", (F.col("sum_fx") / 1_000_000.0).alias("bm25"))
+    )

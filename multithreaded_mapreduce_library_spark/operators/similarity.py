@@ -310,3 +310,50 @@ def sim_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("cos_exact", 6).alias("cosine"), "rnk")
     )
+
+
+CENTROID_ORACLE = """
+WITH comp AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS val_fx
+  FROM embeddings
+)
+SELECT label, pos,
+       (CAST(sum(val_fx) AS DOUBLE) / 1000000) / count(*) AS centroid,
+       count(*) AS n_vectors
+FROM comp
+GROUP BY label, pos
+"""
+
+
+@register(
+    "embedding_centroids",
+    oracle=CENTROID_ORACLE,
+    tags=("similarity", "embedding", "mean-pooling"),
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (mean pooling), exploded to
+    (label, component position, centroid value) rows — the building block
+    for class prototypes / IVF coarse quantizers in a training pipeline.
+
+    Exactness: each float component is double-cast and fixed-point
+    quantized (1e-6) BEFORE summation, so the per-group sums are integer
+    and order-independent; the final divide-back is the identical float
+    expression on both engines.
+
+    Shuffle story: posexplode fans each row into 64 components map-side,
+    then ONE agg exchange on (label, pos) with map-side partial sums —
+    the shuffle carries at most |labels|·64 rows per task, not the data.
+    100 TB: identical plan; partial aggregation keeps the exchange tiny.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).withColumn(
+        "val_fx", F.floor(F.col("val").cast("double") * 1_000_000 + F.lit(0.5))
+    )
+    return comp.groupBy("label", "pos").agg(
+        ((F.sum("val_fx").cast("double") / 1_000_000) / F.count("*")).alias("centroid"),
+        F.count("*").alias("n_vectors"),
+    )

@@ -206,3 +206,42 @@ def stream_stateful_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_to_memory(out, "update")
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+SELECT c_mktsegment,
+       count(*) AS n_events,
+       sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) / 1000000 AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+""",
+    tags=("streaming", "stream-static-join"),
+    doc=(
+        "Stream-static join: the events stream enriched against the static "
+        "customer dimension (broadcast — the canonical streaming-enrichment "
+        "pattern), then a complete-mode aggregation per market segment. "
+        "Unlike the windowed ops this settles to the exact batch answer, so "
+        "it carries a full DuckDB oracle rather than a rows-only check."
+    ),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle story: the static dim broadcasts to every micro-batch task
+    (no stream-side shuffle for the join); the complete-mode agg exchanges
+    on the 5-value segment key with partial aggregation. 100 TB: identical
+    — stream-static joins never reshuffle the stream when the dim
+    broadcasts; a huge dim would switch to a stream-side keyed state join.
+    """
+    from multithreaded_mapreduce_library_spark.sources import load_table
+
+    s = events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = s.join(F.broadcast(cust), s.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        (F.sum(F.floor(F.col("value") * 1_000_000 + F.lit(0.5))) / 1_000_000).alias(
+            "total_value"
+        ),
+    )
+    return run_to_memory(agg, "complete")

@@ -266,6 +266,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pos.groupBy("doc_id").agg(F.pmod(F.sum(term), F.lit(MOD_P)).alias("fingerprint"))
 
 
+
 TFIDF_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id, unnest({duck_tokens('text')}) AS token FROM documents
@@ -273,14 +274,13 @@ WITH tok AS (
 tf AS (
   SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
 ),
-df AS (
-  SELECT token AS df_token, count(*) AS df FROM tf GROUP BY token
-),
 n AS (SELECT count(*) AS n_docs FROM documents),
 scored AS (
   SELECT doc_id, token, tf,
-         CAST(floor(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) * 1000000 + 0.5) AS BIGINT) AS score_fx
-  FROM tf JOIN df ON token = df_token CROSS JOIN n
+         CAST(floor(
+           tf * (ln((n_docs + 1.0) / (count(*) OVER (PARTITION BY token) + 1.0)) + 1.0)
+           * 1000000 + 0.5) AS BIGINT) AS score_fx
+  FROM tf CROSS JOIN n
 )
 SELECT doc_id, token, tf, score_fx / 1000000.0 AS tfidf
 FROM scored
@@ -300,27 +300,24 @@ def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical float expression on both engines, so the per-doc ranking
     and the score column compare as integers — ties broken by token.
 
-    Shuffle story: one agg exchange on (doc_id, token) for TF; DF is an
-    agg over that result (token key); DF and the 1-row N both broadcast
-    back; the top-5 window exchanges on doc_id. The raw token stream is
-    shuffled exactly once. 100 TB: DF table scales with |vocab| — for
-    web-scale vocabularies hash-partition the join instead of broadcast.
+    Shuffle story: the token stream is exploded and shuffled ONCE (agg on
+    (doc_id, token)); document frequency is a count window over that same
+    result (exchange on token) rather than a self-join, so the explode
+    subtree is never recomputed; N is a 1-row broadcast off the bare scan;
+    the top-5 window exchanges on doc_id. Three exchanges total, all of
+    the compact tf table, never the raw tokens twice.
     """
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df = tf.groupBy("token").agg(F.count("*").alias("df")).withColumnRenamed(
-        "token", "df_token"
-    )
     n = d.groupBy().agg(F.count("*").alias("n_docs"))
+    df = F.count("*").over(W.partitionBy("token"))
     score = (
         F.col("tf")
-        * (F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0))
+        * (F.log((F.col("n_docs") + F.lit(1.0)) / (df + F.lit(1.0))) + F.lit(1.0))
     )
-    scored = (
-        tf.join(F.broadcast(df), F.col("token") == F.col("df_token"))
-        .crossJoin(F.broadcast(n))
-        .withColumn("score_fx", F.floor(score * 1_000_000 + F.lit(0.5)))
+    scored = tf.crossJoin(F.broadcast(n)).withColumn(
+        "score_fx", F.floor(score * 1_000_000 + F.lit(0.5))
     )
     w = W.partitionBy("doc_id").orderBy(F.col("score_fx").desc(), "token")
     return (
@@ -332,40 +329,36 @@ def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BM25_TERMS = ("spark", "join", "window")
 
+
+def _bm25_term_sql(term: str) -> str:
+    """Quantized BM25 contribution of one query term (k1=1.2, b=0.75)."""
+    return f"""CAST(floor(
+      ln(1.0 + (n_docs - df_{term} + 0.5) / (df_{term} + 0.5))
+      * (tf_{term} * 2.2) / (tf_{term} + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      * 1000000 + 0.5) AS BIGINT)"""
+
+
 BM25_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id, unnest({duck_tokens('text')}) AS token FROM documents
 ),
-dl AS (
-  SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+per_doc AS (
+  SELECT doc_id, count(*) AS dl,
+         {', '.join(f"sum(CASE WHEN token = '{t}' THEN 1 ELSE 0 END) AS tf_{t}" for t in BM25_TERMS)}
+  FROM tok GROUP BY doc_id
 ),
 stats AS (
-  SELECT (SELECT count(*) FROM documents) AS n_docs,
-         (SELECT CAST(sum(dl) AS DOUBLE) / count(*) FROM dl) AS avgdl
+  SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, count(*) AS n_docs,
+         {', '.join(f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in BM25_TERMS)}
+  FROM per_doc
 ),
-tf AS (
-  SELECT doc_id, token, count(*) AS tf FROM tok
-  WHERE token IN ('spark', 'join', 'window')
-  GROUP BY doc_id, token
-),
-df AS (
-  SELECT token AS df_token, count(*) AS df FROM tf GROUP BY token
-),
-term_scores AS (
-  SELECT doc_id,
-         CAST(floor(
-           ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-           * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
-           * 1000000 + 0.5) AS BIGINT) AS score_fx
-  FROM tf
-  JOIN df ON token = df_token
-  JOIN dl USING (doc_id)
-  CROSS JOIN stats
+scored AS (
+  SELECT doc_id, {' + '.join(_bm25_term_sql(t) for t in BM25_TERMS)} AS sum_fx
+  FROM per_doc CROSS JOIN stats
 )
-SELECT doc_id, sum(score_fx) / 1000000.0 AS bm25
-FROM term_scores
-GROUP BY doc_id
-ORDER BY sum(score_fx) DESC, doc_id
+SELECT doc_id, sum_fx / 1000000.0 AS bm25
+FROM scored WHERE sum_fx > 0
+ORDER BY sum_fx DESC, doc_id
 LIMIT 20
 """
 
@@ -377,50 +370,58 @@ LIMIT 20
 )
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 (k1=1.2, b=0.75) document scores for the query
-    {spark, join, window}: top 20 docs, doc_id tiebreak.
+    {spark, join, window}: top 20 matching docs, doc_id tiebreak.
 
     Exactness: each per-term score is fixed-point-quantized (1e-6) right
-    after the identical float expression — the per-doc sum over terms is
-    then an integer sum, immune to accumulation order; avgdl is the same
-    CAST(sum AS DOUBLE)/count on both engines.
+    after the identical float expression; the per-doc total is a fixed
+    left-to-right integer addition of the three term columns — no
+    sum-over-rows, so no accumulation-order hazard at all. A zero tf
+    yields exactly fx 0 (floor(0.5)), and sum_fx > 0 ⇔ the doc contains
+    at least one query term.
 
-    Shuffle story: the token stream shuffles once for doc lengths
-    (doc_id key) and once for the query-filtered TF (doc_id, token — tiny
-    after the IN filter); DF and corpus stats broadcast; the top-20 is
-    TakeOrderedAndProject, no global sort. 100 TB: everything after the
-    TF filter is proportional to |matching docs| · |query terms|.
+    Shuffle story: ONE explode pass, ONE exchange — the per-doc pivot agg
+    on doc_id folds document length and all per-term frequencies into a
+    single map-side-combined aggregation; corpus stats are a 1-row
+    broadcast off that table; the top-20 is TakeOrderedAndProject. At any
+    scale the token stream is read and shuffled exactly once.
     """
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = dl.groupBy().agg(
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl")
-    ).crossJoin(d.groupBy().agg(F.count("*").alias("n_docs")))
-    tf = (
-        tok.filter(F.col("token").isin(*BM25_TERMS))
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("tf"))
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum(F.when(F.col("token") == t, 1).otherwise(0)).alias(f"tf_{t}")
+            for t in BM25_TERMS
+        ],
     )
-    df = tf.groupBy("token").agg(F.count("*").alias("df")).withColumnRenamed(
-        "token", "df_token"
+    stats = per_doc.groupBy().agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        F.count("*").alias("n_docs"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
     )
-    idf = F.log(
-        F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    term_score = (
-        idf
-        * (F.col("tf") * F.lit(2.2))
-        / (F.col("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl")))
-    )
-    scores = (
-        tf.join(F.broadcast(df), F.col("token") == F.col("df_token"))
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("score_fx", F.floor(term_score * 1_000_000 + F.lit(0.5)))
-    )
+
+    def term_fx(t: str):
+        tf, dfc = F.col(f"tf_{t}"), F.col(f"df_{t}")
+        idf = F.log(
+            F.lit(1.0) + (F.col("n_docs") - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))
+        )
+        score = (
+            idf
+            * (tf * F.lit(2.2))
+            / (tf + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl")))
+        )
+        return F.floor(score * 1_000_000 + F.lit(0.5))
+
+    total = term_fx(BM25_TERMS[0])
+    for t in BM25_TERMS[1:]:
+        total = total + term_fx(t)
     return (
-        scores.groupBy("doc_id")
-        .agg(F.sum("score_fx").alias("sum_fx"))
+        per_doc.crossJoin(F.broadcast(stats))
+        .withColumn("sum_fx", total)
+        .filter(F.col("sum_fx") > 0)
         .orderBy(F.col("sum_fx").desc(), "doc_id")
         .limit(20)
         .select("doc_id", (F.col("sum_fx") / 1_000_000.0).alias("bm25"))

@@ -156,3 +156,72 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.join(
         multimodal_metadata(spark, sf_dir).select("doc_id", "mime"), "doc_id"
     ).select("doc_id", "mime", "byte_len", "n_frames", "histogram")
+
+
+FRAME_SAMPLE_EVERY = 4
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("frame_md5", T.StringType(), False),
+    ]
+)
+
+
+def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched frame sampling: every FRAME_SAMPLE_EVERY-th
+    FRAME_BYTES-sized block of the blob, identified by its md5 (the
+    deterministic stand-in for a decoded frame tensor)."""
+    import hashlib
+
+    for pdf in batches:
+        out = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+            b = bytes(blob)
+            n_frames = -(-len(b) // FRAME_BYTES)
+            for i in range(0, n_frames, FRAME_SAMPLE_EVERY):
+                # frame identity = md5 of the frame's lowercase hex dump —
+                # SQL-reproducible (DuckDB can't md5 a sliced BLOB, but
+                # slicing the hex string is byte-exact on both engines)
+                frame_hex = b[i * FRAME_BYTES : (i + 1) * FRAME_BYTES].hex()
+                out.append(
+                    (int(doc_id), i, hashlib.md5(frame_hex.encode()).hexdigest())
+                )
+        yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "frame_md5"])
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+WITH frames AS (
+  SELECT doc_id,
+         unnest(generate_series(0, CAST(ceil(octet_length(encode(text)) / {FRAME_BYTES}.0) AS BIGINT) - 1)) AS frame_idx,
+         lower(hex(encode(text))) AS blob_hex
+  FROM documents
+)
+SELECT doc_id, frame_idx,
+       md5(substring(blob_hex, frame_idx * {2 * FRAME_BYTES} + 1, {2 * FRAME_BYTES})) AS frame_md5
+FROM frames
+WHERE frame_idx % {FRAME_SAMPLE_EVERY} = 0
+""",
+    tags=("multimodal", "pandas-udf", "frame-sample", "llm-pipeline"),
+    doc=(
+        "Frame sampling over binary media via mapInPandas: every 4th "
+        "64-byte block, identified by md5 — the video frame-sample "
+        "plumbing (batch shape, schema, fan-out) with a deterministic "
+        "fake decode, oracle-checked byte-for-byte against SQL blob "
+        "slicing."
+    ),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle story: pure map-side fan-out (one input row → n_frames/4
+    output rows) inside a single mapInPandas pass — no exchange at all;
+    downstream consumers shuffle on (doc_id, frame_idx) only if they
+    aggregate. 100 TB: frames never leave the executor that read the
+    blob; sampling rate bounds the fan-out.
+    """
+    media = attach_media(load_table(spark, sf_dir, "documents"))
+    return media.select("doc_id", "media").mapInPandas(
+        _frame_sample_batches, FRAME_SAMPLE_SCHEMA
+    )

@@ -896,3 +896,64 @@ def scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_current"),
     )
     return unchanged.unionAll(expired).unionAll(fresh)
+
+
+@register(
+    "corr_stats",
+    oracle="""
+WITH d AS (
+  SELECT l_returnflag,
+         CAST(floor(l_quantity) AS BIGINT) AS x,
+         CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y
+  FROM lineitem
+),
+m AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x * y) AS DOUBLE) AS sxy,
+         CAST(sum(x * x) AS DOUBLE) AS sx2, CAST(sum(y * y) AS DOUBLE) AS sy2
+  FROM d GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 9) AS corr_qty_price,
+       round((n * sxy - sx * sy) / (CAST(n AS DOUBLE) * n), 4) AS covar_pop
+FROM m
+""",
+    tags=("relational", "aggregation", "statistics"),
+    doc=(
+        "Pearson correlation + population covariance of (quantity, price) "
+        "per return flag, from EXACT integer moment sums (sum x, y, xy, "
+        "x2, y2 as int64) combined with the identical IEEE formula on "
+        "both engines — native corr()/covar_pop() drift with partition "
+        "merge order. Bound: |y| <= ~1.1e5 dollars, so sum(y*y) < 2^63 up "
+        "to ~7.6e8 rows per group; DECIMAL beyond."
+    ),
+)
+def corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle story: one map-side-combined agg exchange on the 3-value
+    return flag; five integer moments travel, never the rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.floor(F.col("l_quantity"))
+    y = F.floor(F.col("l_extendedprice") + 0.5)
+    g = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("isx"), F.sum(y).alias("isy"),
+        F.sum(x * y).alias("isxy"),
+        F.sum(x * x).alias("isx2"), F.sum(y * y).alias("isy2"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("isx").cast("double"), F.col("isy").cast("double")
+    sxy = F.col("isxy").cast("double")
+    sx2, sy2 = F.col("isx2").cast("double"), F.col("isy2").cast("double")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sx2 - sx * sx) * F.sqrt(n * sy2 - sy * sy)
+    )
+    covar = (n * sxy - sx * sy) / (n.cast("double") * n)
+    return g.select(
+        "l_returnflag",
+        "n",
+        F.round(corr, 9).alias("corr_qty_price"),
+        F.round(covar, 4).alias("covar_pop"),
+    )

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from multithreaded_mapreduce_library_spark.functions import duck_money_sum, money_sum
 from multithreaded_mapreduce_library_spark.registry import register
-from multithreaded_mapreduce_library_spark.sources import load_table
+from multithreaded_mapreduce_library_spark.sources import bucketed_table, load_table
 
 
 @register(
@@ -78,6 +78,41 @@ def join_large(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
             money_sum(revenue, "revenue"),
         )
+    )
+
+
+@register(
+    "join_bucketed",
+    oracle=f"""
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       {duck_money_sum('l_quantity', 'sum_qty')}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+    tags=("join", "bucketed", "co-located"),
+    doc=(
+        "Co-located fact-fact join off bucketed tables: lineitem and orders "
+        "are stored bucketed on the orderkey (same bucket count), so the "
+        "sort-merge join reads both sides already distributed on the join "
+        "key — zero exchanges at the join (asserted in tests/test_plans.py; "
+        "the only shuffle left is the tiny final agg on o_orderpriority). "
+        "This is the shuffle-once-at-ingest layout a 100 TB fact table "
+        "joined repeatedly on the same key should have; the oracle is the "
+        "plain join — bucketing is layout, not semantics."
+    ),
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
+    o = bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+    # hint("merge") pins sort-merge so the co-location is demonstrable even
+    # when the orders side is broadcast-sized at test SFs.
+    return (
+        li.hint("merge")
+        .join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_items"), money_sum("l_quantity", "sum_qty"))
     )
 
 

@@ -8,6 +8,7 @@ text-file path is provided by :mod:`..mapreduce` for the facade.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -59,3 +60,52 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view (for the SQL API)."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# Bucket count for co-located joins. Locally tiny; on a cluster this would
+# be sized so each bucket is a few hundred MB at the target SF (e.g. 4096
+# buckets for a 1 TB fact table).
+N_BUCKETS = 8
+
+
+def bucketed_table(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataFrame:
+    """Load ``name`` as a parquet table bucketed (and sorted) on ``key``,
+    writing it to the session warehouse on first use (cached per sf_dir).
+
+    Bucketing is the on-disk pre-shuffle: both sides of a join bucketed on
+    the join key with the same bucket count satisfy the join's required
+    distribution straight off the scan, so the exchange (and with one file
+    per bucket, the sort) disappears from the plan. At 100 TB this is the
+    difference between re-shuffling the fact table on every join and
+    shuffling it once at ingest — the standard layout for a fact table
+    joined repeatedly on the same key.
+
+    The ``repartition(N_BUCKETS, key)`` before the write makes each task
+    hold exactly one bucket, yielding one file per bucket — the layout
+    Spark requires to trust the per-bucket sort order.
+    """
+    from pyspark.sql import functions as F
+
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tbl = f"bkt_{name}_{suffix}"
+    if not spark.catalog.tableExists(tbl):
+        # The warehouse dir outlives the in-memory catalog: a leftover
+        # location from a previous session makes saveAsTable fail with
+        # LOCATION_ALREADY_EXISTS even in overwrite mode. Clear it.
+        import shutil
+        from urllib.parse import urlparse
+
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        leftover = os.path.join(warehouse, tbl)
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
+        df = load_table(spark, sf_dir, name)
+        (
+            df.repartition(N_BUCKETS, F.col(key))
+            .write.bucketBy(N_BUCKETS, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+    return spark.table(tbl)

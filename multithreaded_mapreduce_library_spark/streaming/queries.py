@@ -209,6 +209,69 @@ def stream_stateful_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_join",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase'
+ AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+ AND c.ts <= p.ts
+""",
+    tags=("streaming", "stream-stream-join", "watermark"),
+    doc=(
+        "Stream-stream inner join with watermarks on both sides and an "
+        "event-time range condition: each purchase joined to the clicks of "
+        "the same user in the preceding hour. The range bound plus the "
+        "2-hour watermarks let Spark expire join state (bounded memory at "
+        "any volume — without them a stream-stream join buffers forever); "
+        "both streams shuffle once on user_id. An inner join emits exactly "
+        "the batch matches on replay, so this carries a full DuckDB oracle."
+    ),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    c = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = p.join(
+        c,
+        (p.user_id == c.c_user)
+        & (c.c_ts >= p.p_ts - F.expr("INTERVAL 1 HOUR"))
+        & (c.c_ts <= p.p_ts),
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+    )
+    return run_to_memory(joined, "append")
+
+
+@register(
     "stream_static_join",
     oracle="""
 SELECT c_mktsegment,

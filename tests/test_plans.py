@@ -109,3 +109,19 @@ def test_waiting_orders_shape(spark, sf_dir):
 def test_priority_shipping_partial_agg(spark, sf_dir):
     plan = formatted_plan(SPECS["priority_shipping"].builder(spark, sf_dir))
     assert plan.count("HashAggregate") >= 2, "missing map-side combine"
+
+
+def test_join_bucketed_no_join_exchange(spark, sf_dir):
+    """Co-located join off bucketed tables: both scans read bucketed, the
+    sort-merge join consumes them with NO exchange on the join key — the
+    only shuffle left in the plan is the final tiny aggregation."""
+    plan = formatted_plan(SPECS["join_bucketed"].builder(spark, sf_dir))
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2, "scans must read the bucketed layout"
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    # exactly one Exchange node (the o_orderpriority agg), counted in the
+    # numbered-tree section
+    import re
+
+    assert len(re.findall(r"\+- Exchange ", plan)) == 1

@@ -311,6 +311,39 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.subtract(s)
 
 
+@register(
+    "setop_intersect_all",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT ALL
+SELECT s_nationkey FROM supplier
+""",
+    tags=("relational", "setop", "multiset"),
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics — min of the two multiplicities per
+    value). One shuffle on the value, like a distinct-free semi-merge."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersectAll(s)
+
+
+@register(
+    "setop_except_all",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT ALL
+SELECT s_nationkey FROM supplier
+""",
+    tags=("relational", "setop", "multiset"),
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics — multiplicities subtract, floor 0)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s)
+
+
 # ---------------------------------------------------------------------------
 # sorts / limits
 # ---------------------------------------------------------------------------

@@ -172,6 +172,64 @@ def map_in_pandas_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "map_in_arrow_project",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS net_price
+FROM lineitem
+WHERE l_quantity < 5
+""",
+    tags=("udf", "arrow", "map-in-arrow"),
+)
+def map_in_arrow_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the zero-copy RecordBatch surface below mapInPandas —
+    no pandas materialization, pyarrow.compute kernels straight on Arrow
+    buffers. Same escape-hatch role as mapInPandas but the fastest Python
+    path Spark offers (one serialization hop less per batch). Narrow
+    (per-partition, no shuffle); the quantity filter is applied in-kernel.
+    Fixed-point quantization matches the oracle's double math exactly
+    (same IEEE op order)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def project(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            keep = pc.less(batch.column("l_quantity"), pa.scalar(5.0))
+            b = batch.filter(keep)
+            net = pc.divide(
+                pc.floor(
+                    pc.add(
+                        pc.multiply(
+                            pc.multiply(
+                                b.column("l_extendedprice"),
+                                pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+                            ),
+                            pa.scalar(100.0),
+                        ),
+                        pa.scalar(0.5),
+                    )
+                ),
+                pa.scalar(100.0),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("l_orderkey"),
+                    # parquet stores l_linenumber as int32; the declared
+                    # output schema says long, and Spark's Arrow reader
+                    # does no implicit widening — cast in-kernel.
+                    pc.cast(b.column("l_linenumber"), pa.int64()),
+                    net,
+                ],
+                names=["l_orderkey", "l_linenumber", "net_price"],
+            )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    return li.mapInArrow(project, "l_orderkey long, l_linenumber long, net_price double")
+
+
+@register(
     "udtf_tokenize",
     oracle=f"""
 WITH t AS (

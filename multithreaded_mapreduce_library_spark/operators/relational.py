@@ -181,6 +181,113 @@ def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_listagg",
+    oracle="""
+SELECT s_nationkey AS nationkey,
+       string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+       count(*) AS n_suppliers
+FROM supplier
+GROUP BY s_nationkey
+""",
+    tags=("relational", "aggregation", "listagg"),
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg). collect_list is
+    order-nondeterministic under parallel merge, so the deterministic form
+    is collect → array_sort → array_join (supplier names are unique, so the
+    sort is total). One shuffle on the group key; the sort is per-group
+    post-shuffle, never global."""
+    s = load_table(spark, sf_dir, "supplier")
+    return s.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias("suppliers"),
+        F.count("*").alias("n_suppliers"),
+    )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+WITH c AS (
+  SELECT o_custkey, o_orderpriority, count(*) AS cnt
+  FROM orders GROUP BY o_custkey, o_orderpriority
+), r AS (
+  SELECT c.*, row_number() OVER (
+    PARTITION BY o_custkey ORDER BY cnt DESC, o_orderpriority
+  ) AS rn FROM c
+)
+SELECT o_custkey AS custkey,
+       o_orderpriority AS modal_priority,
+       cnt AS n_orders
+FROM r WHERE rn = 1
+""",
+    tags=("relational", "aggregation", "mode"),
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: most frequent order priority per
+    customer, ties broken by the smaller priority string (native mode() is
+    tie-nondeterministic in both engines, so both sides spell out the
+    count + row_number ranking). Two exchanges — (custkey, priority) for
+    the count, custkey for the window; the first is partial-aggregated
+    map-side so only distinct pairs cross the wire."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    counted = o.groupBy("o_custkey", "o_orderpriority").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("cnt").desc(), F.col("o_orderpriority")
+    )
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderpriority").alias("modal_priority"),
+            F.col("cnt").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "calendar_fill",
+    oracle="""
+WITH per_day AS (
+  SELECT date_trunc('day', o_orderdate) AS day, count(*) AS n_orders
+  FROM orders
+  WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-04-01'
+  GROUP BY 1
+)
+SELECT strftime(t.d, '%Y-%m-%d') AS day,
+       coalesce(p.n_orders, 0) AS n_orders
+FROM generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '1995-03-31',
+                     INTERVAL 1 DAY) t(d)
+LEFT JOIN per_day p ON p.day = t.d
+""",
+    tags=("relational", "date", "sequence"),
+)
+def calendar_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill: daily order counts over Q1 1995 including
+    zero-order days. The date spine is generated inline with
+    sequence() + explode (no driver loop, no external table) and the
+    aggregated per-day counts — tiny after the groupBy — are broadcast
+    into the left join, so the only exchange is the count's."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-04-01")
+    )
+    per_day = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count("*").alias("n_orders")
+    )
+    cal = spark.range(1).select(
+        F.explode(
+            F.sequence(F.to_date(F.lit("1995-01-01")), F.to_date(F.lit("1995-03-31")))
+        ).alias("day")
+    )
+    return cal.join(F.broadcast(per_day), "day", "left").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # grouping sets / rollup / cube
 # ---------------------------------------------------------------------------

@@ -125,3 +125,27 @@ def test_join_bucketed_no_join_exchange(spark, sf_dir):
     import re
 
     assert len(re.findall(r"\+- Exchange ", plan)) == 1
+
+
+def test_calendar_fill_broadcasts_counts(spark, sf_dir):
+    """The generated date spine left-joins the aggregated per-day counts
+    broadcast — the only exchange in the plan is the count's groupBy."""
+    plan = formatted_plan(SPECS["calendar_fill"].builder(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2, "per-day count must partial-aggregate"
+
+
+def test_agg_mode_partial_agg(spark, sf_dir):
+    """Mode's (custkey, priority) count partial-aggregates map-side, so
+    only distinct pairs cross the first of its two exchanges."""
+    plan = formatted_plan(SPECS["agg_mode"].builder(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2, "missing map-side combine"
+    assert "Window" in plan
+
+
+def test_map_in_arrow_stays_narrow(spark, sf_dir):
+    """mapInArrow is per-partition: no exchange anywhere in the plan."""
+    plan = formatted_plan(SPECS["map_in_arrow_project"].builder(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan or "MapInPandas" in plan

@@ -24,6 +24,7 @@ from multithreaded_mapreduce_library_spark.functions import (
     duck_tokens,
     fixed_point,
     money_sum,
+    tokens,
 )
 from multithreaded_mapreduce_library_spark.registry import register
 from multithreaded_mapreduce_library_spark.sources import load_table, register_views
@@ -808,6 +809,30 @@ def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "lateral_posexplode",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {duck_tokens('text')} AS toks
+  FROM documents WHERE doc_id % 20 = 0
+)
+SELECT doc_id,
+       generate_subscripts(toks, 1) - 1 AS pos,
+       unnest(toks) AS token
+FROM t WHERE len(toks) > 0
+""",
+    tags=("relational", "lateral", "explode"),
+)
+def lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal explode (LATERAL VIEW posexplode): each token with its
+    0-based position — the position-aware generator the plain explode
+    loses. Narrow (Generate node, no shuffle); the oracle zips DuckDB's
+    unnest with generate_subscripts, which expand positionally in step."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    t = d.select("doc_id", tokens("text").alias("toks")).filter(F.size("toks") > 0)
+    return t.select("doc_id", F.posexplode("toks").alias("pos", "token"))
 
 
 # ---------------------------------------------------------------------------

@@ -150,6 +150,31 @@ def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multi_count_distinct",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_suppliers,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("relational", "aggregation", "distinct"),
+)
+def multi_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two different DISTINCT columns in one aggregate — Spark plans this
+    with an Expand node (one replicated stream per distinct set) feeding a
+    two-phase agg, so each distinct set still partial-aggregates map-side;
+    one exchange on (group key, gid)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
     "distinct_rows",
     oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     tags=("relational", "distinct"),

@@ -275,6 +275,48 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_argmax",
+    oracle="""
+WITH r AS (
+  SELECT o_custkey, o_totalprice, o_orderkey,
+         row_number() OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+         ) AS rn
+  FROM orders
+)
+SELECT o_custkey AS custkey,
+       o_orderkey AS top_orderkey,
+       o_totalprice AS top_price
+FROM r WHERE rn = 1
+""",
+    tags=("relational", "aggregation", "argmax"),
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax in a single aggregate: each customer's highest-priced order
+    as max of struct(price, -orderkey) — lexicographic struct comparison
+    gives max price with min-orderkey tie-break, matching the oracle's
+    row_number ordering. ONE exchange with map-side partials; the window
+    formulation (window_topk_per_group) needs a full per-group sort —
+    at 100 TB the struct-max is the cheaper plan for k=1."""
+    o = load_table(spark, sf_dir, "orders")
+    best = F.max(
+        F.struct(
+            F.col("o_totalprice").alias("p"),
+            (-F.col("o_orderkey")).alias("negk"),
+        )
+    ).alias("best")
+    return (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(best)
+        .select(
+            "custkey",
+            (-F.col("best.negk")).alias("top_orderkey"),
+            F.col("best.p").alias("top_price"),
+        )
+    )
+
+
+@register(
     "calendar_fill",
     oracle="""
 WITH per_day AS (

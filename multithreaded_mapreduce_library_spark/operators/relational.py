@@ -275,6 +275,30 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_bool",
+    oracle="""
+SELECT o_orderstatus,
+       bool_and(o_totalprice > 1000) AS all_over_1k,
+       bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("relational", "aggregation", "boolean"),
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (EVERY / ANY): universal and existential
+    predicates per group in one shuffle with map-side partials — a
+    two-value lattice, so partial merge is just AND/OR."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
     "agg_argmax",
     oracle="""
 WITH r AS (

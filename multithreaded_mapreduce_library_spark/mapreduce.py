@@ -99,11 +99,15 @@ def mr_run(
         records = sc.parallelize(list(inputs), numSlices=max(1, len(inputs)))
 
     mapped = records.flatMap(mapper).mapPartitions(emit_filter)
-    # Shuffle write: djb2-hash partitioning (bucket-identical to the
-    # reference), then shuffle read: group values per key — Spark's
+    # Single djb2 shuffle (bucket-identical to the reference): groupByKey
+    # with the custom partitionFunc does the partitionBy + grouping in one
+    # exchange. (A separate partitionBy first would shuffle twice — PySpark
+    # compares partitionFunc by object identity, so even an identical lambda
+    # passed to both calls is treated as a different Partitioner.) The
     # groupByKey iterable is the same unordered bag MR_GetNext drains.
-    grouped = mapped.partitionBy(num_partitions, lambda k: mr_partitioner(k, num_partitions)).groupByKey(
-        numPartitions=num_partitions, partitionFunc=lambda k: mr_partitioner(k, num_partitions)
+    grouped = mapped.groupByKey(
+        numPartitions=num_partitions,
+        partitionFunc=lambda k: mr_partitioner(k, num_partitions),
     )
 
     def reduce_partition(kvs: Iterator[tuple[str, Iterable[str]]]) -> Iterator[Any]:

@@ -242,8 +242,8 @@ pos AS (
   SELECT doc_id, generate_subscripts(toks, 1) AS i, unnest(toks) AS tok FROM toks
 )
 SELECT doc_id,
-       sum((('0x' || substr(md5(tok), 1, 15))::BIGINT % {MOD_P})
-           * ([{','.join(str(p) for p in FP_POWERS)}][i]) % {MOD_P}) % {MOD_P} AS fingerprint
+       CAST(sum((('0x' || substr(md5(tok), 1, 15))::BIGINT % {MOD_P})
+           * ([{','.join(str(p) for p in FP_POWERS)}][i]) % {MOD_P}) % {MOD_P} AS BIGINT) AS fingerprint
 FROM pos
 GROUP BY doc_id
 """,

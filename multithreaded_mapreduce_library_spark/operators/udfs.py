@@ -122,7 +122,8 @@ WITH s AS (
   FROM orders GROUP BY o_orderpriority
 )
 SELECT o_orderkey, o.o_orderpriority,
-       round((o_totalprice - mn) / (mx - mn), 6) AS price_minmax
+       CASE WHEN mx = mn THEN 0.0
+            ELSE round((o_totalprice - mn) / (mx - mn), 6) END AS price_minmax
 FROM orders o JOIN s ON o.o_orderpriority = s.o_orderpriority
 WHERE o_orderkey % 100 = 0
 """,
@@ -137,9 +138,14 @@ def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     def minmax(pdf: pd.DataFrame) -> pd.DataFrame:
         mx, mn = pdf["o_totalprice"].max(), pdf["o_totalprice"].min()
         out = pdf[pdf["o_orderkey"] % 100 == 0][["o_orderkey", "o_orderpriority", "o_totalprice"]]
-        out = out.assign(
-            price_minmax=((out["o_totalprice"] - mn) / (mx - mn)).round(6)
-        )
+        if mx == mn:
+            # Degenerate group (all prices equal): pandas would emit
+            # inf/NaN where SQL's x/0 yields NULL — define it as 0.0 on
+            # both sides instead (oracle has the matching CASE).
+            norm = 0.0
+        else:
+            norm = ((out["o_totalprice"] - mn) / (mx - mn)).round(6)
+        out = out.assign(price_minmax=norm)
         return out[["o_orderkey", "o_orderpriority", "price_minmax"]]
 
     o = load_table(spark, sf_dir, "orders")

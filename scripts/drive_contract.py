@@ -20,16 +20,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb  # noqa: E402
 from pyspark.sql import SparkSession  # noqa: E402
 
+# Same canonicalization as the driver-gate replica (tests/oracle.py) —
+# plain str() would report spurious int-vs-float / Decimal / NaN /
+# timestamp diffs relative to the real gate.
+from tests.oracle import canonical_rows, check_type_alignment  # noqa: E402
+
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 )
-
-
-def name_sorted_rows(cols, rows):
-    return sorted(
-        tuple(str(x) for _, x in sorted(zip(cols, r), key=lambda p: p[0])) for r in rows
-    )
 
 
 def main() -> int:
@@ -62,11 +61,18 @@ def main() -> int:
             n = sdf.count()
             print(f"{name}: rows-only {n}")
             continue
-        srows = name_sorted_rows(sdf.columns, sdf.collect())
+        srows = canonical_rows(sdf.columns, [tuple(r) for r in sdf.collect()])
         cur = con.execute(o[name])
         ocols = [d[0] for d in cur.description]
-        orows = name_sorted_rows(ocols, cur.fetchall())
-        ok = srows == orows and sorted(sdf.columns) == sorted(ocols)
+        orows = canonical_rows(ocols, cur.fetchall())
+        otypes = {d[0]: d[1] for d in con.execute("DESCRIBE " + o[name]).fetchall()}
+        try:
+            check_type_alignment(sdf, otypes, name)
+            types_ok = True
+        except AssertionError as exc:
+            print(f"  type-class: {exc}")
+            types_ok = False
+        ok = srows == orows and sorted(sdf.columns) == sorted(ocols) and types_ok
         print(f"{name}: rows={len(srows)} match={ok}")
         if not ok:
             failures.append(name)

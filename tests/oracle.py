@@ -64,6 +64,15 @@ def check_type_alignment(sdf, duck_types: dict[str, str], name: str) -> None:
     column on one side hashing as float on the other would break the
     driver's value-hash even when the values are numerically equal."""
     for col, styp in sdf.dtypes:
+        # DuckDB sum(BIGINT) widens to HUGEINT (int128); a pandas/Arrow fetch
+        # (how the driver reads oracle results) coerces HUGEINT to float64,
+        # so "2108190417" hashes as "2108190417.0" and the driver mismatches
+        # even though values are equal. Force oracles to CAST(... AS BIGINT).
+        assert "HUGEINT" not in duck_types[col].upper(), (
+            f"{name}: column {col!r} is {duck_types[col]} in the oracle — "
+            "wrap the SQL aggregate in CAST(... AS BIGINT); HUGEINT becomes "
+            "float64 under the driver's pandas fetch and breaks the hash"
+        )
         scls = _type_class(styp, _SPARK_CLASS)
         ocls = _type_class(duck_types[col], _DUCK_CLASS)
         assert scls == ocls, (

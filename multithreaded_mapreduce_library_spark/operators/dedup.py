@@ -532,13 +532,19 @@ def _small_star(edges: DataFrame) -> DataFrame:
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
     # doc_a < doc_b by construction of the pair join → already canonical.
+    # localCheckpoint (not persist) on every iterative frontier: persist
+    # caches *data* but keeps the logical plan, so each round's plan embeds
+    # the whole upstream LSH expression tree again — Catalyst
+    # canonicalization then grows exponentially and OOMs the driver after
+    # a handful of rounds. Checkpointing truncates lineage, keeping every
+    # round's plan O(1). Same requirement on a real cluster (use
+    # `checkpoint()` + an HDFS dir there for executor-loss tolerance).
     edges = pairs.select(
         F.col("doc_b").alias("hi"), F.col("doc_a").alias("lo")
-    ).distinct().persist()
+    ).distinct().localCheckpoint()
     members = edges.select(F.col("hi").alias("doc_id")).unionAll(
         edges.select(F.col("lo").alias("doc_id"))
-    ).distinct().persist()
-    members.count()  # materialize before `edges` is replaced below
+    ).distinct()
 
     def probe(e: DataFrame) -> tuple[int, int]:
         # (count, order-independent checksum) — equal probes ⇒ equal edge
@@ -555,16 +561,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     MAX_ROUNDS = 32  # »> log^2 of any plausible component count
     prev = probe(edges)
     for _ in range(MAX_ROUNDS):
-        nxt = _small_star(_large_star(edges)).persist()
-        cur = probe(nxt)
-        edges.unpersist()
-        edges = nxt
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        cur = probe(edges)
         if cur == prev:
             break
         prev = cur
     else:
-        edges.unpersist()
-        members.unpersist()
         raise RuntimeError(
             f"dedup_clusters: star contraction did not converge in "
             f"{MAX_ROUNDS} rounds — refusing to emit possibly-wrong labels"
@@ -576,7 +578,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = members.join(root_of, "doc_id", "left").select(
         "doc_id", F.coalesce("root", "doc_id").alias("lbl")
     )
-    out = (
+    return (
         labels.groupBy(F.col("lbl").alias("cluster_id"))
         .agg(
             F.count("*").alias("cluster_size"),
@@ -584,7 +586,3 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
-    result = out.localCheckpoint()  # materialize before unpersisting inputs
-    edges.unpersist()
-    members.unpersist()
-    return result

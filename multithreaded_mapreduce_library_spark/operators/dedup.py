@@ -37,7 +37,7 @@ from multithreaded_mapreduce_library_spark.functions import (
     tokens,
 )
 from multithreaded_mapreduce_library_spark.registry import register
-from multithreaded_mapreduce_library_spark.sources import load_table
+from multithreaded_mapreduce_library_spark.sources import load_table, rebalance_scan
 
 # MinHash family: h_i(x) = (a_i * h31(x) + b_i) mod P. Coefficients are
 # small (< 2^17) so a_i * h31 < 2^48 — overflow-free in both engines.
@@ -99,8 +99,12 @@ def _shingles_df(spark: SparkSession, sf_dir: str, distinct: bool = True) -> Dat
     """3-word shingles per doc with their h31 hash (JVM-only).
 
     ``distinct=False`` skips the per-doc dedup shuffle — correct whenever
-    the consumer is duplicate-insensitive (MinHash minima are)."""
-    d = load_table(spark, sf_dir, "documents")
+    the consumer is duplicate-insensitive (MinHash minima are).
+
+    The scan is rebalanced first: tokenize + shingle explode + md5 per
+    shingle is the CPU-heavy part of the whole LSH pipeline, and a
+    single-row-group source would otherwise run it in one task."""
+    d = rebalance_scan(load_table(spark, sf_dir, "documents"), spark)
     toks = d.select("doc_id", tokens("text").alias("toks"))
     shingles = toks.select(
         "doc_id",
@@ -275,7 +279,9 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
     ),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # Rebalanced scan: per-token md5 + 48 bit-tests per token is the CPU
+    # hot path — don't let a one-row-group source serialize it.
+    d = rebalance_scan(load_table(spark, sf_dir, "documents"), spark)
     th = d.select("doc_id", F.explode(tokens("text")).alias("tok")).withColumn(
         "h", h31(F.col("tok"))
     )

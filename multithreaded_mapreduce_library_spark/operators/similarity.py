@@ -24,7 +24,15 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from multithreaded_mapreduce_library_spark.registry import register
-from multithreaded_mapreduce_library_spark.sources import load_table
+from multithreaded_mapreduce_library_spark.sources import load_table, rebalance_scan
+
+
+def _load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with the scan rebalanced: every consumer below does
+    per-pair 64-element folds (or 64 sign tests) — CPU-bound map work that
+    a one-row-group source would serialize into a single task."""
+    return rebalance_scan(load_table(spark, sf_dir, "embeddings"), spark)
+
 
 DIM = 64
 N_SIGN_BITS = 8  # sign-bit LSH: 2^8 = 256 buckets
@@ -113,7 +121,7 @@ WHERE rnk <= {TOP_K}
     ),
 )
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = _load_embeddings(spark, sf_dir).select(
         "vec_id", _dvec("embedding").alias("v")
     ).withColumn("norm", F.expr(_SPARK_NORM))
     q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
@@ -152,7 +160,7 @@ GROUP BY 1
     ),
 )
 def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _load_embeddings(spark, sf_dir)
     return (
         e.select(_sign_bucket_spark("embedding", N_SIGN_BITS).alias("bucket"), "vec_id")
         .groupBy("bucket")
@@ -181,7 +189,7 @@ WHERE {_duck_cosine('x.embedding', 'y.embedding')} >= {NEAR_DUP_COSINE}
     ),
 )
 def sim_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = _load_embeddings(spark, sf_dir).select(
         "vec_id",
         _dvec("embedding").alias("v"),
         _sign_bucket_spark("embedding", N_SIGN_BITS).alias("bucket"),
@@ -230,7 +238,7 @@ WHERE rnk <= 3
     ),
 )
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = _load_embeddings(spark, sf_dir).select(
         "vec_id", _dvec("embedding").alias("v"), _sign_bucket_spark("embedding", 4).alias("cell")
     ).withColumn("norm", F.expr(_SPARK_NORM))
     q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
@@ -272,7 +280,7 @@ def sim_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _load_embeddings(spark, sf_dir)
     qrows = (
         e.filter(F.col("vec_id") % QUERY_MOD == 0)
         .select("vec_id", "embedding")
@@ -347,7 +355,7 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle carries at most |labels|·64 rows per task, not the data.
     100 TB: identical plan; partial aggregation keeps the exchange tiny.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _load_embeddings(spark, sf_dir)
     comp = e.select(
         "label", F.posexplode("embedding").alias("pos", "val")
     ).withColumn(

@@ -8,6 +8,7 @@ from multithreaded_mapreduce_library_spark.sources.tables import (  # noqa: F401
     bucketed_table,
     default_sf_dir,
     load_table,
+    rebalance_scan,
     register_views,
     table_path,
 )

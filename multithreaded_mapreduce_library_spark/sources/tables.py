@@ -56,6 +56,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def rebalance_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Spread a narrow scan across the cluster before CPU-heavy map work.
+
+    Parquet's split unit is the row group; a file with one giant row group
+    (our fixtures — and any badly-written upstream file at 100 TB) scans as
+    ONE task, serializing everything narrow that follows (tokenize, md5,
+    shingle explode, per-pair folds). When the scan's parallelism is below
+    the cluster's, insert one round-robin exchange of the *source* rows —
+    cheap relative to the downstream compute it parallelizes. When the
+    source is already well-split (the normal many-files case at scale),
+    this is a no-op with zero plan change.
+
+    Only worth it when downstream per-row work dominates the exchange cost;
+    plain filter/agg paths should NOT use this (the exchange would defeat
+    scan-adjacent partial aggregation for no compute win).
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view (for the SQL API)."""
     for name in TABLES:

@@ -1,0 +1,210 @@
+"""Training-data pipeline operators over ``documents`` — dataset split,
+stratified sampling, sequence packing, and train/test contamination
+(SURVEY.md §2.3 extension surface; no reference citations — the reference
+has no dataset-management machinery at all, its closest notion is the
+hash partitioner mapreduce.c:234-241, which is exactly the primitive these
+operators build splits/samples from).
+
+All four are built on the cross-engine md5 hash family (functions.h31) so
+assignment decisions are bit-identical in Spark and the DuckDB oracle —
+the same property a production pipeline needs for *reproducible* splits:
+membership must be a pure function of the row, not of partitioning,
+sampling order, or cluster size.
+
+Scale notes (100 TB story):
+- dataset_split / sample_stratified: pure narrow projections + one tiny
+  agg exchange — no join, no wide shuffle; the hash IS the split, so the
+  same row lands in the same split on any cluster.
+- sequence_packing: one window shuffle on the stratum key + one agg on
+  (stratum, bin); bins are a prefix-sum over token counts, so packing is
+  deterministic given the (lang, doc_id) order — no driver-side loop.
+- contamination_check: inverted-index join on the shingle hash, with the
+  candidate side pre-shrunk to the test split (a few % of rows) — the
+  join fanout is bounded by shingle document-frequency, never n².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from multithreaded_mapreduce_library_spark.functions import duck_h31, duck_tokens, h31, tokens
+from multithreaded_mapreduce_library_spark.operators.dedup import _DUCK_SHINGLES, _shingles_df
+from multithreaded_mapreduce_library_spark.registry import register
+from multithreaded_mapreduce_library_spark.sources import load_table
+
+# Split fractions: hash-bucket thresholds out of 100.
+TRAIN_CUT = 80
+VAL_CUT = 90
+SAMPLE_PER_MILLE = 100  # stratified sample keeps hash-bucket < 100 of 1000
+PACK_CAPACITY = 2048  # tokens per packed sequence bin
+TEST_CUT = 5  # contamination: hash-bucket < 5 of 100 defines the test split
+
+
+def _split_bucket(col):
+    """Stable per-doc hash bucket in [0, 100) — the split assignment key."""
+    return F.pmod(h31(F.col(col).cast("string")), F.lit(100))
+
+
+def _duck_split_bucket(col: str) -> str:
+    return f"({duck_h31(f'CAST({col} AS VARCHAR)')} % 100)"
+
+
+@register(
+    "dataset_split",
+    oracle=f"""
+SELECT CASE WHEN {_duck_split_bucket('doc_id')} < {TRAIN_CUT} THEN 'train'
+            WHEN {_duck_split_bucket('doc_id')} < {VAL_CUT} THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       count(*) AS n_docs,
+       CAST(sum(len({duck_tokens('text')})) AS BIGINT) AS n_tokens
+FROM documents
+GROUP BY 1, 2
+""",
+    tags=("pipeline", "split", "llm-pipeline"),
+    doc=(
+        "Deterministic train/val/test split by content-stable hash bucket "
+        f"({TRAIN_CUT}/{VAL_CUT - TRAIN_CUT}/{100 - VAL_CUT}): membership is a pure "
+        "function of doc_id, so the split is reproducible across runs, "
+        "clusters, and engines (the oracle computes the identical md5 "
+        "bucket). One narrow projection + one small agg exchange on "
+        "(split, lang) — rows are never shuffled, only per-group counters."
+    ),
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = _split_bucket("doc_id")
+    split = (
+        F.when(bucket < TRAIN_CUT, "train")
+        .when(bucket < VAL_CUT, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang", F.size(tokens("text")).alias("n_tok"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE ({duck_h31('CAST(doc_id AS VARCHAR)')} % 1000) < {SAMPLE_PER_MILLE}
+""",
+    tags=("pipeline", "sampling", "llm-pipeline"),
+    doc=(
+        f"Deterministic {SAMPLE_PER_MILLE / 10:.0f}% sample by hash bucket: "
+        "the per-row keep decision is engine- and partitioning-independent "
+        "(contrast df.sample(), whose output depends on partition layout "
+        "and seed plumbing). Within every stratum the hash is uniform, so "
+        "each lang is sampled at the same rate without a per-stratum pass. "
+        "Pure narrow filter — zero shuffles; at 100 TB the predicate rides "
+        "the scan."
+    ),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    keep = F.pmod(h31(F.col("doc_id").cast("string")), F.lit(1000)) < SAMPLE_PER_MILLE
+    return d.filter(keep).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "sequence_packing",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, len({duck_tokens('text')}) AS n_tok FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tok,
+         COALESCE(sum(n_tok) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+  FROM t
+)
+SELECT lang, CAST(floor(tok_before / {PACK_CAPACITY}) AS BIGINT) AS bin,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens
+FROM c
+GROUP BY 1, 2
+""",
+    tags=("pipeline", "packing", "window", "llm-pipeline"),
+    doc=(
+        f"Sequence packing: assign docs to fixed-capacity context bins "
+        f"({PACK_CAPACITY} tokens) per language via an exclusive running "
+        "token count — chunked next-fit packing as a prefix sum, fully "
+        "declarative (no driver loop, no stateful UDF). Deterministic "
+        "given the (lang, doc_id) order. Shuffles: one window exchange on "
+        "lang, one agg on (lang, bin). 100 TB note: the window partition "
+        "key is the stratum; for skewed strata switch the order column to "
+        "(hash-salt, doc_id) to split the prefix-sum chain."
+    ),
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", F.size(tokens("text")).alias("n_tok"))
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    c = t.withColumn("tok_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+    return (
+        c.select(
+            "lang",
+            F.floor(F.col("tok_before") / PACK_CAPACITY).alias("bin"),
+            "n_tok",
+        )
+        .groupBy("lang", "bin")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").cast("long").alias("total_tokens"))
+    )
+
+
+@register(
+    "contamination_check",
+    oracle=f"""
+WITH {_DUCK_SHINGLES},
+labeled AS (
+  SELECT doc_id, h, ({_duck_split_bucket('doc_id')} < {TEST_CUT}) AS is_test
+  FROM hs
+)
+SELECT t.doc_id AS test_doc_id,
+       count(DISTINCT tr.doc_id) AS n_contaminating_docs,
+       count(*) AS n_shared_shingles
+FROM labeled t JOIN labeled tr ON t.h = tr.h AND tr.is_test = FALSE
+WHERE t.is_test
+GROUP BY t.doc_id
+""",
+    tags=("pipeline", "contamination", "join", "llm-pipeline"),
+    doc=(
+        "Train/test contamination: for every test-split document, count "
+        "train documents sharing at least one 3-word shingle (and the "
+        "total shared-shingle pair count) via an inverted-index self-join "
+        "on the shingle hash. The test side is a few % of shingle rows, "
+        "so the join is test-side-small; at 100 TB, broadcast the test "
+        "side or add a document-frequency cutoff on hot shingles (stop-"
+        "shingle demotion) to bound per-key fanout. Distinct shingles per "
+        "doc keep the pair count equal to |shared shingle vocabulary|."
+    ),
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles_df(spark, sf_dir, distinct=True).select(
+        "doc_id", "h", (_split_bucket("doc_id") < TEST_CUT).alias("is_test")
+    )
+    test = sh.filter(F.col("is_test")).select(
+        F.col("doc_id").alias("test_doc_id"), "h"
+    )
+    train = sh.filter(~F.col("is_test")).select(F.col("doc_id").alias("train_doc_id"), "h")
+    return (
+        test.join(train, "h")
+        .groupBy("test_doc_id")
+        .agg(
+            F.countDistinct("train_doc_id").alias("n_contaminating_docs"),
+            F.count("*").alias("n_shared_shingles"),
+        )
+    )

@@ -53,6 +53,7 @@ _OPERATOR_MODULES = (
     "multithreaded_mapreduce_library_spark.operators.tpch_shapes",
     "multithreaded_mapreduce_library_spark.operators.tpch_more",
     "multithreaded_mapreduce_library_spark.operators.mapreduce_queries",
+    "multithreaded_mapreduce_library_spark.operators.pipeline",
     "multithreaded_mapreduce_library_spark.streaming.queries",
 )
 
@@ -96,6 +97,8 @@ _PRIORITY = (
     "window_rank", "window_topk_per_group", "window_running",
     "window_range_frame",
     "time_tumbling", "sessionize", "hypertable_rollup",
+    "dataset_split", "sample_stratified", "sequence_packing",
+    "contamination_check",
     "pricing_summary", "group_rollup", "grouping_sets", "pivot_status",
     "percentiles", "correlated_subquery", "scd2_merge",
     "pandas_udaf_grouped", "grouped_map_zscore", "map_in_arrow_project",

@@ -149,3 +149,49 @@ def test_map_in_arrow_stays_narrow(spark, sf_dir):
     plan = formatted_plan(SPECS["map_in_arrow_project"].builder(spark, sf_dir))
     assert "Exchange" not in plan
     assert "MapInArrow" in plan or "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_sample_stratified_no_shuffle(spark, sf_dir):
+    """The hash-sample keep decision is a narrow filter: zero exchanges,
+    and the scan prunes to the three output columns + text-free schema."""
+    plan = formatted_plan(SPECS["sample_stratified"].builder(spark, sf_dir))
+    assert "Exchange" not in plan, "deterministic sampling must not shuffle"
+    schemas = read_schemas(SPECS["sample_stratified"].builder(spark, sf_dir))
+    assert schemas and all("text" not in s for s in schemas), (
+        "sampling on doc_id must not read the text column"
+    )
+
+
+def test_dataset_split_single_small_agg(spark, sf_dir):
+    """Split assignment rides the scan; the only exchange carries the
+    (split, lang) partial counters, never document rows."""
+    import re
+
+    df = SPECS["dataset_split"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2, "split counts must partial-aggregate"
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_sequence_packing_one_window_exchange(spark, sf_dir):
+    """Packing = window prefix-sum on the stratum + (lang, bin) agg — and
+    the agg REUSES the window's lang partitioning (bin is derived inside a
+    lang partition), so the whole operator runs on a single exchange."""
+    import re
+
+    plan = formatted_plan(SPECS["sequence_packing"].builder(spark, sf_dir))
+    assert "Window" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, (
+        "expected exactly the window's lang exchange; the (lang, bin) agg "
+        "must reuse that partitioning"
+    )
+
+
+def test_contamination_check_equi_join_only(spark, sf_dir):
+    """The shingle-overlap join is a pure equi-join on the hash — no
+    cartesian/NLJ fallback no matter what the optimizer does with the
+    split predicate."""
+    plan = formatted_plan(SPECS["contamination_check"].builder(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

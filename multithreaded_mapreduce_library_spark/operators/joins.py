@@ -467,3 +467,33 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("l_returnflag").agg(
         F.count("*").alias("n_items"), F.min("flag_total").alias("flag_total")
     )
+
+
+@register(
+    "join_theta",
+    oracle="""
+SELECT r_name, count(*) AS n_pairs, min(n_name) AS first_nation
+FROM region JOIN nation ON length(n_name) > length(r_name)
+GROUP BY r_name
+""",
+    tags=("join", "theta", "nlj"),
+    doc=(
+        "Pure-inequality theta join (no equi component): every (region, "
+        "nation) pair where the nation name is strictly longer. With no "
+        "key to hash on, the ONLY correct physical strategy is a nested-"
+        "loop join — acceptable exactly because both sides are broadcast-"
+        "sized dimensions. This is the deliberate counterexample to the "
+        "no-NLJ rule the fact-table plans assert: at 100 TB a pure theta "
+        "join between facts must be rewritten (banding/bucketing the "
+        "inequality into an equi key) — the engine demonstrates that "
+        "rewrite in join_range and join_asof."
+    ),
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    n = load_table(spark, sf_dir, "nation").select("n_name")
+    return (
+        r.join(F.broadcast(n), F.length(n.n_name) > F.length(r.r_name))
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_pairs"), F.min("n_name").alias("first_nation"))
+    )

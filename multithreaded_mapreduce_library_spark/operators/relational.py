@@ -1213,3 +1213,35 @@ def corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(corr, 9).alias("corr_qty_price"),
         F.round(covar, 4).alias("covar_pop"),
     )
+
+
+_SQL_INTERFACE_TEXT = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value
+FROM orders
+WHERE o_orderdate >= {d0} AND o_orderdate < {d1}
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "sql_interface",
+    oracle=_SQL_INTERFACE_TEXT.format(d0="DATE '1996-01-01'", d1="DATE '1997-01-01'"),
+    tags=("sql-api", "agg"),
+    doc=(
+        "The spark.sql() surface: the fixture tables registered as temp "
+        "views and the query written as SQL text — the same string (up to "
+        "date-literal spelling) runs on DuckDB as the oracle. Catalyst "
+        "plans SQL text and DataFrame calls identically (same logical "
+        "plan), so everything the plan audits assert for the DataFrame "
+        "API holds here too: pushed date filter, pruned scan, partial "
+        "aggregation. The engine is API-complete in the Spark sense: "
+        "DataFrame, SQL, RDD facade (mapreduce module), and Streaming."
+    ),
+)
+def sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _SQL_INTERFACE_TEXT.format(d0="DATE'1996-01-01'", d1="DATE'1997-01-01'")
+    )

@@ -1,0 +1,108 @@
+"""Invariant tests for the dataset-management operators: the properties
+their docstrings claim (partition-layout independence, stratum uniformity,
+packing capacity) hold by construction — assert them directly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from multithreaded_mapreduce_library_spark.operators.pipeline import (
+    PACK_CAPACITY,
+    TRAIN_CUT,
+    VAL_CUT,
+    dataset_split,
+    sample_stratified,
+    sequence_packing,
+)
+from multithreaded_mapreduce_library_spark.registry import load_all
+from multithreaded_mapreduce_library_spark.sources import load_table
+
+SPECS = load_all()
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_split_is_partition_layout_independent(spark, sf_dir):
+    """The split assignment must be a pure function of the row — identical
+    results no matter how the source is partitioned (the property that
+    makes the split reproducible on any cluster)."""
+    base = _rows(dataset_split(spark, sf_dir))
+
+    d = load_table(spark, sf_dir, "documents").repartition(7)
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10).cast("long")
+        % 2_147_483_647,
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < TRAIN_CUT, "train").when(bucket < VAL_CUT, "val").otherwise("test")
+    )
+    from multithreaded_mapreduce_library_spark.functions import tokens
+
+    again = _rows(
+        d.select(split.alias("split"), "lang", F.size(tokens("text")).alias("n_tok"))
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").cast("long").alias("n_tokens"))
+    )
+    assert base == again
+
+
+def test_split_fractions_roughly_match_cuts(spark, sf_dir):
+    counts = {
+        r["split"]: r["n"]
+        for r in dataset_split(spark, sf_dir)
+        .groupBy("split")
+        .agg(F.sum("n_docs").alias("n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    assert set(counts) == {"train", "val", "test"}
+    # md5 buckets are uniform; at fixture sizes allow generous slack
+    assert abs(counts["train"] / total - TRAIN_CUT / 100) < 0.12
+    assert counts["train"] > counts["val"]
+    assert counts["train"] > counts["test"]
+
+
+def test_sample_subset_and_layout_independent(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    sample = _rows(sample_stratified(spark, sf_dir))
+    all_ids = {r["doc_id"] for r in d.select("doc_id").collect()}
+    assert 0 < len(sample) < len(all_ids)
+    assert {t[0] for t in sample} <= all_ids
+    # independence from the scan layout: same rows off a repartitioned source
+    again = sample_stratified(spark, sf_dir)  # builder reads fresh
+    assert _rows(again) == sample
+
+
+def test_sequence_packing_respects_capacity(spark, sf_dir):
+    """Every bin's exclusive prefix start lies on a capacity boundary and
+    per-bin totals only exceed capacity by at most one document's tokens
+    (next-fit chunking semantics: a doc is never split)."""
+    d = load_table(spark, sf_dir, "documents")
+    from multithreaded_mapreduce_library_spark.functions import tokens
+
+    max_doc_tokens = d.select(F.max(F.size(tokens("text"))).alias("m")).collect()[0]["m"]
+    for r in sequence_packing(spark, sf_dir).collect():
+        assert r["bin"] >= 0
+        assert r["total_tokens"] <= PACK_CAPACITY + max_doc_tokens
+        assert r["n_docs"] >= 1
+
+
+def test_contamination_only_flags_test_docs(spark, sf_dir):
+    from multithreaded_mapreduce_library_spark.operators.pipeline import (
+        TEST_CUT,
+        _split_bucket,
+        contamination_check,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    test_ids = {
+        r["doc_id"]
+        for r in d.select("doc_id").filter(_split_bucket("doc_id") < TEST_CUT).collect()
+    }
+    out = contamination_check(spark, sf_dir).collect()
+    assert {r["test_doc_id"] for r in out} <= test_ids
+    for r in out:
+        assert r["n_shared_shingles"] >= r["n_contaminating_docs"] >= 1

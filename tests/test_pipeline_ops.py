@@ -106,3 +106,49 @@ def test_contamination_only_flags_test_docs(spark, sf_dir):
     assert {r["test_doc_id"] for r in out} <= test_ids
     for r in out:
         assert r["n_shared_shingles"] >= r["n_contaminating_docs"] >= 1
+
+
+def test_star_contraction_converges_on_long_chain(spark):
+    """The ADVICE-flagged failure mode: a duplicate-chain component with
+    diameter >> the round cap. One-hop min-label propagation needs
+    O(diameter) rounds (200 here); large-star/small-star needs O(log^2 n)
+    — assert it labels the whole chain with its minimum well inside the
+    operator's 32-round cap."""
+    import pyspark.sql.functions as F
+
+    from multithreaded_mapreduce_library_spark.operators.dedup import (
+        _large_star,
+        _small_star,
+    )
+
+    n = 201  # path 0-1-2-...-200: diameter 200
+    edges = spark.createDataFrame(
+        [(i + 1, i) for i in range(n - 1)], "hi long, lo long"
+    ).localCheckpoint()
+
+    def probe(e):
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(hi, lo))"), F.lit(0)).alias("cs"),
+        ).collect()[0]
+        return row["n"], row["cs"]
+
+    prev = probe(edges)
+    rounds = 0
+    for _ in range(32):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        rounds += 1
+        cur = probe(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise AssertionError("did not converge within the operator's cap")
+
+    labels = {
+        r["hi"]: r["lo"]
+        for r in edges.groupBy("hi").agg(F.min("lo").alias("lo")).collect()
+    }
+    assert rounds < 15, f"converged but too slowly ({rounds} rounds)"
+    assert set(labels) == set(range(1, n)), "every non-root node gets a star edge"
+    assert all(v == 0 for v in labels.values()), "all labels must be the component min"

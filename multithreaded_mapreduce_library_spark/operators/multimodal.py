@@ -225,3 +225,88 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.select("doc_id", "media").mapInPandas(
         _frame_sample_batches, FRAME_SAMPLE_SCHEMA
     )
+
+
+RESIZE_FACTOR = 4  # keep every 4th byte — deterministic stand-in for a
+# pixel-domain downscale (the real hook would decode, cv2/PIL-resize,
+# re-encode inside the same batch loop)
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("orig_len", T.LongType(), False),
+        T.StructField("resized_len", T.LongType(), False),
+        T.StructField("resized_md5", T.StringType(), False),
+    ]
+)
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched resize: strided byte downsample of the blob; identity
+    of the resized payload = md5 of its hex dump (SQL-reproducible, like
+    the frame sampler)."""
+    import hashlib
+
+    for pdf in batches:
+        out = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+            b = bytes(blob)
+            rb = b[::RESIZE_FACTOR]
+            out.append(
+                (
+                    int(doc_id),
+                    len(b),
+                    len(rb),
+                    hashlib.md5(rb.hex().encode()).hexdigest(),
+                )
+            )
+        yield pd.DataFrame(out, columns=["doc_id", "orig_len", "resized_len", "resized_md5"])
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         lower(hex(encode(text))) AS bh,
+         octet_length(encode(text)) AS n
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS mime,
+       n AS orig_len,
+       CAST(ceil(n / {RESIZE_FACTOR}.0) AS BIGINT) AS resized_len,
+       greatest(((doc_id * 37 + 11) % 1024 + 16) // 2, 1) AS new_width,
+       greatest(((doc_id * 53 + 7) % 768 + 16) // 2, 1) AS new_height,
+       md5(array_to_string(
+         list_transform(generate_series(0, CAST(ceil(n / {RESIZE_FACTOR}.0) AS BIGINT) - 1),
+                        k -> substr(bh, k * {2 * RESIZE_FACTOR} + 1, 2)), '')) AS resized_md5
+FROM m
+""",
+    tags=("multimodal", "pandas-udf", "resize", "llm-pipeline"),
+    doc=(
+        f"Media resize plumbing via mapInPandas: strided 1/{RESIZE_FACTOR} "
+        "byte downsample of every blob (deterministic stand-in for a "
+        "pixel-domain resize — the real decode/resize/re-encode swaps into "
+        "the same batch loop), plus halved nominal dimensions in the "
+        "metadata sidecar. Oracle-checked byte-for-byte against SQL "
+        "hex-slicing. Shuffle story: the resize itself is NARROW (blob in, "
+        "blob stats out, same partition); only the broadcast metadata "
+        "enrich joins — at 100 TB payload bytes never cross an exchange."
+    ),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_media(load_table(spark, sf_dir, "documents"))
+    resized = media.select("doc_id", "media").mapInPandas(_resize_batches, RESIZE_SCHEMA)
+    meta = multimodal_metadata(spark, sf_dir).select("doc_id", "mime", "width", "height")
+    return resized.join(F.broadcast(meta), "doc_id").select(
+        "doc_id",
+        "mime",
+        "orig_len",
+        "resized_len",
+        F.greatest(F.floor(F.col("width") / 2), F.lit(1)).cast("long").alias("new_width"),
+        F.greatest(F.floor(F.col("height") / 2), F.lit(1)).cast("long").alias("new_height"),
+        "resized_md5",
+    )

@@ -91,7 +91,7 @@ _PRIORITY = (
     "dedup_ngram_jaccard", "dedup_fuzzy_names", "dedup_clusters",
     "sim_topk_bruteforce", "sim_lsh_buckets", "sim_near_dup",
     "sim_topk_ivf", "embedding_centroids",
-    "multimodal_metadata", "multimodal_frame_sample",
+    "multimodal_metadata", "multimodal_frame_sample", "multimodal_resize",
     "join_broadcast", "join_large", "join_bucketed", "join_left",
     "join_semi", "join_anti", "join_range", "join_asof", "join_skew_salted",
     "window_rank", "window_topk_per_group", "window_running",

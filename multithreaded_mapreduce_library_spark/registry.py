@@ -99,10 +99,11 @@ _PRIORITY = (
     "time_tumbling", "sessionize", "hypertable_rollup",
     "dataset_split", "sample_stratified", "sequence_packing",
     "contamination_check",
-    "pricing_summary", "group_rollup", "grouping_sets", "pivot_status",
-    "percentiles", "correlated_subquery", "scd2_merge",
+    "pricing_summary", "sql_interface",
     "pandas_udaf_grouped", "grouped_map_zscore", "map_in_arrow_project",
     "udtf_tokenize",
+    "group_rollup", "grouping_sets", "pivot_status", "percentiles",
+    "correlated_subquery", "scd2_merge",
     "shipping_priority", "product_profit", "waiting_orders", "market_share",
 )
 

@@ -195,3 +195,27 @@ def test_contamination_check_equi_join_only(spark, sf_dir):
     plan = formatted_plan(SPECS["contamination_check"].builder(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rebalance_scan_contract(spark, sf_dir):
+    """rebalance_scan parallelizes narrow sources and is a strict no-op
+    (same plan object) when the source already meets cluster parallelism —
+    the at-scale case must not pay an exchange."""
+    from multithreaded_mapreduce_library_spark.sources import load_table, rebalance_scan
+
+    narrow = load_table(spark, sf_dir, "documents")
+    assert narrow.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    out = rebalance_scan(narrow, spark)
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+    wide = narrow.repartition(spark.sparkContext.defaultParallelism + 4)
+    assert rebalance_scan(wide, spark) is wide
+
+
+def test_multimodal_metadata_stays_jvm(spark, sf_dir):
+    """The metadata projection must not touch Python: no Arrow/pandas
+    evaluation nodes — pure JVM expressions over the scan."""
+    plan = formatted_plan(SPECS["multimodal_metadata"].builder(spark, sf_dir))
+    for node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython", "MapInArrow"):
+        assert node not in plan
+    assert "Exchange" not in plan

@@ -66,14 +66,28 @@ def test_split_fractions_roughly_match_cuts(spark, sf_dir):
 
 
 def test_sample_subset_and_layout_independent(spark, sf_dir):
+    from multithreaded_mapreduce_library_spark.operators.pipeline import (
+        SAMPLE_PER_MILLE,
+        _split_bucket,
+    )
+    from multithreaded_mapreduce_library_spark.functions import h31
+
     d = load_table(spark, sf_dir, "documents")
     sample = _rows(sample_stratified(spark, sf_dir))
     all_ids = {r["doc_id"] for r in d.select("doc_id").collect()}
     assert 0 < len(sample) < len(all_ids)
     assert {t[0] for t in sample} <= all_ids
-    # independence from the scan layout: same rows off a repartitioned source
-    again = sample_stratified(spark, sf_dir)  # builder reads fresh
-    assert _rows(again) == sample
+    # independence from the scan layout: identical rows when the keep
+    # predicate is applied to a deliberately re-partitioned source
+    # (contrast df.sample(), which changes with partition layout)
+    keep = F.pmod(h31(F.col("doc_id").cast("string")), F.lit(1000)) < SAMPLE_PER_MILLE
+    again = _rows(
+        d.repartition(11).filter(keep).select("doc_id", "lang", "n_chars")
+    )
+    assert again == sample
+    # sanity: _split_bucket shares the same hash family (docs in both the
+    # sample and a split is the normal, consistent case)
+    assert _split_bucket("doc_id") is not None
 
 
 def test_sequence_packing_respects_capacity(spark, sf_dir):

@@ -497,8 +497,10 @@ def _large_star(edges: DataFrame) -> DataFrame:
     sym = edges.select(F.col("hi").alias("src"), F.col("lo").alias("dst")).unionAll(
         edges.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
     )
-    mins = sym.groupBy("src").agg(
-        F.least(F.min("dst"), F.first("src")).alias("m")
+    mins = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select("src", F.least("mn", "src").alias("m"))
     )
     return (
         sym.filter(F.col("dst") > F.col("src"))

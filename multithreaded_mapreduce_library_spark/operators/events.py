@@ -175,7 +175,9 @@ WHERE rn = 1
     tags=("events", "dedup"),
     doc=(
         "Keep-first dedup by (user, event_type): the batch form of streaming "
-        "dropDuplicates state, deterministic via (ts, event_id) ordering."
+        "dropDuplicates state, deterministic via (ts, event_id) ordering. "
+        "Shuffle story: one window exchange on the dedup key; at 100 TB "
+        "this is the exact-dedup shuffle — keys, never payloads, dominate."
     ),
 )
 def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:

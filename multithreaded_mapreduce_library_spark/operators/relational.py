@@ -11,6 +11,24 @@ DuckDB oracle via the registry.
 
 Exactness conventions (see registry module doc): fixed-point money sums,
 string-formatted dates, double division only on exact inputs.
+
+Shuffle stories by family (100 TB invariants, asserted for the headline
+shapes in tests/test_plans.py):
+- scalar/filter/projection ops (scalar_*, case_when, sample_hash,
+  filter_project, json paths): NARROW — zero exchanges; predicates and
+  column pruning ride the parquet scan.
+- plain aggregates (agg_*, count_distinct, having_filter,
+  conditional_agg, percentiles, variance/corr): ONE agg exchange with
+  map-side partials — only per-group accumulators cross the wire, never
+  rows. Multi-distinct and cube/rollup/grouping-sets add the Expand node
+  before the same single exchange; pivot is the same agg with widened
+  accumulators.
+- set ops: UNION ALL is a no-shuffle concat; INTERSECT/EXCEPT (and the
+  ALL forms) plan as one exchange per side on the full row hash.
+- sorts/limits: global top-N is TakeOrderedAndProject (per-partition
+  heads, no full sort); unpivot/explode paths are narrow fan-out.
+- subqueries: scalar subqueries broadcast their 1-row result;
+  decorrelated correlated subqueries become the agg+join shapes above.
 """
 
 from __future__ import annotations

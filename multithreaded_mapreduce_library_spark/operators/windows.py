@@ -6,6 +6,14 @@ either ends with a unique key (o_orderkey) or only feeds rank/dense_rank
 (whose outputs depend on sort-key values, not tie order). Running sums go
 through fixed-point integers so the frame accumulation is exact in both
 engines.
+
+Shuffle story (whole family): exactly ONE window exchange on the
+partition key + an in-partition sort; frames never cross partitions, so
+at 100 TB the cost is one shuffle of the carried columns regardless of
+frame width. Unpartitioned windows (ntile/range_frame/share over the
+global ordering) single-partition by construction — fine for the
+post-aggregate row counts they run on here; for global windows over raw
+facts, range-partition first (the standard rewrite).
 """
 
 from __future__ import annotations

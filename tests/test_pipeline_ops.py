@@ -166,3 +166,16 @@ def test_star_contraction_converges_on_long_chain(spark):
     assert rounds < 15, f"converged but too slowly ({rounds} rounds)"
     assert set(labels) == set(range(1, n)), "every non-root node gets a star edge"
     assert all(v == 0 for v in labels.values()), "all labels must be the component min"
+
+
+def test_cli_list(capsys):
+    from multithreaded_mapreduce_library_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "wordcount" in out and "[oracle" in out
+    assert main(["list", "--tag", "llm-pipeline"]) == 0
+    tagged = capsys.readouterr().out
+    assert "dedup_minhash" in tagged and "join_large" not in tagged
+    # unknown query name on run/explain fails fast without a session
+    assert main(["explain", "not_a_query"]) == 2

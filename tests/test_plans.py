@@ -219,3 +219,38 @@ def test_multimodal_metadata_stays_jvm(spark, sf_dir):
     for node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython", "MapInArrow"):
         assert node not in plan
     assert "Exchange" not in plan
+
+
+def test_fact_join_gets_runtime_bloom_filter_at_scale(spark, sf_dir):
+    """At 100 TB a selective dim can't broadcast and the fact-fact join
+    goes shuffle — Spark then injects a runtime Bloom filter built from
+    the filtered side into the fact scan (row-level pruning before the
+    exchange). Simulate the at-scale planner decision by disabling
+    broadcast and lowering the application-side size gate, and assert the
+    bloom_filter_agg/might_contain pair appears around our join shape."""
+    from pyspark.sql import functions as F
+
+    from multithreaded_mapreduce_library_spark.sources import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = formatted_plan(j)
+        assert "bloom_filter_agg" in plan, "runtime Bloom filter not injected"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -103,3 +103,37 @@ def test_mod_p_headroom():
 
     for a, b in MINHASH_PARAMS:
         assert a * (MOD_P - 1) + b < 2**62
+
+
+def test_tokens_parity_adversarial(spark):
+    """tokens() vs duck_tokens() on adversarial inputs: delimiter runs,
+    leading/trailing delimiters, unicode whitespace that must NOT split
+    (NBSP, ideographic space — the reference splits only on " \\t\\n\\r",
+    distwc.c:14), empty and whitespace-only strings."""
+    import duckdb
+
+    from multithreaded_mapreduce_library_spark.functions import duck_tokens, tokens
+
+    rng = random.Random(7)
+    cases = [
+        "", " ", "\t\n\r ", "a", " a ", "a  b", "\ta\tb\r\nc ",
+        "x y",        # NBSP: one token in both engines
+        "x　y",        # ideographic space: one token
+        "naïve  café\t",
+        "a\rb\nc\td e",
+        "-" * 300,
+    ] + [
+        "".join(rng.choice("ab \t\n\r. é") for _ in range(rng.randint(0, 50)))
+        for _ in range(150)
+    ]
+    sdf = spark.createDataFrame([(c,) for c in cases], ["s"]).select(
+        "s", tokens("s").alias("t")
+    )
+    got = {r["s"]: list(r["t"]) for r in sdf.collect()}
+    con = duckdb.connect()
+    for c in cases:
+        (exp,) = con.execute(
+            f"SELECT {duck_tokens('?')}", [c]
+        ).fetchone()
+        assert got[c] == list(exp), f"tokenizer divergence on {c!r}: {got[c]} vs {exp}"
+    con.close()

@@ -545,15 +545,32 @@ def _small_star(edges: DataFrame) -> DataFrame:
     ),
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _cluster_labels(spark, sf_dir)
+        .groupBy(F.col("lbl").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lbl) for every doc in a near-dup component, lbl = the
+    component's minimum doc_id — the shared core of dedup_clusters and
+    dedup_keep_list.
+
+    localCheckpoint (not persist) on every iterative frontier: persist
+    caches *data* but keeps the logical plan, so each round's plan embeds
+    the whole upstream LSH expression tree again — Catalyst
+    canonicalization then grows exponentially and OOMs the driver after
+    a handful of rounds. Checkpointing truncates lineage, keeping every
+    round's plan O(1). Same requirement on a real cluster (use
+    `checkpoint()` + an HDFS dir there for executor-loss tolerance).
+    """
     pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
     # doc_a < doc_b by construction of the pair join → already canonical.
-    # localCheckpoint (not persist) on every iterative frontier: persist
-    # caches *data* but keeps the logical plan, so each round's plan embeds
-    # the whole upstream LSH expression tree again — Catalyst
-    # canonicalization then grows exponentially and OOMs the driver after
-    # a handful of rounds. Checkpointing truncates lineage, keeping every
-    # round's plan O(1). Same requirement on a real cluster (use
-    # `checkpoint()` + an HDFS dir there for executor-loss tolerance).
     edges = pairs.select(
         F.col("doc_b").alias("hi"), F.col("doc_a").alias("lo")
     ).distinct().localCheckpoint()
@@ -590,14 +607,57 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Fixpoint state is a star forest: every non-root member appears as hi
     # exactly once, pointing at its component minimum.
     root_of = edges.groupBy(F.col("hi").alias("doc_id")).agg(F.min("lo").alias("root"))
-    labels = members.join(root_of, "doc_id", "left").select(
+    return members.join(root_of, "doc_id", "left").select(
         "doc_id", F.coalesce("root", "doc_id").alias("lbl")
     )
-    return (
-        labels.groupBy(F.col("lbl").alias("cluster_id"))
-        .agg(
-            F.count("*").alias("cluster_size"),
-            F.min("doc_id").alias("min_doc"),
-            F.max("doc_id").alias("max_doc"),
-        )
+
+
+_KEEP_LIST_ORACLE = f"""
+WITH RECURSIVE {_DUCK_SHINGLES.strip().lstrip()},
+mh AS (SELECT doc_id, {_duck_minhash_cols()} FROM hs GROUP BY doc_id),
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band, {_band_sig('', b)} AS sig FROM mh"
+      for b in range(N_BANDS)
+  )}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+members AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach(doc_id, lbl) AS (
+  SELECT doc_id, doc_id FROM members
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.doc_id
+)
+SELECT doc_id, cluster_id, doc_id = cluster_id AS is_keeper
+FROM (SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id)
+"""
+
+
+@register(
+    "dedup_keep_list",
+    oracle=_KEEP_LIST_ORACLE,
+    tags=("dedup", "iterative", "graph", "llm-pipeline"),
+    doc=(
+        "The dedup DECISION table — what a pipeline actually applies: one "
+        "row per document in any near-dup component with its cluster id "
+        "and keep/drop verdict (keeper = the component's minimum doc_id, "
+        "the survivorship rule). Anti-joining the drop rows against the "
+        "corpus IS the dedup. Same star-contraction core as "
+        "dedup_clusters (shuffle story there); emitting doc-level rows "
+        "adds no extra exchange."
+    ),
+)
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = _cluster_labels(spark, sf_dir)
+    return labels.select(
+        "doc_id",
+        F.col("lbl").alias("cluster_id"),
+        (F.col("doc_id") == F.col("lbl")).alias("is_keeper"),
     )

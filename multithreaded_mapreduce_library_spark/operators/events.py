@@ -248,3 +248,73 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (bucket_day))
         """
     )
+
+
+FUNNEL_WINDOW_MIN = 60  # click -> purchase attribution window
+
+
+@register(
+    "event_funnel",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type, ts,
+         min(CASE WHEN event_type = 'purchase' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase_ts
+  FROM events
+),
+clicks AS (
+  SELECT user_id,
+         CASE WHEN next_purchase_ts IS NOT NULL
+                   AND next_purchase_ts <= ts + INTERVAL {FUNNEL_WINDOW_MIN} MINUTE
+              THEN 1 ELSE 0 END AS converted
+  FROM seq WHERE event_type = 'click'
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_clicks,
+       CAST(sum(converted) AS BIGINT) AS n_converted,
+       round(sum(converted) / CAST(count(*) AS DOUBLE), 6) AS conversion_rate
+FROM clicks
+GROUP BY user_id
+""",
+    tags=("events", "funnel", "window"),
+    doc=(
+        "Click→purchase funnel per user: a click converts if the same "
+        "user purchases within the next hour. Sequence analysis as a "
+        "forward-looking window minimum (next purchase at-or-after each "
+        "event) — no self-join, no per-user collect. Shuffle story: ONE "
+        "window exchange on user_id, then a per-user agg that REUSES that "
+        "partitioning (no second exchange). At 100 TB this is the "
+        "standard sessionized-funnel shape: state per user bounded by "
+        "the attribution window."
+    ),
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    next_purchase = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    clicks = (
+        e.withColumn("next_purchase_ts", next_purchase)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            (
+                F.col("next_purchase_ts").isNotNull()
+                & (
+                    F.col("next_purchase_ts")
+                    <= F.col("ts") + F.expr(f"INTERVAL {FUNNEL_WINDOW_MIN} MINUTES")
+                )
+            ).cast("int").alias("converted"),
+        )
+    )
+    return clicks.groupBy("user_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.round(F.sum("converted") / F.count("*").cast("double"), 6).alias("conversion_rate"),
+    )

@@ -1263,3 +1263,79 @@ def sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _SQL_INTERFACE_TEXT.format(d0="DATE'1996-01-01'", d1="DATE'1997-01-01'")
     )
+
+
+@register(
+    "dist_moments",
+    oracle="""
+WITH d AS (
+  SELECT l_returnflag, CAST(floor(l_quantity) AS BIGINT) AS x FROM lineitem
+),
+m AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         CAST(sum(x) AS DOUBLE) AS s1,
+         CAST(sum(x * x) AS DOUBLE) AS s2,
+         CAST(sum(x * x * x) AS DOUBLE) AS s3,
+         CAST(sum(x * x * x * x) AS DOUBLE) AS s4
+  FROM d GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round(mu, 6) AS mean_qty,
+       round(m2, 6) AS var_pop_qty,
+       round(m3 / (m2 * sqrt(m2)), 6) AS skewness_qty,
+       round(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis_qty
+FROM (
+  SELECT l_returnflag, n,
+         s1 / n AS mu,
+         s2 / n - (s1 / n) * (s1 / n) AS m2,
+         s3 / n - 3.0 * (s1 / n) * (s2 / n) + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+         s4 / n - 4.0 * (s1 / n) * (s3 / n)
+               + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+               - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+  FROM m
+)
+""",
+    tags=("relational", "aggregation", "statistics"),
+    doc=(
+        "Skewness / excess kurtosis per group from EXACT integer power "
+        "sums (x = floor(l_quantity) <= 50, so sum(x^4) stays far under "
+        "2^63 to ~3.7e12 rows per group): the four moments are computed "
+        "as int64 sums — order-independent, one agg exchange with "
+        "map-side partials — then combined with the identical IEEE "
+        "expression in both engines. Native skewness()/kurtosis() use "
+        "engine-specific streaming algorithms whose float results drift "
+        "with partitioning; moment sums don't. Shuffle story: ONE agg "
+        "exchange carrying five integers per group."
+    ),
+)
+def dist_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.floor(F.col("l_quantity"))
+    g = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("is1"),
+        F.sum(x * x).alias("is2"),
+        F.sum(x * x * x).alias("is3"),
+        F.sum(x * x * x * x).alias("is4"),
+    )
+    nd = F.col("n").cast("double")
+    s1, s2 = F.col("is1").cast("double"), F.col("is2").cast("double")
+    s3, s4 = F.col("is3").cast("double"), F.col("is4").cast("double")
+    mu = s1 / nd
+    m2 = s2 / nd - mu * mu
+    m3 = s3 / nd - F.lit(3.0) * mu * (s2 / nd) + F.lit(2.0) * mu * mu * mu
+    m4 = (
+        s4 / nd
+        - F.lit(4.0) * mu * (s3 / nd)
+        + F.lit(6.0) * mu * mu * (s2 / nd)
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    return g.select(
+        "l_returnflag",
+        "n",
+        F.round(mu, 6).alias("mean_qty"),
+        F.round(m2, 6).alias("var_pop_qty"),
+        F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness_qty"),
+        F.round(m4 / (m2 * m2) - F.lit(3.0), 6).alias("excess_kurtosis_qty"),
+    )

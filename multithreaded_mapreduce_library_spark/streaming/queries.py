@@ -308,3 +308,73 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return run_to_memory(agg, "complete")
+
+
+@register(
+    "stream_funnel",
+    oracle=None,  # custom stateful op — rows-only check; batch twin: event_funnel
+    tags=("streaming", "stateful", "pandas-udf", "funnel"),
+    doc=(
+        "Custom stateful streaming funnel via applyInPandasWithState: per "
+        "user, GroupState carries the pending click timestamps inside the "
+        "1-hour attribution window plus running (n_clicks, n_converted); "
+        "each batch sorts its events in event-time order, attributes "
+        "purchases to the earliest pending clicks, expires clicks older "
+        "than the window, and emits the updated per-user totals. State is "
+        "bounded by clicks-per-user-per-hour — the invariant that keeps "
+        "memory flat at any stream volume. The settled replay equals the "
+        "batch event_funnel operator exactly (asserted in tests)."
+    ),
+)
+def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    WINDOW_S = 3600  # attribution window, matches operators.events.FUNNEL_WINDOW_MIN
+
+    s = events_stream(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        pending, n_clicks, n_converted = (
+            state.get if state.exists else ((), 0, 0)
+        )
+        pending = list(pending)  # epoch-second click times, ascending
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows):
+            rows = rows.sort_values(["ts", "event_id"])
+            for _, r in rows.iterrows():
+                t = r["ts"].timestamp()
+                if r["event_type"] == "click":
+                    pending.append(t)
+                    n_clicks += 1
+                elif r["event_type"] == "purchase":
+                    keep = []
+                    for c in pending:
+                        if t - c <= WINDOW_S and t >= c:
+                            n_converted += 1  # every in-window click converts
+                        elif t - c <= WINDOW_S:
+                            keep.append(c)
+                    pending = keep
+                # expire clicks the next purchase could never reach
+                cutoff = t - WINDOW_S
+                pending = [c for c in pending if c >= cutoff]
+        state.update((tuple(pending), n_clicks, n_converted))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_clicks": [n_clicks],
+                "n_converted": [n_converted],
+            }
+        )
+
+    out = s.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_clicks long, n_converted long",
+        stateStructType="pending array<double>, n_clicks long, n_converted long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(out, "update")

@@ -145,3 +145,19 @@ def test_watermark_drops_late_data(spark, tmp_path):
         assert 1000 not in ids
     finally:
         q.stop()
+
+
+def test_stream_funnel_equals_batch(spark, sf_dir):
+    """The stateful streaming funnel's settled totals must equal the batch
+    event_funnel exactly (same attribution semantics, ROWS-frame tie
+    order included). Streaming also emits zero-click users; restrict to
+    the batch domain."""
+    stream = {r["user_id"]: (r["n_clicks"], r["n_converted"])
+              for r in SPECS["stream_funnel"].builder(spark, sf_dir).collect()}
+    batch = {r["user_id"]: (r["n_clicks"], r["n_converted"])
+             for r in SPECS["event_funnel"].builder(spark, sf_dir).collect()}
+    assert set(batch) <= set(stream)
+    for uid, exp in batch.items():
+        assert stream[uid] == exp, f"user {uid}: stream {stream[uid]} != batch {exp}"
+    # users with no clicks appear in the stream output with zero counts
+    assert all(stream[u][0] == 0 for u in set(stream) - set(batch))

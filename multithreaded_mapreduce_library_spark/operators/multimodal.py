@@ -99,12 +99,16 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             arr = np.frombuffer(blob, dtype=np.uint8)
             hist = np.bincount(arr >> 4, minlength=N_HIST_BINS).astype("float64")
             total = max(len(arr), 1)
+            # fixed-point quantization (floor(x*1e6 + 0.5)/1e6), NOT
+            # np.round: numpy rounds half-even, SQL rounds half-away —
+            # the shared floor form is bit-identical to the DuckDB oracle
+            ratios = np.floor(hist / total * 1_000_000 + 0.5) / 1_000_000
             out.append(
                 (
                     int(doc_id),
                     int(len(arr)),
                     int(-(-len(arr) // FRAME_BYTES)),
-                    np.round(hist / total, 6).tolist(),
+                    ratios.tolist(),
                 )
             )
         yield pd.DataFrame(out, columns=["doc_id", "byte_len", "n_frames", "histogram"])
@@ -140,14 +144,43 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FEATURES_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id, lower(hex(encode(text))) AS bh, octet_length(encode(text)) AS n
+  FROM documents
+),
+hn AS (
+  SELECT doc_id, n,
+         list_transform(generate_series(1, n), i -> substr(bh, 2 * i - 1, 1)) AS nibbles
+  FROM m
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS mime,
+       n AS byte_len,
+       CAST(ceil(n / {FRAME_BYTES}.0) AS BIGINT) AS n_frames,
+       list_transform(
+         ['0','1','2','3','4','5','6','7','8','9','a','b','c','d','e','f'],
+         d -> floor(len(list_filter(nibbles, c -> c = d)) / CAST(n AS DOUBLE)
+                    * 1000000 + 0.5) / 1000000
+       ) AS histogram
+FROM hn
+"""
+
+
 @register(
     "multimodal_features",
-    oracle=None,  # binary feature path — rows-only check (non-SQL-expressible)
+    oracle=_FEATURES_ORACLE,
     tags=("multimodal", "pandas-udf", "llm-pipeline"),
     doc=(
         "Feature extraction over binary media via mapInPandas (Arrow "
-        "batches): byte histogram + frame count per document, joined back "
-        "to metadata. The real decode hook is decode_media (stubbed here)."
+        "batches): high-nibble byte histogram + frame count per document, "
+        "joined back to metadata. The real decode hook is decode_media "
+        "(stubbed). Oracle-gated despite the numpy path: the histogram "
+        "ratios are fixed-point-quantized with the shared floor form, and "
+        "the oracle recomputes them from hex-nibble counts — the UDF's "
+        "Arrow plumbing is verified value-for-value, not just rows-only."
     ),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:

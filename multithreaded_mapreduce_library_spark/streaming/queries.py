@@ -345,12 +345,14 @@ def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = pd.concat(list(pdfs), ignore_index=True)
         if len(rows):
             rows = rows.sort_values(["ts", "event_id"])
-            for _, r in rows.iterrows():
-                t = r["ts"].timestamp()
-                if r["event_type"] == "click":
+            # itertuples, not iterrows: ~10× less per-row overhead — this
+            # loop is the operator's hot path (once per event per batch)
+            for r in rows.itertuples(index=False):
+                t = r.ts.timestamp()
+                if r.event_type == "click":
                     pending.append(t)
                     n_clicks += 1
-                elif r["event_type"] == "purchase":
+                elif r.event_type == "purchase":
                     keep = []
                     for c in pending:
                         if t - c <= WINDOW_S and t >= c:

@@ -269,3 +269,41 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 8).alias("cum_dist"),
         F.nth_value("o_orderkey", 3).over(w_nth).alias("third_orderkey"),
     )
+
+
+@register(
+    "window_moving_avg",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       ((sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w / 100)
+        / count(*) OVER w) AS moving_avg_price,
+       count(*) OVER w AS n_in_window
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+    tags=("window", "frame", "moving-average"),
+    doc=(
+        "Trailing 7-order moving average per customer: the classic "
+        "smoothing frame, exact via fixed-point sums divided back once "
+        "(a native double avg() would drift with frame-slide order). "
+        "Shuffle story: the family's single window exchange on "
+        "o_custkey; the bounded ROWS frame keeps per-row state at 7 "
+        "entries regardless of partition size."
+    ),
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-6, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        ((F.sum(fixed_point("o_totalprice")).over(w) / 100) / F.count("*").over(w)).alias(
+            "moving_avg_price"
+        ),
+        F.count("*").over(w).alias("n_in_window"),
+    )

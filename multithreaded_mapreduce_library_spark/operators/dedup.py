@@ -661,3 +661,59 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lbl").alias("cluster_id"),
         (F.col("doc_id") == F.col("lbl")).alias("is_keeper"),
     )
+
+
+@register(
+    "dedup_apply",
+    oracle=f"""
+WITH RECURSIVE {_DUCK_SHINGLES.strip().lstrip()},
+mh AS (SELECT doc_id, {_duck_minhash_cols()} FROM hs GROUP BY doc_id),
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band, {_band_sig('', b)} AS sig FROM mh"
+      for b in range(N_BANDS)
+  )}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+members AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach(doc_id, lbl) AS (
+  SELECT doc_id, doc_id FROM members
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.doc_id
+),
+drops AS (
+  SELECT doc_id FROM (SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id)
+  WHERE doc_id <> cluster_id
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d LEFT JOIN drops k ON d.doc_id = k.doc_id
+WHERE k.doc_id IS NULL
+""",
+    tags=("dedup", "anti-join", "llm-pipeline"),
+    doc=(
+        "The APPLIED dedup: corpus minus near-dup losers — documents "
+        "anti-joined against dedup_keep_list's drop rows, keeping every "
+        "cluster's minimum doc_id plus all unclustered docs. This is the "
+        "pipeline's actual output table. Shuffle story: the drop list is "
+        "a few % of doc_ids and BROADCASTS into the anti-join — the "
+        "corpus rows never shuffle; at extreme drop-list sizes fall back "
+        "to a keyed left-anti (one exchange each side)."
+    ),
+)
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    drops = (
+        _cluster_labels(spark, sf_dir)
+        .filter(F.col("doc_id") != F.col("lbl"))
+        .select("doc_id")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    return d.join(F.broadcast(drops), "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_chars"
+    )

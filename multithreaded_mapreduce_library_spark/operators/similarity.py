@@ -365,3 +365,80 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.sum("val_fx").cast("double") / 1_000_000) / F.count("*")).alias("centroid"),
         F.count("*").alias("n_vectors"),
     )
+
+
+_MP_BITS = 4  # coarse cells, matching sim_topk_ivf
+
+
+def _duck_probe_cells(cell: str) -> str:
+    # cell plus its Hamming-1 neighbors: flip each of the 4 bits via XOR
+    return "[" + ", ".join(
+        [cell] + [f"xor({cell}, {1 << b})" for b in range(_MP_BITS)]
+    ) + "]"
+
+
+@register(
+    "sim_topk_multiprobe",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_sign_bucket_duck('embedding', _MP_BITS)} AS cell
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, embedding, unnest({_duck_probe_cells('cell')}) AS probe
+  FROM b WHERE vec_id % {QUERY_MOD} = 0
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_duck_cosine('q.embedding', 'c.embedding')}, 6) AS cosine,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_duck_cosine('q.embedding', 'c.embedding')} DESC, c.vec_id
+         ) AS rnk
+  FROM q JOIN b c ON q.probe = c.cell AND q.vec_id <> c.vec_id
+)
+WHERE rnk <= 3
+""",
+    tags=("similarity", "topk", "ivf", "multiprobe", "llm-pipeline"),
+    doc=(
+        "Multi-probe ANN: each query probes its own coarse cell PLUS the "
+        f"{_MP_BITS} Hamming-1 neighbor cells (bit-flip probing, à la "
+        "multi-probe LSH) — the standard recall fix for single-probe IVF "
+        "(a near-neighbor that lands just across one hyperplane is no "
+        "longer missed) at a bounded 5× candidate cost, still never the "
+        "n² scan. Shuffle story: the probe fan-out is a narrow 5-row "
+        "explode on the (tiny) query side; ONE equi-join exchange on the "
+        "cell id; per-query top-k is the window family's single "
+        "exchange. At 100 TB the cell id remains the cluster key and "
+        "probe count is the recall/cost dial."
+    ),
+)
+def sim_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _load_embeddings(spark, sf_dir).select(
+        "vec_id", _dvec("embedding").alias("v"),
+        _sign_bucket_spark("embedding", _MP_BITS).alias("cell"),
+    ).withColumn("norm", F.expr(_SPARK_NORM))
+    probes = F.array(
+        F.col("cell"), *[F.expr(f"cell ^ {1 << b}") for b in range(_MP_BITS)]
+    )
+    q = (
+        e.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("va"),
+            F.col("norm").alias("norm_a"), F.explode(probes).alias("probe"),
+        )
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vb"),
+        F.col("cell").alias("c_cell"), F.col("norm").alias("norm_b"),
+    )
+    scored = (
+        q.join(c, (F.col("probe") == F.col("c_cell")) & (F.col("query_id") != F.col("neighbor_id")))
+        .withColumn("cos_exact", F.expr(_SPARK_COSINE))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_exact").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", F.round("cos_exact", 6).alias("cosine"), "rnk")
+    )

@@ -161,3 +161,27 @@ def test_stream_funnel_equals_batch(spark, sf_dir):
         assert stream[uid] == exp, f"user {uid}: stream {stream[uid]} != batch {exp}"
     # users with no clicks appear in the stream output with zero counts
     assert all(stream[u][0] == 0 for u in set(stream) - set(batch))
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """Multi-probe candidates are a superset of single-probe's, so recall
+    against the exact brute-force top-k can only improve — assert it."""
+    def topk(name, k=3):
+        out = {}
+        for r in SPECS[name].builder(spark, sf_dir).collect():
+            if r["rnk"] <= k:
+                out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = topk("sim_topk_bruteforce")
+    single = topk("sim_topk_ivf")
+    multi = topk("sim_topk_multiprobe")
+
+    def recall(approx):
+        hits = sum(len(approx.get(q, set()) & exact[q]) for q in exact)
+        total = sum(len(v) for v in exact.values())
+        return hits / total
+
+    r_single, r_multi = recall(single), recall(multi)
+    assert r_multi >= r_single, f"multiprobe recall {r_multi} < single {r_single}"
+    assert r_multi > 0

@@ -29,7 +29,13 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from multithreaded_mapreduce_library_spark.functions import duck_h31, duck_tokens, h31, tokens
-from multithreaded_mapreduce_library_spark.operators.dedup import _DUCK_SHINGLES, _shingles_df
+from multithreaded_mapreduce_library_spark.operators.dedup import (
+    _DUCK_SHINGLES,
+    _band_sig,
+    _duck_minhash_cols,
+    _shingles_df,
+    N_BANDS,
+)
 from multithreaded_mapreduce_library_spark.registry import register
 from multithreaded_mapreduce_library_spark.sources import load_table
 
@@ -207,4 +213,94 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("train_doc_id").alias("n_contaminating_docs"),
             F.count("*").alias("n_shared_shingles"),
         )
+    )
+
+
+# Curation gates (C4/Gopher-style cheap filters; exact-int ratio math).
+CURATE_MIN_TOKENS = 15
+CURATE_MAX_TOKENS = 100_000
+CURATE_MIN_TTR = 0.2  # type-token ratio floor (repetition filter)
+CURATE_LANGS = ("en", "fr", "de", "es", "zh")
+
+
+@register(
+    "corpus_curation",
+    oracle=f"""
+WITH RECURSIVE {_DUCK_SHINGLES.strip().lstrip()},
+mh AS (SELECT doc_id, {_duck_minhash_cols()} FROM hs GROUP BY doc_id),
+bands AS ({" UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, {_band_sig('', b)} AS sig FROM mh"
+    for b in range(N_BANDS)
+)}),
+prs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM prs
+  UNION ALL SELECT doc_b, doc_a FROM prs
+),
+mem AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach(doc_id, lbl) AS (
+  SELECT doc_id, doc_id FROM mem
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.doc_id
+),
+drops AS (
+  SELECT doc_id FROM (SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id)
+  WHERE doc_id <> cluster_id
+),
+scored AS (
+  SELECT doc_id, lang, {duck_tokens('text')} AS toks FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+       min(s.doc_id) AS min_doc_id
+FROM scored s
+LEFT JOIN drops k ON s.doc_id = k.doc_id
+WHERE k.doc_id IS NULL
+  AND lang IN {CURATE_LANGS!r}
+  AND len(toks) BETWEEN {CURATE_MIN_TOKENS} AND {CURATE_MAX_TOKENS}
+  AND len(list_distinct(toks)) / len(toks) >= {CURATE_MIN_TTR}
+GROUP BY lang
+""",
+    tags=("pipeline", "curation", "dedup", "quality", "llm-pipeline"),
+    doc=(
+        "The capstone curation pass — what the whole extension surface "
+        "composes into: keep documents that (1) survive near-dup dedup "
+        "(MinHash-LSH components, losers dropped), (2) pass the cheap "
+        "quality gates (token-count band, type-token-ratio repetition "
+        "floor — exact-int ratios, engines agree bit-for-bit), and "
+        "(3) are in an allowed language; report the surviving corpus per "
+        "language (docs, tokens). Shuffle story: quality+language gates "
+        "ride the scan (narrow); the drop list broadcasts into the "
+        "anti-join; one final (lang) agg exchange of counters. At 100 TB "
+        "the only heavy machinery is the LSH pipeline it shares with "
+        "dedup_minhash — the curation pass itself adds zero wide "
+        "shuffles."
+    ),
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from multithreaded_mapreduce_library_spark.operators.dedup import _cluster_labels
+
+    drops = (
+        _cluster_labels(spark, sf_dir)
+        .filter(F.col("doc_id") != F.col("lbl"))
+        .select("doc_id")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size("toks")
+    kept = (
+        d.select("doc_id", "lang", toks.alias("toks"))
+        .filter(F.col("lang").isin(*CURATE_LANGS))
+        .filter((n >= CURATE_MIN_TOKENS) & (n <= CURATE_MAX_TOKENS))
+        .filter(F.size(F.array_distinct("toks")) / n >= CURATE_MIN_TTR)
+        .join(F.broadcast(drops), "doc_id", "left_anti")
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("toks")).cast("long").alias("n_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
     )

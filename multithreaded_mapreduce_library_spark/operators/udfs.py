@@ -275,3 +275,75 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE doc_id % 50 = 0
         """
     )
+
+
+@register(
+    "cogroup_reconcile",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey, count(*) AS n_orders,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS spend_fx
+  FROM orders GROUP BY o_custkey
+),
+l AS (
+  SELECT o_custkey, count(*) AS n_items
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_custkey
+)
+SELECT o.o_custkey AS custkey, o.n_orders,
+       COALESCE(l.n_items, 0) AS n_items,
+       (o.spend_fx / 100.0) AS total_spend
+FROM o LEFT JOIN l ON o.o_custkey = l.o_custkey
+""",
+    tags=("udf", "pandas", "cogroup"),
+    doc=(
+        "cogroup().applyInPandas — the two-sided grouped-map surface "
+        "(each key's orders AND lineitems arrive as a pandas DataFrame "
+        "pair): per-customer order/item reconciliation with fixed-point "
+        "spend. The modern form of a reduce-side join the reference user "
+        "would hand-roll across two Mapper tag streams. Shuffle story: "
+        "both sides exchange once on the cogroup key (lineitem pre-keyed "
+        "by custkey via a broadcast orders-key join), then the pandas "
+        "function runs partition-local; one Arrow hop per side."
+    ),
+)
+def cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    okeys = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey")
+        .join(F.broadcast(okeys), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_custkey")
+    )
+
+    def reconcile(orders_pdf: pd.DataFrame, items_pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(orders_pdf) == 0:
+            return pd.DataFrame(
+                columns=["custkey", "n_orders", "n_items", "total_spend"]
+            )
+        custkey = int(orders_pdf["o_custkey"].iloc[0])
+        spend_fx = int(
+            np.floor(orders_pdf["o_totalprice"].to_numpy() * 100 + 0.5)
+            .astype("int64")
+            .sum()
+        )
+        return pd.DataFrame(
+            {
+                "custkey": [custkey],
+                "n_orders": [len(orders_pdf)],
+                "n_items": [len(items_pdf)],
+                "total_spend": [spend_fx / 100.0],
+            }
+        )
+
+    return (
+        o.groupBy("o_custkey")
+        .cogroup(li.groupBy("o_custkey"))
+        .applyInPandas(
+            reconcile,
+            "custkey long, n_orders long, n_items long, total_spend double",
+        )
+    )

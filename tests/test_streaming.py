@@ -185,3 +185,52 @@ def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     r_single, r_multi = recall(single), recall(multi)
     assert r_multi >= r_single, f"multiprobe recall {r_multi} < single {r_single}"
     assert r_multi > 0
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Production durability: a stream with a checkpointLocation survives
+    stop/restart without reprocessing — file 1's rows are NOT re-emitted
+    after restart, file 2's appear exactly once (offset tracking + sink
+    commit log)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "ckpt_src"
+    ckpt = tmp_path / "ckpt_state"
+    src.mkdir()
+
+    def start_query():
+        stream = (
+            spark.readStream.schema("id long, v double")
+            .parquet(str(src / "*"))
+            .groupBy((F.col("id") % 4).alias("bucket"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        return (
+            stream.writeStream.format("memory")
+            .queryName("ckpt_sink")
+            .outputMode("complete")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id long, v double"
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    q = start_query()
+    q.awaitTermination()
+    first = {r["bucket"]: r["cnt"] for r in spark.table("ckpt_sink").collect()}
+    assert sum(first.values()) == 100
+
+    # restart from the same checkpoint with a new file present
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(100, 140)], "id long, v double"
+    ).coalesce(1).write.parquet(str(src / "f2"))
+    q2 = start_query()
+    q2.awaitTermination()
+    second = {r["bucket"]: r["cnt"] for r in spark.table("ckpt_sink").collect()}
+    # complete-mode state restored from checkpoint + only the new rows added:
+    # total is 140, not 240 (f1 not reprocessed) and not 40 (state kept)
+    assert sum(second.values()) == 140, second

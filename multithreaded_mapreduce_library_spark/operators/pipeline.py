@@ -15,9 +15,10 @@ Scale notes (100 TB story):
 - dataset_split / sample_stratified: pure narrow projections + one tiny
   agg exchange — no join, no wide shuffle; the hash IS the split, so the
   same row lands in the same split on any cluster.
-- sequence_packing: one window shuffle on the stratum key + one agg on
-  (stratum, bin); bins are a prefix-sum over token counts, so packing is
-  deterministic given the (lang, doc_id) order — no driver-side loop.
+- sequence_packing: ONE shuffle total — the window exchange on the
+  stratum key doubles as the (stratum, bin) agg's distribution; bins are
+  a prefix-sum over token counts, so packing is deterministic given the
+  (lang, doc_id) order — no driver-side loop.
 - contamination_check: inverted-index join on the shingle hash, with the
   candidate side pre-shrunk to the test split (a few % of rows) — the
   join fanout is bounded by shingle document-frequency, never n².
@@ -145,10 +146,12 @@ GROUP BY 1, 2
         f"({PACK_CAPACITY} tokens) per language via an exclusive running "
         "token count — chunked next-fit packing as a prefix sum, fully "
         "declarative (no driver loop, no stateful UDF). Deterministic "
-        "given the (lang, doc_id) order. Shuffles: one window exchange on "
-        "lang, one agg on (lang, bin). 100 TB note: the window partition "
-        "key is the stratum; for skewed strata switch the order column to "
-        "(hash-salt, doc_id) to split the prefix-sum chain."
+        "given the (lang, doc_id) order. Shuffles: ONE exchange total — "
+        "the window's lang partitioning also satisfies the (lang, bin) "
+        "agg's distribution (bin is derived inside a lang partition), "
+        "asserted in tests/test_plans.py. 100 TB note: the window "
+        "partition key is the stratum; for skewed strata switch the order "
+        "column to (hash-salt, doc_id) to split the prefix-sum chain."
     ),
 )
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -254,3 +254,21 @@ def test_fact_join_gets_runtime_bloom_filter_at_scale(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_cogroup_plan_shape(spark, sf_dir):
+    """cogroup().applyInPandas: both sides exchange once on the cogroup
+    key into a FlatMapCoGroupsInPandas node; no cartesian fallback."""
+    plan = formatted_plan(SPECS["cogroup_reconcile"].builder(spark, sf_dir))
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_corpus_curation_broadcasts_drop_list(spark, sf_dir):
+    """The curation capstone: quality/language gates are narrow, the
+    near-dup drop list broadcasts into the anti-join (corpus rows never
+    shuffle for it), and the final counters partial-aggregate."""
+    plan = formatted_plan(SPECS["corpus_curation"].builder(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2

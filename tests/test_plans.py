@@ -272,3 +272,23 @@ def test_corpus_curation_broadcasts_drop_list(spark, sf_dir):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
+    """AQE runtime re-planning is live: a small aggregation's final
+    adaptive plan reads the shuffle through AQEShuffleRead with partitions
+    coalesced below the static spark.sql.shuffle.partitions — the
+    mechanism that right-sizes reducers from runtime stats at any scale."""
+    from pyspark.sql import functions as F
+
+    from multithreaded_mapreduce_library_spark.sources import load_table
+
+    df = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    df.collect()  # the final adaptive plan exists only after execution
+    plan = formatted_plan(df, mode="simple")
+    assert "AQEShuffleRead" in plan
+    assert "coalesced" in plan

@@ -179,3 +179,24 @@ def test_cli_list(capsys):
     assert "dedup_minhash" in tagged and "join_large" not in tagged
     # unknown query name on run/explain fails fast without a session
     assert main(["explain", "not_a_query"]) == 2
+
+
+def test_cli_explain_subprocess(sf_dir):
+    """The CLI's session-owning paths run in a subprocess (they stop their
+    session — must not touch the suite's). explain must surface the
+    formatted plan with scan pushdown visible."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    out = subprocess.run(
+        [sys.executable, "-m", "multithreaded_mapreduce_library_spark", "explain", "filter_project", "--sf", sf_dir],
+        capture_output=True,
+        text=True,
+        timeout=180,
+        env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "PushedFilters" in out.stdout
+    assert "Scan parquet" in out.stdout

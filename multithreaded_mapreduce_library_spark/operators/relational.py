@@ -1236,7 +1236,7 @@ def corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_INTERFACE_TEXT = """
 SELECT o_orderpriority,
        count(*) AS n_orders,
-       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
 FROM orders
 WHERE o_orderdate >= {d0} AND o_orderdate < {d1}
 GROUP BY o_orderpriority

@@ -84,27 +84,60 @@ def register(
 # than only the first modules imported. Contains no names not registered
 # elsewhere; everything unlisted follows in registration order.
 _PRIORITY = (
-    "wordcount", "mr_wordcount", "mr_inverted_index",
-    "token_stats", "quality_score", "lang_id", "doc_fingerprint",
-    "tf_idf", "bm25_search",
-    "dedup_exact", "dedup_keep_first", "dedup_minhash", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_fuzzy_names", "dedup_clusters",
-    "sim_topk_bruteforce", "sim_lsh_buckets", "sim_near_dup",
-    "sim_topk_ivf", "embedding_centroids",
-    "multimodal_metadata", "multimodal_frame_sample", "multimodal_resize",
-    "join_broadcast", "join_large", "join_bucketed", "join_left",
-    "join_semi", "join_anti", "join_range", "join_asof", "join_skew_salted",
-    "window_rank", "window_topk_per_group", "window_running",
-    "window_range_frame",
-    "time_tumbling", "sessionize", "hypertable_rollup",
-    "dataset_split", "sample_stratified", "sequence_packing",
-    "contamination_check",
-    "pricing_summary", "sql_interface",
-    "pandas_udaf_grouped", "grouped_map_zscore", "map_in_arrow_project",
-    "udtf_tokenize",
-    "group_rollup", "grouping_sets", "pivot_status", "percentiles",
-    "correlated_subquery", "scd2_merge",
+    # --- round-3 rotated 50-query gate prefix ---------------------------
+    # The driver verifies a 50-query PREFIX of this order. Round 2 verified
+    # the previous prefix (see CORRECTNESS_r02.json); this round keeps one
+    # sentinel per family from that set, keeps the four queries whose
+    # text/oracle changed in r3 (sql_interface, dedup_ngram_jaccard,
+    # contamination_check, multimodal_features), and fills the remaining
+    # slots with queries that have never had a driver-verified row — the
+    # point is converting self-reported correctness into driver-verified
+    # correctness for the long tail, not re-proving r2 wins. Do not pad
+    # with trivial variants; a new flagship must displace a verified one.
+    # r2-verified sentinels (one per family):
+    "wordcount", "mr_wordcount",                       # reference fidelity
+    "tf_idf",                                          # text/LLM analysis
+    "dedup_minhash",                                   # dedup (LSH path)
+    "sim_topk_ivf",                                    # similarity (scale path)
+    "multimodal_metadata",                             # multimodal
+    "join_bucketed",                                   # joins (zero-exchange)
+    "window_topk_per_group",                           # windows
+    "hypertable_rollup",                               # event-time batch
+    "pricing_summary",                                 # core relational agg
+    "pandas_udaf_grouped",                             # UDF surface
+    # changed in r3 — must be driver-re-verified:
+    "sql_interface", "dedup_ngram_jaccard", "contamination_check",
+    "multimodal_features",
+    # never-driver-verified until now (36 inside the 50-prefix;
+    # json_extract lands at position 51, first in line for the r4 rotation):
+    "group_rollup", "grouping_sets", "group_cube", "pivot_status",
+    "percentiles", "correlated_subquery", "scd2_merge",
     "shipping_priority", "product_profit", "waiting_orders", "market_share",
+    "setop_union", "setop_intersect", "setop_except",
+    "setop_intersect_all", "setop_except_all",
+    "scalar_string", "scalar_math", "scalar_date", "scalar_array",
+    "scalar_map",
+    "window_lag_lead", "window_ntile", "window_share",
+    "join_theta", "join_right", "join_full", "join_shuffle_hash",
+    "dist_moments", "corr_stats", "variance_stats",
+    "corpus_curation", "cogroup_reconcile", "event_funnel",
+    "variant_extract", "json_extract",
+    # --- end of gate prefix (50) ----------------------------------------
+    # r2-driver-verified queries rotated out of the prefix, kept next in
+    # presentation order:
+    "mr_inverted_index", "token_stats", "quality_score", "lang_id",
+    "doc_fingerprint", "bm25_search",
+    "dedup_exact", "dedup_keep_first", "dedup_simhash",
+    "dedup_fuzzy_names", "dedup_clusters",
+    "sim_topk_bruteforce", "sim_lsh_buckets", "sim_near_dup",
+    "embedding_centroids",
+    "multimodal_frame_sample", "multimodal_resize",
+    "join_broadcast", "join_large", "join_left", "join_semi", "join_anti",
+    "join_range", "join_asof", "join_skew_salted",
+    "window_rank", "window_running", "window_range_frame",
+    "time_tumbling", "sessionize",
+    "dataset_split", "sample_stratified", "sequence_packing",
+    "grouped_map_zscore", "map_in_arrow_project", "udtf_tokenize",
 )
 
 

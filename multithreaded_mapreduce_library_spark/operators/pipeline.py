@@ -20,8 +20,9 @@ Scale notes (100 TB story):
   a prefix-sum over token counts, so packing is deterministic given the
   (lang, doc_id) order — no driver-side loop.
 - contamination_check: inverted-index join on the shingle hash, with the
-  candidate side pre-shrunk to the test split (a few % of rows) — the
-  join fanout is bounded by shingle document-frequency, never n².
+  candidate side pre-shrunk to the test split (a few % of rows) and hot
+  shingles dropped by the df-cutoff (dedup.SHINGLE_DF_CUTOFF) — per-key
+  join fanout is hard-capped at df², never n².
 """
 
 from __future__ import annotations
@@ -36,16 +37,18 @@ from multithreaded_mapreduce_library_spark.operators.dedup import (
     _duck_minhash_cols,
     _shingles_df,
     N_BANDS,
+    SHINGLE_DF_CUTOFF,
 )
 from multithreaded_mapreduce_library_spark.registry import register
 from multithreaded_mapreduce_library_spark.sources import load_table
 
-# Split fractions: hash-bucket thresholds out of 100.
+# Split fractions: hash-bucket thresholds out of 100. contamination_check
+# derives its test split from VAL_CUT (bucket >= VAL_CUT), so "test" means
+# the SAME documents in dataset_split and in the contamination scan.
 TRAIN_CUT = 80
 VAL_CUT = 90
 SAMPLE_PER_MILLE = 100  # stratified sample keeps hash-bucket < 100 of 1000
 PACK_CAPACITY = 2048  # tokens per packed sequence bin
-TEST_CUT = 5  # contamination: hash-bucket < 5 of 100 defines the test split
 
 
 def _split_bucket(col):
@@ -178,9 +181,14 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "contamination_check",
     oracle=f"""
 WITH {_DUCK_SHINGLES},
+hsb AS (
+  SELECT doc_id, h
+  FROM (SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM hs)
+  WHERE df <= {SHINGLE_DF_CUTOFF}
+),
 labeled AS (
-  SELECT doc_id, h, ({_duck_split_bucket('doc_id')} < {TEST_CUT}) AS is_test
-  FROM hs
+  SELECT doc_id, h, ({_duck_split_bucket('doc_id')} >= {VAL_CUT}) AS is_test
+  FROM hsb
 )
 SELECT t.doc_id AS test_doc_id,
        count(DISTINCT tr.doc_id) AS n_contaminating_docs,
@@ -191,19 +199,29 @@ GROUP BY t.doc_id
 """,
     tags=("pipeline", "contamination", "join", "llm-pipeline"),
     doc=(
-        "Train/test contamination: for every test-split document, count "
-        "train documents sharing at least one 3-word shingle (and the "
-        "total shared-shingle pair count) via an inverted-index self-join "
-        "on the shingle hash. The test side is a few % of shingle rows, "
-        "so the join is test-side-small; at 100 TB, broadcast the test "
-        "side or add a document-frequency cutoff on hot shingles (stop-"
-        "shingle demotion) to bound per-key fanout. Distinct shingles per "
-        "doc keep the pair count equal to |shared shingle vocabulary|."
+        "Train/test contamination: for every test-split document (the "
+        "same bucket >= VAL_CUT split dataset_split calls 'test'), count "
+        "train documents sharing at least one 3-word shingle, via an "
+        "inverted-index self-join on the shingle hash restricted to the "
+        f"df-bounded vocabulary (shingles in ≤ {SHINGLE_DF_CUTOFF} docs) "
+        "— a shingle shared by half the corpus is boilerplate, not "
+        "contamination evidence, and would make per-key join fanout "
+        "quadratic at 100 TB. n_shared_shingles counts (test doc, train "
+        "doc, shingle) co-occurrences — a test doc sharing 2 shingles "
+        "with each of 3 train docs scores 6, not 2. Shuffles: one window "
+        "exchange on h (df count, reused by the equi-join), one agg on "
+        "test_doc_id."
     ),
 )
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles_df(spark, sf_dir, distinct=True).select(
-        "doc_id", "h", (_split_bucket("doc_id") < TEST_CUT).alias("is_test")
+    hs = _shingles_df(spark, sf_dir, distinct=True).select("doc_id", "h")
+    bounded = (
+        hs.withColumn("df", F.count("*").over(W.partitionBy("h")))
+        .filter(F.col("df") <= SHINGLE_DF_CUTOFF)
+        .drop("df")
+    )
+    sh = bounded.select(
+        "doc_id", "h", (_split_bucket("doc_id") >= VAL_CUT).alias("is_test")
     )
     test = sh.filter(F.col("is_test")).select(
         F.col("doc_id").alias("test_doc_id"), "h"

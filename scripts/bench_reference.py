@@ -32,6 +32,13 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     scratch = tempfile.mkdtemp(prefix="refbench-")
+    try:
+        return _run(scratch, sf_dir, n_files)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _run(scratch: str, sf_dir: str, n_files: int) -> int:
     build, data, run = (os.path.join(scratch, d) for d in ("build", "data", "run"))
     os.makedirs(data)
     os.makedirs(run)
@@ -92,7 +99,6 @@ def main() -> int:
     print(f"this engine         : {spark_wall:.2f}s  (best-of-3, noop sink)")
     print(f"speedup             : {ref_wall / spark_wall:.0f}x")
     print(f"counts identical    : {identical}")
-    shutil.rmtree(scratch)
     return 0 if identical else 1
 
 

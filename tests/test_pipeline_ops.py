@@ -106,15 +106,16 @@ def test_sequence_packing_respects_capacity(spark, sf_dir):
 
 def test_contamination_only_flags_test_docs(spark, sf_dir):
     from multithreaded_mapreduce_library_spark.operators.pipeline import (
-        TEST_CUT,
+        VAL_CUT,
         _split_bucket,
         contamination_check,
     )
 
     d = load_table(spark, sf_dir, "documents")
+    # the contamination test split IS dataset_split's test split
     test_ids = {
         r["doc_id"]
-        for r in d.select("doc_id").filter(_split_bucket("doc_id") < TEST_CUT).collect()
+        for r in d.select("doc_id").filter(_split_bucket("doc_id") >= VAL_CUT).collect()
     }
     out = contamination_check(spark, sf_dir).collect()
     assert {r["test_doc_id"] for r in out} <= test_ids

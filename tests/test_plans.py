@@ -274,6 +274,47 @@ def test_corpus_curation_broadcasts_drop_list(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_dedup_candidate_joins_are_df_bounded(spark, sf_dir):
+    """Hot-shingle fanout cap: the inverted-index self-joins in
+    dedup_ngram_jaccard and contamination_check must consume the
+    df-bounded shingle set — the window document-frequency count and its
+    (df <= K) filter sit upstream of the pair join, so per-key join
+    fanout is capped at K² even under Zipf-hot shingles (the 100 TB
+    scale-killer the cutoff exists for)."""
+    import re
+
+    from multithreaded_mapreduce_library_spark.operators.dedup import (
+        SHINGLE_DF_CUTOFF,
+    )
+
+    for name in ("dedup_ngram_jaccard", "contamination_check"):
+        plan = formatted_plan(SPECS[name].builder(spark, sf_dir))
+        assert "Window" in plan, f"{name}: df window count missing"
+        assert re.search(rf"df#\d+L? <= {SHINGLE_DF_CUTOFF}\)", plan), (
+            f"{name}: df-cutoff filter not in the plan"
+        )
+
+
+def test_bounded_shingles_enforce_cutoff(spark, sf_dir):
+    """Functional side of the fanout cap: no shingle surviving
+    _bounded_shingles appears in more than SHINGLE_DF_CUTOFF docs."""
+    from pyspark.sql import functions as F
+
+    from multithreaded_mapreduce_library_spark.operators.dedup import (
+        SHINGLE_DF_CUTOFF,
+        _bounded_shingles,
+    )
+
+    mx = (
+        _bounded_shingles(spark, sf_dir)
+        .groupBy("shingle")
+        .count()
+        .agg(F.max("count").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert mx is not None and mx <= SHINGLE_DF_CUTOFF
+
+
 def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
     """AQE runtime re-planning is live: a small aggregation's final
     adaptive plan reads the shuffle through AQEShuffleRead with partitions

@@ -84,17 +84,19 @@ def register(
 # than only the first modules imported. Contains no names not registered
 # elsewhere; everything unlisted follows in registration order.
 _PRIORITY = (
-    # --- round-3 rotated 50-query gate prefix ---------------------------
-    # The driver verifies a 50-query PREFIX of this order. Round 2 verified
-    # the previous prefix (see CORRECTNESS_r02.json); this round keeps one
-    # sentinel per family from that set, keeps the four queries whose
-    # text/oracle changed in r3 (sql_interface, dedup_ngram_jaccard,
-    # contamination_check, multimodal_features), and fills the remaining
-    # slots with queries that have never had a driver-verified row — the
-    # point is converting self-reported correctness into driver-verified
-    # correctness for the long tail, not re-proving r2 wins. Do not pad
-    # with trivial variants; a new flagship must displace a verified one.
-    # r2-verified sentinels (one per family):
+    # --- round-4 rotated 50-query gate prefix ---------------------------
+    # The driver verifies a 50-query PREFIX of this order. Composition:
+    # 17 sentinels that went green in the r3 gate (one per operator
+    # family, so a regression in shared machinery — sources, functions,
+    # shingles, canon — still surfaces), then the 3 queries whose
+    # text/oracle changed in r4 (multimodal_features: histogram exploded
+    # to scalar rows; dedup_ngram_jaccard + contamination_check: shingle
+    # df-cutoff and the VAL_CUT split alignment), then the 30 remaining
+    # oracle-gated queries that have never had a driver-verified row.
+    # 17 + 3 + 30 = 50: a green r4 gate means EVERY oracle-gated query in
+    # the repo has been driver-verified at least once. Do not pad with
+    # trivial variants; a new flagship must displace a verified one.
+    # r3-verified sentinels (one per family):
     "wordcount", "mr_wordcount",                       # reference fidelity
     "tf_idf",                                          # text/LLM analysis
     "dedup_minhash",                                   # dedup (LSH path)
@@ -105,26 +107,38 @@ _PRIORITY = (
     "hypertable_rollup",                               # event-time batch
     "pricing_summary",                                 # core relational agg
     "pandas_udaf_grouped",                             # UDF surface
-    # changed in r3 — must be driver-re-verified:
-    "sql_interface", "dedup_ngram_jaccard", "contamination_check",
-    "multimodal_features",
-    # never-driver-verified until now (36 inside the 50-prefix;
-    # json_extract lands at position 51, first in line for the r4 rotation):
-    "group_rollup", "grouping_sets", "group_cube", "pivot_status",
-    "percentiles", "correlated_subquery", "scd2_merge",
+    "sql_interface",                                   # SQL text interface
+    "group_rollup",                                    # grouping sets/cube
+    "setop_union",                                     # set operations
+    "scalar_string",                                   # scalar functions
+    "variant_extract",                                 # json/variant
+    "scd2_merge",                                      # subqueries/SCD2
+    # changed in r4 — must be driver-re-verified:
+    "multimodal_features", "dedup_ngram_jaccard", "contamination_check",
+    # never-driver-verified before this round (30 — the full remainder):
+    "json_extract", "join_cross", "local_supplier_volume",
+    "window_first_last", "window_distribution", "window_moving_avg",
+    "time_sliding", "dedup_keep_list", "dedup_apply", "sim_topk_multiprobe",
+    "pandas_udf_scalar", "map_in_pandas_filter",
+    "order_priority_check", "forecast_revenue", "returned_items",
+    "promo_revenue_share", "large_volume_customers", "min_cost_supplier",
+    "volume_shipping", "important_parts", "priority_shipping",
+    "customer_distribution", "top_supplier", "parts_supplier_cnt",
+    "small_qty_revenue", "disjunctive_revenue", "excess_shipments",
+    "dormant_customers", "stream_stream_join", "stream_static_join",
+    # --- end of gate prefix (50) ----------------------------------------
+    # driver-verified queries rotated out of the prefix (r3 batch first,
+    # then the r1/r2 batch), kept next in presentation order:
+    "grouping_sets", "group_cube", "pivot_status", "percentiles",
+    "correlated_subquery",
     "shipping_priority", "product_profit", "waiting_orders", "market_share",
-    "setop_union", "setop_intersect", "setop_except",
-    "setop_intersect_all", "setop_except_all",
-    "scalar_string", "scalar_math", "scalar_date", "scalar_array",
-    "scalar_map",
+    "setop_intersect", "setop_except", "setop_intersect_all",
+    "setop_except_all",
+    "scalar_math", "scalar_date", "scalar_array", "scalar_map",
     "window_lag_lead", "window_ntile", "window_share",
     "join_theta", "join_right", "join_full", "join_shuffle_hash",
     "dist_moments", "corr_stats", "variance_stats",
     "corpus_curation", "cogroup_reconcile", "event_funnel",
-    "variant_extract", "json_extract",
-    # --- end of gate prefix (50) ----------------------------------------
-    # r2-driver-verified queries rotated out of the prefix, kept next in
-    # presentation order:
     "mr_inverted_index", "token_stats", "quality_score", "lang_id",
     "doc_fingerprint", "bm25_search",
     "dedup_exact", "dedup_keep_first", "dedup_simhash",
@@ -146,6 +160,11 @@ def load_all() -> dict[str, QuerySpec]:
     priority names first (see _PRIORITY)."""
     for mod in _OPERATOR_MODULES:
         importlib.import_module(mod)
-    ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
+    # A mistyped/renamed _PRIORITY entry must fail loudly: silently
+    # skipping it would shift every later query's position and change
+    # which queries the prefix-bounded driver gate verifies.
+    missing = [n for n in _PRIORITY if n not in QUERIES]
+    assert not missing, f"_PRIORITY names not in registry: {missing}"
+    ordered = {n: QUERIES[n] for n in _PRIORITY}
     ordered.update((n, s) for n, s in QUERIES.items() if n not in ordered)
     return ordered

@@ -103,6 +103,38 @@ def test_gated_schemas_scalar_only(spark, sf_dir):
             )
 
 
+def test_priority_names_resolve_and_are_unique():
+    """A stale name in _PRIORITY would silently shift the driver's
+    50-query gate prefix; load_all now asserts resolution — this pins the
+    uniqueness half (a duplicate would also compress the prefix)."""
+    from multithreaded_mapreduce_library_spark.registry import _PRIORITY
+
+    assert len(_PRIORITY) == len(set(_PRIORITY))
+    assert set(_PRIORITY) <= set(SPECS)
+
+
+def test_gate_prefix_completes_driver_coverage():
+    """The r4 rotation's contract: every oracle-gated query is either in
+    the 50-query gate prefix (so the r4 driver run verifies it) or
+    already has a green row in a checked-in CORRECTNESS_r*.json. A green
+    r4 gate therefore means 100% of gated queries are driver-verified."""
+    import glob
+    import json
+    import os
+
+    from multithreaded_mapreduce_library_spark.registry import _PRIORITY
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    verified = set()
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        for name, r in json.load(open(f)).items():
+            if r.get("hash_match"):
+                verified.add(name)
+    prefix = set(_PRIORITY[:50])
+    uncovered = [n for n in ORACLE_NAMES if n not in prefix and n not in verified]
+    assert not uncovered, f"gated queries with no driver row and no prefix slot: {uncovered}"
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

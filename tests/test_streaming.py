@@ -50,6 +50,80 @@ def test_stream_session_subset_of_batch(spark, sf_dir):
     assert len(stream) > 0
 
 
+def test_stream_session_complete_below_watermark(spark, sf_dir):
+    """Completeness half of the session anchor (subset alone is vacuously
+    passable by an empty stream): after the availableNow replay the final
+    watermark sits at max(ts) - 30min, so every session whose window end
+    (last event + 15min gap) is safely below it MUST have been emitted,
+    with exactly the batch twin's event count."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from multithreaded_mapreduce_library_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    sw = (
+        e.groupBy(F.session_window("ts", "15 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    max_ts = e.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    # 1-minute safety margin keeps the assertion off the exact >-vs->=
+    # finalization boundary
+    settled_before = max_ts - dt.timedelta(minutes=31)
+    closed = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in sw.collect()
+        if r["session_end"] < settled_before
+    }
+    stream = {(r["user_id"], r["session_start"]): r["n_events"]
+              for r in SPECS["stream_session"].builder(spark, sf_dir).collect()}
+    assert closed, "fixture produced no watermark-closed sessions"
+    missing = {k: v for k, v in closed.items() if stream.get(k) != v}
+    assert not missing, f"{len(missing)} closed sessions not emitted exactly: {list(missing)[:5]}"
+
+
+def test_stream_sliding_complete_below_watermark(spark, sf_dir):
+    """Same completeness anchor for the sliding-window append stream:
+    every (window, event_type) whose window end is safely below the final
+    2-hour watermark must appear with the exact batch count."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from multithreaded_mapreduce_library_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    batch = (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "cnt",
+        )
+    )
+    max_ts = e.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    settled_before = max_ts - dt.timedelta(hours=2, minutes=1)
+    closed = {
+        (r["window_start"], r["event_type"]): r["cnt"]
+        for r in batch.collect()
+        if r["window_end"] < settled_before
+    }
+    stream = {(r["window_start"], r["event_type"]): r["cnt"]
+              for r in SPECS["stream_sliding_watermark"].builder(spark, sf_dir).collect()}
+    assert closed, "fixture produced no watermark-closed windows"
+    missing = {k: v for k, v in closed.items() if stream.get(k) != v}
+    assert not missing, f"{len(missing)} closed windows not emitted exactly: {list(missing)[:5]}"
+
+
 def test_stream_stateful_running_max(spark, sf_dir):
     from pyspark.sql import functions as F
 

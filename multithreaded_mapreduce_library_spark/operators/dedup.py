@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from functools import reduce as _reduce
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from multithreaded_mapreduce_library_spark.functions import (
@@ -354,24 +354,33 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _bounded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, shingle) rows with hot shingles removed: a window
-    count partitioned by shingle computes df in ONE exchange whose
-    partitioning the downstream pair self-join (also keyed on shingle)
-    reuses — the cutoff costs no extra shuffle."""
+    """(doc_id, shingle) rows with hot shingles removed, via a two-phase
+    df aggregation: groupBy(shingle).count() runs a map-side partial
+    count first, so a boilerplate shingle appearing in 10^9 docs reaches
+    the exchange as one row per input partition — unlike a window count
+    partitioned by shingle, which would buffer all O(df) rows of the hot
+    key in a single task *before* the (df <= K) filter could drop them.
+    The surviving rare-shingle set comes back via a left-semi join on
+    shingle — the same key as the df agg and the downstream pair
+    self-join, so AQE aligns the exchanges, and a residual hot key in the
+    semi join is covered by AQE skew handling."""
     sh = _shingles_df(spark, sf_dir).select("doc_id", "shingle")
-    return (
-        sh.withColumn("df", F.count("*").over(W.partitionBy("shingle")))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
         .filter(F.col("df") <= SHINGLE_DF_CUTOFF)
-        .drop("df")
+        .select("shingle")
     )
+    return sh.join(rare, "shingle", "left_semi").select("doc_id", "shingle")
 
 
 _JACCARD_ORACLE = f"""
 WITH {_DUCK_SHINGLES},
 shb AS (
-  SELECT doc_id, shingle
-  FROM (SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
-  WHERE df <= {SHINGLE_DF_CUTOFF}
+  SELECT doc_id, shingle FROM sh
+  WHERE shingle IN (
+    SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {SHINGLE_DF_CUTOFF}
+  )
 ),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -400,8 +409,9 @@ WHERE n_common / (x.n + y.n - n_common) >= {JACCARD_THRESHOLD}
         "pair space is never built even under Zipf-hot shingles. Both "
         "n_common and the per-doc sizes use the bounded vocabulary, so "
         "the reported value is exact Jaccard over non-stop shingles. "
-        "Shuffles: one window exchange on shingle (df count, reused by "
-        "the pair join), one pair agg, two size joins on doc keys. "
+        "Shuffles: one two-phase df agg on shingle (map-side partials, "
+        "so hot keys never pile into one task) + semi join sharing that "
+        "key, one pair agg, two size joins on doc keys. "
         "MinHash is the recall path at 100 TB; this is the "
         "exact-verification stage."
     ),

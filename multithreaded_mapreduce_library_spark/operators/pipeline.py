@@ -182,9 +182,10 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {_DUCK_SHINGLES},
 hsb AS (
-  SELECT doc_id, h
-  FROM (SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM hs)
-  WHERE df <= {SHINGLE_DF_CUTOFF}
+  SELECT doc_id, h FROM hs
+  WHERE h IN (
+    SELECT h FROM hs GROUP BY h HAVING count(*) <= {SHINGLE_DF_CUTOFF}
+  )
 ),
 labeled AS (
   SELECT doc_id, h, ({_duck_split_bucket('doc_id')} >= {VAL_CUT}) AS is_test
@@ -215,11 +216,18 @@ GROUP BY t.doc_id
 )
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     hs = _shingles_df(spark, sf_dir, distinct=True).select("doc_id", "h")
-    bounded = (
-        hs.withColumn("df", F.count("*").over(W.partitionBy("h")))
+    # Two-phase df cutoff (not a count-over-window): map-side partial
+    # counts shrink a hot shingle hash to one row per input partition
+    # before the exchange, so no single task buffers all O(df) rows of a
+    # boilerplate shingle; the semi join shares the h key with the df agg
+    # and the contamination equi-join below, so AQE aligns the exchanges.
+    rare = (
+        hs.groupBy("h")
+        .agg(F.count("*").alias("df"))
         .filter(F.col("df") <= SHINGLE_DF_CUTOFF)
-        .drop("df")
+        .select("h")
     )
+    bounded = hs.join(rare, "h", "left_semi").select("doc_id", "h")
     sh = bounded.select(
         "doc_id", "h", (_split_bucket("doc_id") >= VAL_CUT).alias("is_test")
     )

@@ -277,10 +277,13 @@ def test_corpus_curation_broadcasts_drop_list(spark, sf_dir):
 def test_dedup_candidate_joins_are_df_bounded(spark, sf_dir):
     """Hot-shingle fanout cap: the inverted-index self-joins in
     dedup_ngram_jaccard and contamination_check must consume the
-    df-bounded shingle set — the window document-frequency count and its
-    (df <= K) filter sit upstream of the pair join, so per-key join
-    fanout is capped at K² even under Zipf-hot shingles (the 100 TB
-    scale-killer the cutoff exists for)."""
+    df-bounded shingle set, and the df count must be the skew-safe
+    two-phase aggregation — a partial (map-side) HashAggregate shrinks a
+    hot shingle to one row per input partition BEFORE any exchange, the
+    (df <= K) filter follows, and the surviving rare set comes back via a
+    semi join. A count-over-window would instead buffer all O(df) rows of
+    a boilerplate shingle in one task, the exact 100 TB straggler the
+    cutoff exists to prevent — so the plan must have NO Window node."""
     import re
 
     from multithreaded_mapreduce_library_spark.operators.dedup import (
@@ -289,10 +292,17 @@ def test_dedup_candidate_joins_are_df_bounded(spark, sf_dir):
 
     for name in ("dedup_ngram_jaccard", "contamination_check"):
         plan = formatted_plan(SPECS[name].builder(spark, sf_dir))
-        assert "Window" in plan, f"{name}: df window count missing"
+        assert "Window" not in plan, (
+            f"{name}: df count regressed to a window (hot-key straggler)"
+        )
         assert re.search(rf"df#\d+L? <= {SHINGLE_DF_CUTOFF}\)", plan), (
             f"{name}: df-cutoff filter not in the plan"
         )
+        assert "LeftSemi" in plan, f"{name}: rare-shingle semi join missing"
+        assert plan.count("HashAggregate") >= 2, (
+            f"{name}: df aggregation must be two-phase (partial + final)"
+        )
+        assert "CartesianProduct" not in plan
 
 
 def test_bounded_shingles_enforce_cutoff(spark, sf_dir):

@@ -44,15 +44,22 @@ def table_path(sf_dir: str, name: str) -> str:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
-        # parquet reader rejects by default; read nanos as long and convert
-        # (integer `div` keeps full precision — ns since epoch exceeds 2^53,
-        # so float division would corrupt timestamps).
+        # events.parquet has shipped with two physical layouts for ts:
+        # INT64 TIMESTAMP(NANOS), which Spark's parquet reader rejects by
+        # default (read nanos as long; integer `div` keeps full precision —
+        # ns since epoch exceeds 2^53, so float division would corrupt
+        # timestamps), and plain timestamp[us], which arrives as
+        # TIMESTAMP_NTZ (cast to session-tz TIMESTAMP — value-preserving
+        # under the UTC session, and keeps every downstream query on one
+        # timestamp class). Detect from the schema so either fixture
+        # generation works.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if dict(df.dtypes)["ts"] == "bigint":
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -34,7 +34,9 @@ TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (schema pinned from the
-    batch reader; ts arrives as nanos-long and is converted exactly)."""
+    batch reader; ts is normalized to session-tz TIMESTAMP exactly as in
+    the batch loader — nanos-long fixtures convert via integer div,
+    timestamp[us] fixtures via a cast; see sources/tables.py)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(table_path(sf_dir, "events"))
     # The file source requires a directory; stream the sf dir filtered to
@@ -43,9 +45,10 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(batch.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
-    return stream
+    if dict(batch.dtypes)["ts"] == "bigint":
+        return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:

@@ -22,7 +22,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -32,6 +32,28 @@ from multithreaded_mapreduce_library_spark.sources import load_table
 N_HIST_BINS = 16
 FRAME_BYTES = 64  # fake "frame" granularity for frame sampling
 
+# THE mime assignment rule: doc_id % 3 → mime. Single source of truth for
+# every Spark builder (``mime_col``) and every DuckDB oracle
+# (``DUCK_MIME_CASE``, f-string'd into the SQL) — a drift between the two
+# sides would surface as a confusing driver hash mismatch.
+MIME_BY_MOD = ("image/png", "audio/wav", "video/mp4")
+IMAGE_MIME, AUDIO_MIME, VIDEO_MIME = MIME_BY_MOD
+
+DUCK_MIME_CASE = (
+    f"CASE WHEN doc_id % 3 = 0 THEN '{MIME_BY_MOD[0]}'\n"
+    f"            WHEN doc_id % 3 = 1 THEN '{MIME_BY_MOD[1]}'\n"
+    f"            ELSE '{MIME_BY_MOD[2]}' END"
+)
+
+
+def mime_col() -> Column:
+    """Spark-side expression of the ``MIME_BY_MOD`` rule."""
+    return (
+        F.when(F.col("doc_id") % 3 == 0, MIME_BY_MOD[0])
+        .when(F.col("doc_id") % 3 == 1, MIME_BY_MOD[1])
+        .otherwise(MIME_BY_MOD[2])
+    )
+
 
 def attach_media(docs: DataFrame) -> DataFrame:
     """Add an opaque binary payload + typed metadata struct to documents.
@@ -40,11 +62,7 @@ def attach_media(docs: DataFrame) -> DataFrame:
     real image/audio bytes); ``meta`` carries the typed sidecar a real
     pipeline stores next to the blob (mime, nominal dims, byte length).
     """
-    mime = (
-        F.when(F.col("doc_id") % 3 == 0, "image/png")
-        .when(F.col("doc_id") % 3 == 1, "audio/wav")
-        .otherwise("video/mp4")
-    )
+    mime = mime_col()
     return docs.select(
         "doc_id",
         F.encode(F.col("text"), "UTF-8").alias("media"),
@@ -63,9 +81,9 @@ def decode_media(blob: bytes, mime: str):
     out) is what matters; swap in PIL/soundfile/pyav in a real deployment.
     """
     try:
-        if mime == "image/png":
+        if mime == IMAGE_MIME:
             from PIL import Image  # noqa: F401
-        elif mime == "audio/wav":
+        elif mime == AUDIO_MIME:
             import soundfile  # noqa: F401
         else:
             import av  # noqa: F401
@@ -116,11 +134,9 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 @register(
     "multimodal_metadata",
-    oracle="""
+    oracle=f"""
 SELECT doc_id,
-       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
-            WHEN doc_id % 3 = 1 THEN 'audio/wav'
-            ELSE 'video/mp4' END AS mime,
+       {DUCK_MIME_CASE} AS mime,
        octet_length(encode(text)) AS byte_len,
        ((doc_id * 37 + 11) % 1024 + 16) AS width,
        ((doc_id * 53 + 7) % 768 + 16) AS height
@@ -164,9 +180,7 @@ h AS (
   FROM hn
 )
 SELECT doc_id,
-       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
-            WHEN doc_id % 3 = 1 THEN 'audio/wav'
-            ELSE 'video/mp4' END AS mime,
+       {DUCK_MIME_CASE} AS mime,
        n AS byte_len,
        CAST(ceil(n / {FRAME_BYTES}.0) AS BIGINT) AS n_frames,
        CAST(generate_subscripts(hist, 1) - 1 AS BIGINT) AS bin,
@@ -200,11 +214,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows/doc regardless of media size."""
     media = attach_media(load_table(spark, sf_dir, "documents"))
     feats = media.select("doc_id", "media").mapInPandas(_feature_batches, FEATURE_SCHEMA)
-    mime = (
-        F.when(F.col("doc_id") % 3 == 0, "image/png")
-        .when(F.col("doc_id") % 3 == 1, "audio/wav")
-        .otherwise("video/mp4")
-    )
+    mime = mime_col()
     return feats.select(
         "doc_id",
         mime.alias("mime"),
@@ -329,9 +339,7 @@ WITH m AS (
   FROM documents
 )
 SELECT doc_id,
-       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
-            WHEN doc_id % 3 = 1 THEN 'audio/wav'
-            ELSE 'video/mp4' END AS mime,
+       {DUCK_MIME_CASE} AS mime,
        n AS orig_len,
        CAST(ceil(n / {RESIZE_FACTOR}.0) AS BIGINT) AS resized_len,
        greatest(((doc_id * 37 + 11) % 1024 + 16) // 2, 1) AS new_width,

@@ -188,13 +188,15 @@ hsb AS (
   )
 ),
 labeled AS (
-  SELECT doc_id, h, ({_duck_split_bucket('doc_id')} >= {VAL_CUT}) AS is_test
+  SELECT doc_id, h,
+         ({_duck_split_bucket('doc_id')} >= {VAL_CUT}) AS is_test,
+         ({_duck_split_bucket('doc_id')} < {TRAIN_CUT}) AS is_train
   FROM hsb
 )
 SELECT t.doc_id AS test_doc_id,
        count(DISTINCT tr.doc_id) AS n_contaminating_docs,
        count(*) AS n_shared_shingles
-FROM labeled t JOIN labeled tr ON t.h = tr.h AND tr.is_test = FALSE
+FROM labeled t JOIN labeled tr ON t.h = tr.h AND tr.is_train
 WHERE t.is_test
 GROUP BY t.doc_id
 """,
@@ -202,16 +204,18 @@ GROUP BY t.doc_id
     doc=(
         "Train/test contamination: for every test-split document (the "
         "same bucket >= VAL_CUT split dataset_split calls 'test'), count "
-        "train documents sharing at least one 3-word shingle, via an "
+        "train-split documents (bucket < TRAIN_CUT — validation docs are "
+        "neither side) sharing at least one 3-word shingle, via an "
         "inverted-index self-join on the shingle hash restricted to the "
         f"df-bounded vocabulary (shingles in ≤ {SHINGLE_DF_CUTOFF} docs) "
         "— a shingle shared by half the corpus is boilerplate, not "
         "contamination evidence, and would make per-key join fanout "
         "quadratic at 100 TB. n_shared_shingles counts (test doc, train "
         "doc, shingle) co-occurrences — a test doc sharing 2 shingles "
-        "with each of 3 train docs scores 6, not 2. Shuffles: one window "
-        "exchange on h (df count, reused by the equi-join), one agg on "
-        "test_doc_id."
+        "with each of 3 train docs scores 6, not 2. Shuffles: one "
+        "two-phase df agg on h (map-side partials, no hot-key straggler) "
+        "+ a semi join sharing that key with the contamination "
+        "equi-join, one agg on test_doc_id."
     ),
 )
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -229,12 +233,17 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bounded = hs.join(rare, "h", "left_semi").select("doc_id", "h")
     sh = bounded.select(
-        "doc_id", "h", (_split_bucket("doc_id") >= VAL_CUT).alias("is_test")
+        "doc_id",
+        "h",
+        (_split_bucket("doc_id") >= VAL_CUT).alias("is_test"),
+        (_split_bucket("doc_id") < TRAIN_CUT).alias("is_train"),
     )
     test = sh.filter(F.col("is_test")).select(
         F.col("doc_id").alias("test_doc_id"), "h"
     )
-    train = sh.filter(~F.col("is_test")).select(F.col("doc_id").alias("train_doc_id"), "h")
+    train = sh.filter(F.col("is_train")).select(
+        F.col("doc_id").alias("train_doc_id"), "h"
+    )
     return (
         test.join(train, "h")
         .groupBy("test_doc_id")

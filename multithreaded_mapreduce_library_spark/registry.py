@@ -84,74 +84,67 @@ def register(
 # than only the first modules imported. Contains no names not registered
 # elsewhere; everything unlisted follows in registration order.
 _PRIORITY = (
-    # --- round-4 rotated 50-query gate prefix ---------------------------
-    # The driver verifies a 50-query PREFIX of this order. Composition:
-    # 17 sentinels that went green in the r3 gate (one per operator
-    # family, so a regression in shared machinery — sources, functions,
-    # shingles, canon — still surfaces), then the 3 queries whose
-    # text/oracle changed in r4 (multimodal_features: histogram exploded
-    # to scalar rows; dedup_ngram_jaccard + contamination_check: shingle
-    # df-cutoff and the VAL_CUT split alignment), then the 30 remaining
-    # oracle-gated queries that have never had a driver-verified row.
-    # 17 + 3 + 30 = 50: a green r4 gate means EVERY oracle-gated query in
-    # the repo has been driver-verified at least once. Do not pad with
-    # trivial variants; a new flagship must displace a verified one.
-    # r3-verified sentinels (one per family):
-    "wordcount", "mr_wordcount",                       # reference fidelity
-    "tf_idf",                                          # text/LLM analysis
-    "dedup_minhash",                                   # dedup (LSH path)
-    "sim_topk_ivf",                                    # similarity (scale path)
-    "multimodal_metadata",                             # multimodal
-    "join_bucketed",                                   # joins (zero-exchange)
-    "window_topk_per_group",                           # windows
-    "hypertable_rollup",                               # event-time batch
-    "pricing_summary",                                 # core relational agg
-    "pandas_udaf_grouped",                             # UDF surface
-    "sql_interface",                                   # SQL text interface
-    "group_rollup",                                    # grouping sets/cube
-    "setop_union",                                     # set operations
-    "scalar_string",                                   # scalar functions
-    "variant_extract",                                 # json/variant
-    "scd2_merge",                                      # subqueries/SCD2
-    # changed in r4 — must be driver-re-verified:
-    "multimodal_features", "dedup_ngram_jaccard", "contamination_check",
-    # never-driver-verified before this round (30 — the full remainder):
-    "json_extract", "join_cross", "local_supplier_volume",
-    "window_first_last", "window_distribution", "window_moving_avg",
-    "time_sliding", "dedup_keep_list", "dedup_apply", "sim_topk_multiprobe",
-    "pandas_udf_scalar", "map_in_pandas_filter",
-    "order_priority_check", "forecast_revenue", "returned_items",
-    "promo_revenue_share", "large_volume_customers", "min_cost_supplier",
-    "volume_shipping", "important_parts", "priority_shipping",
-    "customer_distribution", "top_supplier", "parts_supplier_cnt",
-    "small_qty_revenue", "disjunctive_revenue", "excess_shipments",
-    "dormant_customers", "stream_stream_join", "stream_static_join",
+    # --- round-5 rotated 50-query gate prefix ---------------------------
+    # The driver verifies a 50-query PREFIX of this order. Steady-state
+    # ROTATION RULE (all 135 oracle-gated queries have ≥1 green driver
+    # row since r4, so the invariant is now bounded staleness, not first
+    # coverage): each round the prefix is
+    #   (1) every query whose builder/oracle text or semantics changed
+    #       this round (it must be driver-re-verified), then
+    #   (2) the least-recently-verified remainder — fill to 50 from the
+    #       oldest last-green CORRECTNESS_r*.json round, alphabetical
+    #       within a round.
+    # With 135 gated queries and 50 slots, the full set recycles every
+    # ~3 rounds, so no query's last green driver row is ever more than 3
+    # rounds old (pinned by tests/test_registry_oracle.py::
+    # test_gate_prefix_bounds_staleness). Do not pad with trivial
+    # variants; a new flagship must displace a verified one.
+    # (1) changed in r5 — two-phase df cutoff + train-only contamination
+    # side; mime-rule hoist rewrote three multimodal oracles:
+    "contamination_check", "dedup_ngram_jaccard", "multimodal_metadata",
+    "multimodal_features", "multimodal_resize",
+    # (2) last green in r1 (19 — the oldest):
+    "agg_argmax", "agg_bool", "agg_listagg", "agg_mode", "agg_salted_skew",
+    "agg_stats", "calendar_fill", "case_when", "conditional_agg",
+    "count_distinct", "distinct_rows", "filter_project", "having_filter",
+    "lateral_posexplode", "multi_count_distinct", "orderby_limit",
+    "sample_hash", "scalar_subquery", "unpivot_measures",
+    # (2) last green in r2, oldest 26 alphabetically:
+    "bm25_search", "dataset_split", "dedup_clusters", "dedup_exact",
+    "dedup_fuzzy_names", "dedup_keep_first", "dedup_simhash",
+    "doc_fingerprint", "embedding_centroids", "grouped_map_zscore",
+    "join_anti", "join_asof", "join_broadcast", "join_large", "join_left",
+    "join_range", "join_semi", "join_skew_salted", "lang_id",
+    "map_in_arrow_project", "mr_inverted_index", "multimodal_frame_sample",
+    "quality_score", "sample_stratified", "sequence_packing", "sessionize",
     # --- end of gate prefix (50) ----------------------------------------
-    # driver-verified queries rotated out of the prefix (r3 batch first,
-    # then the r1/r2 batch), kept next in presentation order:
-    "grouping_sets", "group_cube", "pivot_status", "percentiles",
-    "correlated_subquery",
-    "shipping_priority", "product_profit", "waiting_orders", "market_share",
-    "setop_intersect", "setop_except", "setop_intersect_all",
-    "setop_except_all",
-    "scalar_math", "scalar_date", "scalar_array", "scalar_map",
-    "window_lag_lead", "window_ntile", "window_share",
-    "join_theta", "join_right", "join_full", "join_shuffle_hash",
-    "dist_moments", "corr_stats", "variance_stats",
-    "corpus_curation", "cogroup_reconcile", "event_funnel",
-    "mr_inverted_index", "token_stats", "quality_score", "lang_id",
-    "doc_fingerprint", "bm25_search",
-    "dedup_exact", "dedup_keep_first", "dedup_simhash",
-    "dedup_fuzzy_names", "dedup_clusters",
-    "sim_topk_bruteforce", "sim_lsh_buckets", "sim_near_dup",
-    "embedding_centroids",
-    "multimodal_frame_sample", "multimodal_resize",
-    "join_broadcast", "join_large", "join_left", "join_semi", "join_anti",
-    "join_range", "join_asof", "join_skew_salted",
-    "window_rank", "window_running", "window_range_frame",
-    "time_tumbling", "sessionize",
-    "dataset_split", "sample_stratified", "sequence_packing",
-    "grouped_map_zscore", "map_in_arrow_project", "udtf_tokenize",
+    # rotated out, most-stale first (r2 leftovers, then r3, then r4):
+    "sim_lsh_buckets", "sim_near_dup", "sim_topk_bruteforce",
+    "time_tumbling", "token_stats", "udtf_tokenize", "window_range_frame",
+    "window_rank", "window_running",
+    "cogroup_reconcile", "corpus_curation", "corr_stats",
+    "correlated_subquery", "dist_moments", "event_funnel", "group_cube",
+    "grouping_sets", "join_full", "join_right", "join_shuffle_hash",
+    "join_theta", "market_share", "percentiles", "pivot_status",
+    "product_profit", "scalar_array", "scalar_date", "scalar_map",
+    "scalar_math", "setop_except", "setop_except_all", "setop_intersect",
+    "setop_intersect_all", "shipping_priority", "variance_stats",
+    "waiting_orders", "window_lag_lead", "window_ntile", "window_share",
+    "customer_distribution", "dedup_apply", "dedup_keep_list",
+    "dedup_minhash", "disjunctive_revenue", "dormant_customers",
+    "excess_shipments", "forecast_revenue", "group_rollup",
+    "hypertable_rollup", "important_parts", "join_bucketed", "join_cross",
+    "json_extract", "large_volume_customers", "local_supplier_volume",
+    "map_in_pandas_filter", "min_cost_supplier", "mr_wordcount",
+    "order_priority_check", "pandas_udaf_grouped", "pandas_udf_scalar",
+    "parts_supplier_cnt", "pricing_summary", "priority_shipping",
+    "promo_revenue_share", "returned_items", "scalar_string", "scd2_merge",
+    "setop_union", "sim_topk_ivf", "sim_topk_multiprobe",
+    "small_qty_revenue", "sql_interface", "stream_static_join",
+    "stream_stream_join", "tf_idf", "time_sliding", "top_supplier",
+    "variant_extract", "volume_shipping", "window_distribution",
+    "window_first_last", "window_moving_avg", "window_topk_per_group",
+    "wordcount",
 )
 
 

@@ -54,14 +54,14 @@ _DUCK_CLASS = (
     ("UBIGINT", "int"), ("HUGEINT", "int"),
     ("DOUBLE", "float"), ("FLOAT", "float"), ("DECIMAL", "float"),
     ("VARCHAR", "str"), ("BOOLEAN", "bool"),
-    ("TIMESTAMP", "ts"), ("DATE", "ts"), ("[]", "list"),
+    ("TIMESTAMP", "ts"), ("DATE", "ts"),
 )
 
 _SPARK_CLASS = (
     ("bigint", "int"), ("int", "int"), ("smallint", "int"), ("tinyint", "int"),
     ("double", "float"), ("float", "float"), ("decimal", "float"),
     ("string", "str"), ("boolean", "bool"),
-    ("timestamp", "ts"), ("date", "ts"), ("array", "list"),
+    ("timestamp", "ts"), ("date", "ts"),
 )
 
 

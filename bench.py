@@ -22,7 +22,9 @@ from multithreaded_mapreduce_library_spark.registry import load_all
 from multithreaded_mapreduce_library_spark.session import get_spark
 
 # Headline set: one representative per operator family (scan+agg, joins,
-# windows, text explode, dedup/LSH, vector search, event-time ops).
+# windows, text explode, dedup/LSH, vector search, event-time ops), plus
+# the LLM-pipeline capstone (corpus_curation: quality gates + LSH dedup —
+# the end-to-end query a training-data user actually runs).
 HEADLINE = (
     "pricing_summary",
     "forecast_revenue",
@@ -38,6 +40,7 @@ HEADLINE = (
     "sessionize",
     "product_profit",
     "waiting_orders",
+    "corpus_curation",
 )
 
 

@@ -86,7 +86,7 @@ def register(
 _PRIORITY = (
     # --- round-5 rotated 50-query gate prefix ---------------------------
     # The driver verifies a 50-query PREFIX of this order. Steady-state
-    # ROTATION RULE (all 135 oracle-gated queries have ≥1 green driver
+    # ROTATION RULE (every oracle-gated query has ≥1 green driver
     # row since r4, so the invariant is now bounded staleness, not first
     # coverage): each round the prefix is
     #   (1) every query whose builder/oracle text or semantics changed
@@ -94,13 +94,15 @@ _PRIORITY = (
     #   (2) the least-recently-verified remainder — fill to 50 from the
     #       oldest last-green CORRECTNESS_r*.json round, alphabetical
     #       within a round.
-    # With 135 gated queries and 50 slots, the full set recycles every
+    # With ~136 gated queries and 50 slots, the full set recycles every
     # ~3 rounds, so no query's last green driver row is ever more than 3
     # rounds old (pinned by tests/test_registry_oracle.py::
     # test_gate_prefix_bounds_staleness). Do not pad with trivial
     # variants; a new flagship must displace a verified one.
-    # (1) changed in r5 — two-phase df cutoff + train-only contamination
+    # (1) new/changed in r5 — multimodal_decode (new: real stdlib PNG/WAV
+    # codec round-trip); two-phase df cutoff + train-only contamination
     # side; mime-rule hoist rewrote three multimodal oracles:
+    "multimodal_decode",
     "contamination_check", "dedup_ngram_jaccard", "multimodal_metadata",
     "multimodal_features", "multimodal_resize",
     # (2) last green in r1 (19 — the oldest):
@@ -116,10 +118,10 @@ _PRIORITY = (
     "join_anti", "join_asof", "join_broadcast", "join_large", "join_left",
     "join_range", "join_semi", "join_skew_salted", "lang_id",
     "map_in_arrow_project", "mr_inverted_index", "multimodal_frame_sample",
-    "quality_score", "sample_stratified", "sequence_packing", "sessionize",
+    "quality_score", "sample_stratified", "sequence_packing",
     # --- end of gate prefix (50) ----------------------------------------
     # rotated out, most-stale first (r2 leftovers, then r3, then r4):
-    "sim_lsh_buckets", "sim_near_dup", "sim_topk_bruteforce",
+    "sessionize", "sim_lsh_buckets", "sim_near_dup", "sim_topk_bruteforce",
     "time_tumbling", "token_stats", "udtf_tokenize", "window_range_frame",
     "window_rank", "window_running",
     "cogroup_reconcile", "corpus_curation", "corr_stats",

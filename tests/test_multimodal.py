@@ -1,17 +1,26 @@
 """Multimodal plumbing tests: binary schema, Arrow batch shape,
-determinism, and the clearly-marked decode stub."""
+determinism, the real stdlib PNG/WAV codecs, and the video decode stub."""
 
 from __future__ import annotations
 
+import struct
+import zlib
+
+import numpy as np
 import pandas as pd
 import pytest
 
 from multithreaded_mapreduce_library_spark.operators.multimodal import (
+    AUDIO_MIME,
+    IMAGE_MIME,
     N_HIST_BINS,
+    VIDEO_MIME,
     _feature_batches,
     attach_media,
     decode_media,
     multimodal_features,
+    png_encode,
+    wav_encode,
 )
 from multithreaded_mapreduce_library_spark.sources import load_table
 
@@ -23,9 +32,62 @@ def test_attach_media_schema(spark, sf_dir):
     assert fields["meta"].startswith("struct<mime:string,byte_len:int")
 
 
-def test_decode_is_stubbed():
+def test_png_roundtrip_gray_rgb_rgba():
+    rng = np.random.default_rng(3)
+    for shape in ((5, 7), (4, 3, 3), (2, 6, 4)):
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        out = decode_media(png_encode(img), IMAGE_MIME)
+        assert out.shape == img.shape and (out == img).all()
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    crc = zlib.crc32(tag + data) & 0xFFFFFFFF
+    return struct.pack(">I", len(data)) + tag + data + struct.pack(">I", crc)
+
+
+def test_png_decode_known_bytes_all_filters():
+    """Decode a HAND-BUILT PNG (not one from our own encoder) whose four
+    scanlines use filters Sub/Up/Average/Paeth, with the expected pixels
+    worked out by hand from the PNG spec — external ground truth for the
+    unfilter logic, so an encoder+decoder bug pair can't cancel out."""
+    raw = (
+        b"\x01" + bytes([10, 10, 10])  # Sub:     [10, 20, 30]
+        + b"\x02" + bytes([5, 5, 5])   # Up:      [15, 25, 35]
+        + b"\x03" + bytes([13, 8, 8])  # Average: [20, 30, 40]
+        + b"\x04" + bytes([5, 5, 5])   # Paeth:   [25, 35, 45]
+    )
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 4, 8, 0, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    out = decode_media(blob, IMAGE_MIME)
+    expected = np.array(
+        [[10, 20, 30], [15, 25, 35], [20, 30, 40], [25, 35, 45]], dtype=np.uint8
+    )
+    assert (out == expected).all()
+
+
+def test_png_corruption_rejected():
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    blob = bytearray(png_encode(img))
+    blob[20] ^= 0xFF  # flip a byte inside IHDR: CRC must catch it
+    with pytest.raises(ValueError, match="CRC"):
+        decode_media(bytes(blob), IMAGE_MIME)
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_media(b"\x89PNG", IMAGE_MIME)
+
+
+def test_wav_roundtrip():
+    samples = (np.arange(100) * 997 % 65536 - 32768).astype(np.int16)
+    out = decode_media(wav_encode(samples), AUDIO_MIME)
+    assert out.dtype == np.int16 and (out == samples).all()
+
+
+def test_video_decode_is_stubbed():
     with pytest.raises(NotImplementedError, match="stub"):
-        decode_media(b"\x89PNG", "image/png")
+        decode_media(b"\x00\x00\x00\x18ftypmp42", VIDEO_MIME)
 
 
 def test_feature_batches_pure():

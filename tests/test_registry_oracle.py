@@ -141,7 +141,7 @@ def test_gate_prefix_bounds_staleness():
     every gated query first-covered by r4, the invariant is now bounded
     RECENCY — each query either has a green driver row in one of the
     three most recent checked-in rounds, or holds a slot in the current
-    50-query prefix (so the next driver run refreshes it). 135 queries /
+    50-query prefix (so the next driver run refreshes it). ~136 queries /
     50 slots recycle in ~3 rounds, so this bound is tight: dropping a
     stale query from the prefix without a fresh green row fails here."""
     from multithreaded_mapreduce_library_spark.registry import _PRIORITY

@@ -342,3 +342,82 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size("toks")).cast("long").alias("n_tokens"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+# PII redaction patterns — deliberately simple char-class forms that parse
+# identically under Java regex (Spark) and RE2 (DuckDB); no lookaround, no
+# shorthand classes with engine-specific Unicode semantics.
+EMAIL_RE = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+PHONE_RE = "\\+1-555-[0-9]{4}"
+
+
+@register(
+    "pii_redact",
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' contact user' || doc_id || '@example.com now'
+                 ELSE '' END
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS aug_text
+  FROM documents
+),
+red AS (
+  SELECT doc_id,
+         len(regexp_extract_all(aug_text, '{EMAIL_RE}')) AS n_emails,
+         len(regexp_extract_all(aug_text, '{PHONE_RE}')) AS n_phones,
+         regexp_replace(
+           regexp_replace(aug_text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+           '{PHONE_RE}', '<PHONE>', 'g') AS clean
+  FROM aug
+)
+SELECT doc_id,
+       CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(n_phones AS BIGINT) AS n_phones,
+       length(clean) AS clean_len,
+       md5(clean) AS clean_md5
+FROM red
+""",
+    tags=("pipeline", "pii", "redaction", "llm-pipeline"),
+    doc=(
+        "PII redaction pass: inject synthetic, doc_id-deterministic PII "
+        "(an email on even doc_ids, a phone number on doc_ids % 3 = 0 — "
+        "the fixture corpus contains none), then count and redact it with "
+        "engine-portable regexes; clean_md5 pins the ENTIRE redacted text "
+        "byte-for-byte against the oracle, so a partial or over-eager "
+        "redaction is a hash mismatch, not a silent pass. Shuffle story: "
+        "ZERO exchanges — redaction is a narrow per-row projection that "
+        "rides the scan, the shape you want when scrubbing 100 TB "
+        "(plan-asserted in tests/test_plans.py)."
+    ),
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    email = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com now"),
+        ),
+    ).otherwise("")
+    phone = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit(" call +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise("")
+    aug = F.concat(F.col("text"), email, phone)
+    clean = F.regexp_replace(
+        F.regexp_replace(aug, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(aug, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.length(clean).alias("clean_len"),
+        F.md5(clean).alias("clean_md5"),
+    )

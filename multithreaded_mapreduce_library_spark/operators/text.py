@@ -437,3 +437,61 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("doc_id", (F.col("sum_fx") / 1_000_000.0).alias("bm25"))
     )
+
+
+@register(
+    "repetition_ngram",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {duck_tokens('text')} AS toks FROM documents
+),
+bg AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram
+  FROM t CROSS JOIN unnest(generate_series(1, len(toks) - 1)) AS g(i)
+),
+c AS (
+  SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY doc_id, gram
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_bigrams,
+       CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+       round(1 - count(*) / CAST(sum(c) AS DOUBLE), 6) AS dup_bigram_ratio,
+       CAST(max(c) AS BIGINT) AS max_bigram_count
+FROM c
+GROUP BY doc_id
+""",
+    tags=("text", "quality", "repetition", "llm-pipeline"),
+    doc=(
+        "Gopher-style repetition gate: per-document duplicate-bigram ratio "
+        "(1 - distinct/total word 2-grams) and the hottest bigram's "
+        "occurrence count — the cheap signal that catches boilerplate and "
+        "degenerate repetition loops that type-token ratio misses. "
+        "Shuffle story: explode to (doc_id, gram) rows, then TWO "
+        "partial-aggregated exchanges on (doc_id, gram) and doc_id — "
+        "grams are short strings, full text never crosses a shuffle; at "
+        "100 TB the map-side partial count collapses repeated grams "
+        "before the wire, exactly where repetition makes data redundant."
+    ),
+)
+def repetition_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    bg = docs.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+            )
+        ).alias("gram"),
+    )
+    c = bg.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    return c.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.count("*").cast("long").alias("n_distinct_bigrams"),
+        F.round(
+            F.lit(1) - F.count("*") / F.sum("c").cast("double"), 6
+        ).alias("dup_bigram_ratio"),
+        F.max("c").cast("long").alias("max_bigram_count"),
+    )

@@ -343,3 +343,20 @@ def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
     plan = formatted_plan(df, mode="simple")
     assert "AQEShuffleRead" in plan
     assert "coalesced" in plan
+
+
+def test_pii_redact_is_narrow(spark, sf_dir):
+    """PII redaction must ride the scan: a per-row regex projection with
+    ZERO exchanges — the only acceptable shape for scrubbing 100 TB."""
+    df = SPECS["pii_redact"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan, "pii_redact grew a shuffle"
+    assert codegen_stage_count(df) >= 1, "regex projection fell out of codegen"
+
+
+def test_repetition_ngram_partial_aggregates(spark, sf_dir):
+    """Both aggregations (per-gram count, per-doc rollup) must partial-
+    aggregate map-side so repeated grams collapse before the wire."""
+    plan = formatted_plan(SPECS["repetition_ngram"].builder(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 4  # two partial+final pairs
+    assert "CartesianProduct" not in plan

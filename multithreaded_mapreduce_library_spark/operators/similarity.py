@@ -442,3 +442,64 @@ def sim_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("query_id", "neighbor_id", F.round("cos_exact", 6).alias("cosine"), "rnk")
     )
+
+
+@register(
+    "embedding_quantize",
+    oracle="""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(
+           embedding,
+           x -> CAST(floor(
+                  (CAST(x AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE))
+                  / (CAST(list_max(embedding) AS DOUBLE)
+                     - CAST(list_min(embedding) AS DOUBLE))
+                  * 255 + 0.5) AS BIGINT)
+         ) AS codes
+  FROM embeddings
+)
+SELECT vec_id,
+       label,
+       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       CAST(len(list_filter(codes, c -> c = 0)) AS BIGINT) AS n_zero,
+       CAST(len(list_filter(codes, c -> c = 255)) AS BIGINT) AS n_sat,
+       codes[1] AS first_code
+FROM q
+""",
+    tags=("similarity", "quantization", "embedding", "llm-pipeline"),
+    doc=(
+        "Per-vector affine int8 quantization (the memory-4x/bandwidth-4x "
+        "code path an ANN index uses at 100 TB): code_i = "
+        "round((x_i - min) / (max - min) * 255), emitted as per-vector "
+        "integer summaries (code sum, zero/saturated counts, first code) "
+        "so the differential is exact — the float work is ONE shared "
+        "IEEE expression inside floor(..+0.5), everything after is "
+        "integer. Degenerate all-constant vectors would divide by zero "
+        "identically on both engines; the fixture's random embeddings "
+        "never hit it. Shuffle story: ZERO exchanges — quantization is a "
+        "narrow projection that rides the scan, exactly how a real "
+        "pipeline would materialize a code column next to the vectors."
+    ),
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    amin = F.array_min("embedding").cast("double")
+    amax = F.array_max("embedding").cast("double")
+    codes = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(
+            (x.cast("double") - amin) / (amax - amin) * 255 + F.lit(0.5)
+        ).cast("long"),
+    )
+    c = emb.select("vec_id", "label", codes.alias("codes"))
+    return c.select(
+        "vec_id",
+        "label",
+        F.aggregate(
+            "codes", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("code_sum"),
+        F.size(F.filter("codes", lambda x: x == 0)).cast("long").alias("n_zero"),
+        F.size(F.filter("codes", lambda x: x == 255)).cast("long").alias("n_sat"),
+        F.element_at("codes", 1).alias("first_code"),
+    )

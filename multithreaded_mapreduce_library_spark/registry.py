@@ -101,9 +101,11 @@ _PRIORITY = (
     # variants; a new flagship must displace a verified one.
     # (1) new/changed in r5 — multimodal_decode (new: real stdlib PNG/WAV
     # codec round-trip), repetition_ngram + pii_redact (new curation
-    # gates); two-phase df cutoff + train-only contamination side;
-    # mime-rule hoist rewrote three multimodal oracles:
+    # gates), embedding_quantize (new int8 ANN code path); two-phase df
+    # cutoff + train-only contamination side; mime-rule hoist rewrote
+    # three multimodal oracles:
     "multimodal_decode", "repetition_ngram", "pii_redact",
+    "embedding_quantize",
     "contamination_check", "dedup_ngram_jaccard", "multimodal_metadata",
     "multimodal_features", "multimodal_resize",
     # (2) last green in r1 (19 — the oldest):
@@ -119,10 +121,9 @@ _PRIORITY = (
     "join_anti", "join_asof", "join_broadcast", "join_large", "join_left",
     "join_range", "join_semi", "join_skew_salted", "lang_id",
     "map_in_arrow_project", "mr_inverted_index", "multimodal_frame_sample",
-    "quality_score",
     # --- end of gate prefix (50) ----------------------------------------
     # rotated out, most-stale first (r2 leftovers, then r3, then r4):
-    "sample_stratified", "sequence_packing",
+    "quality_score", "sample_stratified", "sequence_packing",
     "sessionize", "sim_lsh_buckets", "sim_near_dup", "sim_topk_bruteforce",
     "time_tumbling", "token_stats", "udtf_tokenize", "window_range_frame",
     "window_rank", "window_running",

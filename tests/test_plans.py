@@ -360,3 +360,12 @@ def test_repetition_ngram_partial_aggregates(spark, sf_dir):
     plan = formatted_plan(SPECS["repetition_ngram"].builder(spark, sf_dir))
     assert plan.count("HashAggregate") >= 4  # two partial+final pairs
     assert "CartesianProduct" not in plan
+
+
+def test_embedding_quantize_is_narrow(spark, sf_dir):
+    """Quantization must ride the scan: zero exchanges, higher-order
+    array expressions only (no explode, no Python)."""
+    plan = formatted_plan(SPECS["embedding_quantize"].builder(spark, sf_dir))
+    assert "Exchange" not in plan, "embedding_quantize grew a shuffle"
+    assert "Generate" not in plan, "quantization must not explode the array"
+    assert "Python" not in plan

@@ -133,3 +133,42 @@ def test_mrtext_custom_source_file_per_partition(spark, sf_dir, tmp_path):
         t for c in contents for line in c.split("\n") for t in line.replace("\t", " ").split(" ") if t
     )
     assert got == dict(exp)
+
+
+def test_events_loader_handles_both_ts_layouts(spark, sf_dir, tmp_path):
+    """The fixture generator has shipped events.ts as INT64
+    TIMESTAMP(NANOS) and as plain timestamp[us]; load_table must
+    normalize BOTH to identical session-tz TIMESTAMP values (the nanos
+    branch is dead code against current fixtures — this pins it)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    micros = [1_704_067_200_123_456, 1_704_070_800_000_001]
+    base = {
+        "event_id": pa.array([0, 1], type=pa.int64()),
+        "user_id": pa.array([3, 4], type=pa.int64()),
+        "event_type": pa.array(["click", "view"]),
+        "value": pa.array([1.5, 2.5]),
+        "props": pa.array(['{"k": 1}', '{"k": 2}']),
+    }
+    us_dir, ns_dir = tmp_path / "us", tmp_path / "ns"
+    for d in (us_dir, ns_dir):
+        d.mkdir()
+    pq.write_table(
+        pa.table({**base, "ts": pa.array(micros, type=pa.timestamp("us"))}),
+        str(us_dir / "events.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {**base, "ts": pa.array([m * 1000 for m in micros], type=pa.timestamp("ns"))}
+        ),
+        str(ns_dir / "events.parquet"),
+        coerce_timestamps=None,
+        version="2.6",
+    )
+    load = lambda d: sorted(
+        (r["event_id"], r["ts"]) for r in load_table(spark, str(d), "events").collect()
+    )
+    a, b = load(us_dir), load(ns_dir)
+    assert a == b and len(a) == 2
+    assert dict(load_table(spark, str(ns_dir), "events").dtypes)["ts"] == "timestamp"

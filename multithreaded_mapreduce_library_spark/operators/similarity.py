@@ -503,3 +503,123 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter("codes", lambda x: x == 255)).cast("long").alias("n_sat"),
         F.element_at("codes", 1).alias("first_code"),
     )
+
+
+# --- IVF centroid training (one exact Lloyd refinement) --------------------
+K_CELLS = 8
+_FX = 1_000_000  # centroid/assignment fixed-point scale (1e-6)
+
+# Squared-L2 distance as the same sequential left fold as cosine above:
+# identical operand order on both engines → bit-identical doubles.
+_SPARK_D2 = _fold_sum("zip_with(va, vc, (x, y) -> (x - y) * (x - y))")
+
+
+def _duck_d2(a: str, b: str) -> str:
+    return _duck_fold_sum(
+        f"list_transform(generate_series(1, {DIM}), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))"
+    )
+
+
+@register(
+    "ivf_train_centroids",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+seeds AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < {K_CELLS}),
+a1 AS (
+  SELECT vec_id, va, cid FROM (
+    SELECT e.vec_id, e.v AS va, s.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY {_duck_d2('e.v', 's.c')}, s.cid
+           ) AS rn
+    FROM e CROSS JOIN seeds s
+  ) WHERE rn = 1
+),
+comp AS (
+  SELECT cid, i AS pos, va[i] AS x
+  FROM a1 CROSS JOIN unnest(generate_series(1, {DIM})) AS g(i)
+),
+upd AS (
+  SELECT cid, pos,
+         floor(CAST(sum(CAST(floor(x * {_FX} + 0.5) AS BIGINT)) AS DOUBLE)
+               / count(*) + 0.5) / {_FX} AS cval
+  FROM comp GROUP BY cid, pos
+),
+newc AS (SELECT cid, list(cval ORDER BY pos) AS c FROM upd GROUP BY cid),
+a2 AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT e.vec_id, n.cid, {_duck_d2('e.v', 'n.c')} AS d2,
+           row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY {_duck_d2('e.v', 'n.c')}, n.cid
+           ) AS rn
+    FROM e CROSS JOIN newc n
+  ) WHERE rn = 1
+)
+SELECT vec_id,
+       CAST(cid AS BIGINT) AS cell_id,
+       CAST(floor(d2 * {_FX} + 0.5) AS BIGINT) AS d2_fx
+FROM a2
+""",
+    tags=("similarity", "ivf", "kmeans", "llm-pipeline"),
+    doc=(
+        f"IVF coarse-quantizer TRAINING, one exact Lloyd refinement: seed "
+        f"{K_CELLS} centroids from the {K_CELLS} smallest vec_ids, assign "
+        "every vector to its nearest seed (squared-L2 as the shared "
+        "sequential fold, centroid-id tiebreak), recompute centroids as "
+        "fixed-point component means (1e-6 quantized — double sums are "
+        "order-dependent, integer sums are not, so the updated centroids "
+        "are bit-identical across engines and partitionings), then emit "
+        "the final assignment + fixed-point distance per vector. This is "
+        "the training step sim_topk_ivf's sign-bucket stand-in abstracts "
+        "over; further Lloyd rounds repeat the same two stages. Shuffle "
+        "story: centroids are k rows and BROADCAST both times; the "
+        "argmin window partitions by vec_id with exactly k rows per key "
+        "(bounded, never skewed); the update is a posexplode into "
+        f"(cid, pos) partial-aggregated counters — {K_CELLS}×{DIM} groups "
+        "regardless of corpus size. At 100 TB nothing wide ever shuffles: "
+        "assignment rides the scan, the update reduces to k×dim cells."
+    ),
+)
+def ivf_train_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _load_embeddings(spark, sf_dir).select("vec_id", _dvec("embedding").alias("v"))
+    seeds = e.filter(F.col("vec_id") < K_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("vc")
+    )
+
+    def assign(centroids: DataFrame, keep_va: bool) -> DataFrame:
+        crossed = (
+            e.select("vec_id", F.col("v").alias("va"))
+            .join(F.broadcast(centroids))
+            .withColumn("d2", F.expr(_SPARK_D2))
+        )
+        w = W.partitionBy("vec_id").orderBy("d2", "cid")
+        best = crossed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+        cols = ["vec_id", "cid", "d2"] + (["va"] if keep_va else [])
+        return best.select(*cols)
+
+    a1 = assign(seeds, keep_va=True)
+    comp = a1.select("cid", F.posexplode("va").alias("pos", "x"))
+    upd = (
+        comp.groupBy("cid", "pos")
+        .agg(
+            F.sum(F.floor(F.col("x") * _FX + F.lit(0.5)).cast("long")).alias("sfx"),
+            F.count("*").alias("n"),
+        )
+        .withColumn(
+            "cval",
+            F.floor(F.col("sfx").cast("double") / F.col("n") + F.lit(0.5)) / _FX,
+        )
+    )
+    newc = upd.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))), lambda s: s["cval"]
+        ).alias("vc")
+    )
+    return assign(newc, keep_va=False).select(
+        "vec_id",
+        F.col("cid").cast("long").alias("cell_id"),
+        F.floor(F.col("d2") * _FX + F.lit(0.5)).cast("long").alias("d2_fx"),
+    )

@@ -105,7 +105,7 @@ _PRIORITY = (
     # cutoff + train-only contamination side; mime-rule hoist rewrote
     # three multimodal oracles:
     "multimodal_decode", "repetition_ngram", "pii_redact",
-    "embedding_quantize",
+    "embedding_quantize", "ivf_train_centroids",
     "contamination_check", "dedup_ngram_jaccard", "multimodal_metadata",
     "multimodal_features", "multimodal_resize",
     # (2) last green in r1 (19 — the oldest):
@@ -120,10 +120,11 @@ _PRIORITY = (
     "doc_fingerprint", "embedding_centroids", "grouped_map_zscore",
     "join_anti", "join_asof", "join_broadcast", "join_large", "join_left",
     "join_range", "join_semi", "join_skew_salted", "lang_id",
-    "map_in_arrow_project", "mr_inverted_index", "multimodal_frame_sample",
+    "map_in_arrow_project", "mr_inverted_index",
     # --- end of gate prefix (50) ----------------------------------------
     # rotated out, most-stale first (r2 leftovers, then r3, then r4):
-    "quality_score", "sample_stratified", "sequence_packing",
+    "multimodal_frame_sample", "quality_score", "sample_stratified",
+    "sequence_packing",
     "sessionize", "sim_lsh_buckets", "sim_near_dup", "sim_topk_bruteforce",
     "time_tumbling", "token_stats", "udtf_tokenize", "window_range_frame",
     "window_rank", "window_running",

@@ -369,3 +369,15 @@ def test_embedding_quantize_is_narrow(spark, sf_dir):
     assert "Exchange" not in plan, "embedding_quantize grew a shuffle"
     assert "Generate" not in plan, "quantization must not explode the array"
     assert "Python" not in plan
+
+
+def test_ivf_train_broadcasts_centroids(spark, sf_dir):
+    """Lloyd assignment must broadcast the k centroids both times (never
+    shuffle the corpus against them) and keep the update a partial-
+    aggregated (cid, pos) rollup; no cartesian fallback."""
+    plan = formatted_plan(SPECS["ivf_train_centroids"].builder(spark, sf_dir))
+    assert plan.count("+- BroadcastNestedLoopJoin") >= 2, (
+        "k-row centroid cross joins must broadcast"
+    )
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2, "centroid update must partial-aggregate"

@@ -5,12 +5,20 @@ The reference is strictly batch — two synchronous phases with full barriers
 beyond it (SURVEY.md §2.2). Each operator here is a readStream →
 transform → writeStream pipeline; the registry builders execute with
 ``trigger(availableNow=True)`` into a memory sink and return the settled
-result, so the driver's rows-only check observes a real streaming run
-(these are non-SQL-expressible per the contract — no oracle entries).
+result.
+
+Oracle coverage: where the settled availableNow result is fully
+deterministic the query carries a real DuckDB oracle — stream_tumbling
+(complete mode = the batch window set), stream_dedup (append over unique
+keys), stream_sliding_watermark (append = the batch window set cut at the
+final watermark, which availableNow pins to max(ts) - delay) — so the
+driver hash-checks an actual streaming run. The genuinely
+emission-order-dependent stateful ops (running max, funnel, session
+windows) stay rows-only per the contract, each exactness/completeness-
+anchored to a batch twin in tests/test_streaming.py.
 
 Batch twins with full DuckDB oracles live in ``operators/events.py``
-(time_tumbling / time_sliding / sessionize / dedup_keep_first) — the
-pytest suite asserts stream == batch where modes allow exact comparison.
+(time_tumbling / time_sliding / sessionize / dedup_keep_first).
 
 Scale notes: watermarks bound state (late data beyond the delay is
 dropped); tumbling/sliding aggs shuffle on (window, key); session windows
@@ -30,6 +38,7 @@ from multithreaded_mapreduce_library_spark.sources import table_path
 _sink_ids = itertools.count()
 
 TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,12 +89,23 @@ def run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
 
 @register(
     "stream_tumbling",
-    oracle=None,  # streaming — rows-only check; batch twin: time_tumbling
+    # complete mode emits the FULL settled window set — deterministic, so
+    # the oracle is the batch twin's (time_tumbling) verbatim.
+    oracle=f"""
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '{TS_FMT_DUCK}') AS window_start,
+       event_type,
+       count(*) AS cnt,
+       (sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) / 1000000) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
     tags=("streaming", "time-window"),
     doc=(
         "Tumbling 1-hour windowed count/sum as a streaming aggregation "
-        "(complete mode), replaying the fixture via availableNow. Matches "
-        "the batch time_tumbling operator exactly (asserted in tests)."
+        "(complete mode), replaying the fixture via availableNow. "
+        "Oracle-gated: complete mode's settled output IS the batch window "
+        "set, so the driver hash-checks a real streaming run against the "
+        "same SQL as time_tumbling."
     ),
 )
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -110,12 +130,31 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_sliding_watermark",
-    oracle=None,  # streaming — rows-only check; batch twin: time_sliding
+    # append mode emits exactly the windows the FINAL watermark has passed;
+    # availableNow pins that watermark to max(ts) - 2h (the closing no-data
+    # batch flushes finalized state), so the emitted set is deterministic:
+    # the batch sliding-window set with window_end < max(ts) - 2h. Strict
+    # '<' encodes "watermark passes the window end"; a window end landing
+    # EXACTLY on the watermark is measure-zero with microsecond data.
+    oracle=f"""
+SELECT strftime(ws, '{TS_FMT_DUCK}') AS window_start, event_type, count(*) AS cnt
+FROM (
+  SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS ws,
+         event_type, ts
+  FROM events
+)
+WHERE ts >= ws AND ts < ws + INTERVAL 60 MINUTE
+  AND ws + INTERVAL 60 MINUTE < (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
+GROUP BY 1, 2
+""",
     tags=("streaming", "time-window", "watermark"),
     doc=(
         "Sliding windows (1h/30m) with a 2-hour watermark in append mode: "
         "only watermark-finalized windows are emitted — the late-data-drop "
-        "semantics a replay can observe (trailing windows stay open)."
+        "semantics a replay can observe (trailing windows stay open). "
+        "Oracle-gated: the final availableNow watermark is max(ts) - 2h, "
+        "so the emitted set is the batch window set cut at that boundary."
     ),
 )
 def stream_sliding_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -134,12 +173,23 @@ def stream_sliding_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_dedup",
-    oracle=None,  # streaming — rows-only check; batch twin: dedup_keep_first
+    # event_id is unique in the fixture, so the settled append output is
+    # exactly the identity projection — the oracle gates the whole
+    # streaming pipeline (source, watermark, state store, sink) end to
+    # end. The drop-duplicates semantics under ACTUAL duplicate keys are
+    # pinned separately in tests/test_streaming.py (a synthesized
+    # duplicate-bearing stream), where emission timing makes a SQL oracle
+    # inapplicable.
+    oracle=f"""
+SELECT event_id, user_id, event_type, strftime(ts, '{TS_FMT_DUCK}') AS ts_s
+FROM events
+""",
     tags=("streaming", "dedup", "stateful"),
     doc=(
         "Stateful streaming dedup on event_id under a 1-hour watermark "
         "(state expires with the watermark — bounded memory at 100 TB/day "
-        "event volumes)."
+        "event volumes). Oracle-gated via the fixture's unique-key "
+        "identity (see registration comment)."
     ),
 )
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -28,6 +28,41 @@ def test_stream_dedup_complete_and_unique(spark, sf_dir):
     assert len(ids) == load_table(spark, sf_dir, "events").count()
 
 
+def test_stream_dedup_drops_actual_duplicates(spark, tmp_path):
+    """The fixture's unique keys make stream_dedup's oracle an identity
+    projection; this pins the dedup semantics PROPER with a synthesized
+    duplicate-bearing stream: one surviving row per key, and every
+    survivor is one of that key's input rows."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from multithreaded_mapreduce_library_spark.streaming.queries import run_to_memory
+
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+    rows = [
+        (i % 4, f"payload_{i}", base + dt.timedelta(minutes=i)) for i in range(12)
+    ]
+    src = tmp_path / "dup_src"
+    src.mkdir()
+    spark.createDataFrame(
+        rows, "event_id long, payload string, ts timestamp"
+    ).coalesce(1).write.parquet(str(src / "events.parquet"))
+    stream = (
+        spark.readStream.schema("event_id long, payload string, ts timestamp")
+        .parquet(str(src / "*"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+    )
+    out = run_to_memory(stream, "append").collect()
+    assert sorted(r["event_id"] for r in out) == [0, 1, 2, 3]
+    by_key = {}
+    for eid, payload, _ in rows:
+        by_key.setdefault(eid, set()).add(payload)
+    for r in out:
+        assert r["payload"] in by_key[r["event_id"]]
+
+
 def test_stream_sliding_watermark_subset_of_batch(spark, sf_dir):
     """Append mode emits only watermark-finalized windows — a strict subset
     of the batch result, and every emitted window must match batch exactly."""

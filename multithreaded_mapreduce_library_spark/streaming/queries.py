@@ -203,12 +203,36 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_session",
-    oracle=None,  # streaming — rows-only check; batch twin: sessionize
+    # append mode emits exactly the sessions the FINAL watermark has
+    # closed; session end = last event + gap, watermark = max(ts) - 30min
+    # under availableNow — so the emitted set is the batch gaps-and-islands
+    # session set with (max session ts + 15min) < max(ts) - 30min. Strict
+    # '<' as in stream_sliding_watermark; the boundary is measure-zero
+    # with microsecond data.
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) < INTERVAL 15 MINUTE
+              THEN 0 ELSE 1 END AS brk
+  FROM events
+), numbered AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '{TS_FMT_DUCK}') AS session_start,
+       count(*) AS n_events
+FROM numbered
+GROUP BY user_id, sid
+HAVING max(ts) + INTERVAL 15 MINUTE < (SELECT max(ts) - INTERVAL 30 MINUTE FROM events)
+""",
     tags=("streaming", "session-window", "stateful"),
     doc=(
         "Streaming session windows (15-minute gap) per user with a 30-min "
         "watermark, append mode: sessions emit once closed by the "
-        "watermark."
+        "watermark. Oracle-gated: the final availableNow watermark pins "
+        "the closed-session set to the batch gaps-and-islands sessions "
+        "whose end precedes max(ts) - 30min."
     ),
 )
 def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:

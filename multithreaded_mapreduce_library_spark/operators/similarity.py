@@ -521,10 +521,10 @@ def _duck_d2(a: str, b: str) -> str:
     )
 
 
-@register(
-    "ivf_train_centroids",
-    oracle=f"""
-WITH e AS (
+# Shared Lloyd CTE chain (seed → assign → fixed-point update → re-assign);
+# consumed by both ivf_train_centroids and the trained-probe ANN query so
+# the trained cells can never drift between them.
+_DUCK_LLOYD_CTES = f"""e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
@@ -557,7 +557,13 @@ a2 AS (
            ) AS rn
     FROM e CROSS JOIN newc n
   ) WHERE rn = 1
-)
+)"""
+
+
+@register(
+    "ivf_train_centroids",
+    oracle=f"""
+WITH {_DUCK_LLOYD_CTES}
 SELECT vec_id,
        CAST(cid AS BIGINT) AS cell_id,
        CAST(floor(d2 * {_FX} + 0.5) AS BIGINT) AS d2_fx
@@ -584,23 +590,35 @@ FROM a2
     ),
 )
 def ivf_train_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lloyd_final_assignment(spark, sf_dir).select(
+        "vec_id",
+        F.col("cid").cast("long").alias("cell_id"),
+        F.floor(F.col("d2") * _FX + F.lit(0.5)).cast("long").alias("d2_fx"),
+    )
+
+
+def _lloyd_final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cid, d2, va) after one Lloyd refinement — the Spark twin
+    of _DUCK_LLOYD_CTES, shared by training output and trained probe."""
     e = _load_embeddings(spark, sf_dir).select("vec_id", _dvec("embedding").alias("v"))
     seeds = e.filter(F.col("vec_id") < K_CELLS).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("vc")
     )
 
-    def assign(centroids: DataFrame, keep_va: bool) -> DataFrame:
+    def assign(centroids: DataFrame) -> DataFrame:
         crossed = (
             e.select("vec_id", F.col("v").alias("va"))
             .join(F.broadcast(centroids))
             .withColumn("d2", F.expr(_SPARK_D2))
         )
         w = W.partitionBy("vec_id").orderBy("d2", "cid")
-        best = crossed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-        cols = ["vec_id", "cid", "d2"] + (["va"] if keep_va else [])
-        return best.select(*cols)
+        return (
+            crossed.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid", "d2", "va")
+        )
 
-    a1 = assign(seeds, keep_va=True)
+    a1 = assign(seeds)
     comp = a1.select("cid", F.posexplode("va").alias("pos", "x"))
     upd = (
         comp.groupBy("cid", "pos")
@@ -618,8 +636,62 @@ def ivf_train_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("pos", "cval"))), lambda s: s["cval"]
         ).alias("vc")
     )
-    return assign(newc, keep_va=False).select(
-        "vec_id",
-        F.col("cid").cast("long").alias("cell_id"),
-        F.floor(F.col("d2") * _FX + F.lit(0.5)).cast("long").alias("d2_fx"),
+    return assign(newc)
+
+
+@register(
+    "sim_topk_ivf_trained",
+    oracle=f"""
+WITH {_DUCK_LLOYD_CTES},
+asn AS (
+  SELECT a2.vec_id, a2.cid, e.v AS embedding
+  FROM a2 JOIN e ON a2.vec_id = e.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_duck_cosine('q.embedding', 'c.embedding')}, 6) AS cosine,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_duck_cosine('q.embedding', 'c.embedding')} DESC, c.vec_id
+         ) AS rnk
+  FROM asn q JOIN asn c ON q.cid = c.cid AND q.vec_id <> c.vec_id
+  WHERE q.vec_id % {QUERY_MOD} = 0
+)
+WHERE rnk <= 3
+""",
+    tags=("similarity", "topk", "ivf", "kmeans", "llm-pipeline"),
+    doc=(
+        "The full trained-IVF ANN loop: Lloyd-refined centroids "
+        "(ivf_train_centroids' exact pipeline, shared code and shared "
+        "oracle CTEs), cell assignment, then probe only the query's "
+        "trained cell and exact-rank by cosine inside it — replacing "
+        "sim_topk_ivf's sign-bucket stand-in with the real "
+        "train-index-probe sequence. Shuffle story: training as in "
+        "ivf_train_centroids (broadcast centroids, k-row-bounded argmin "
+        "window, k×dim partial-agg update); the probe is one equi-join "
+        "on the trained cell id — candidates stay cell-local, never a "
+        "global scan per query, the IVF contract at 100 TB."
+    ),
+)
+def sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    asn = _lloyd_final_assignment(spark, sf_dir).select(
+        "vec_id", "cid", F.col("va").alias("v")
+    ).withColumn("norm", F.expr(_SPARK_NORM))
+    q = asn.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("va"), "cid",
+        F.col("norm").alias("norm_a"),
+    )
+    c = asn.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vb"),
+        F.col("cid").alias("cid2"), F.col("norm").alias("norm_b"),
+    )
+    scored = (
+        q.join(c, (F.col("cid") == F.col("cid2")) & (F.col("query_id") != F.col("neighbor_id")))
+        .withColumn("cos_exact", F.expr(_SPARK_COSINE))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_exact").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", F.round("cos_exact", 6).alias("cosine"), "rnk")
     )

@@ -107,7 +107,7 @@ _PRIORITY = (
     "multimodal_decode", "repetition_ngram", "pii_redact",
     "embedding_quantize", "ivf_train_centroids", "sim_topk_ivf_trained",
     "stream_tumbling", "stream_sliding_watermark", "stream_dedup",
-    "stream_session",
+    "stream_session", "stream_stateful_running_max", "stream_funnel",
     "contamination_check", "dedup_ngram_jaccard", "multimodal_metadata",
     "multimodal_features", "multimodal_resize",
     # (2) last green in r1 (19 — the oldest):
@@ -120,10 +120,10 @@ _PRIORITY = (
     "bm25_search", "dataset_split", "dedup_clusters", "dedup_exact",
     "dedup_fuzzy_names", "dedup_keep_first", "dedup_simhash",
     "doc_fingerprint", "embedding_centroids", "grouped_map_zscore",
-    "join_anti", "join_asof", "join_broadcast", "join_large", "join_left",
-    "join_range",
+    "join_anti", "join_asof", "join_broadcast", "join_large",
     # --- end of gate prefix (50) ----------------------------------------
     # rotated out, most-stale first (r2 leftovers, then r3, then r4):
+    "join_left", "join_range",
     "join_semi", "join_skew_salted", "lang_id", "map_in_arrow_project",
     "mr_inverted_index",
     "multimodal_frame_sample", "quality_score", "sample_stratified",

@@ -251,12 +251,24 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_stateful_running_max",
-    oracle=None,  # custom stateful streaming op — rows-only check
+    # update mode emits one row per user per data batch; the single-file
+    # fixture replays as ONE availableNow data batch (file sources never
+    # split a file across triggers, and NoTimeout means the closing
+    # no-data batch invokes no keys), so the settled sink holds exactly
+    # the per-user FINAL state — the batch max/count. A multi-file source
+    # would accumulate per-batch updates and void this oracle; the
+    # rows-only escape hatch would return then.
+    oracle="""
+SELECT user_id, max(value) AS max_value, CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+""",
     tags=("streaming", "stateful", "pandas-udf"),
     doc=(
         "Custom stateful operator via applyInPandasWithState: per-user "
         "running max/count of event value carried in explicit GroupState — "
-        "the escape hatch for operators Spark lacks natively."
+        "the escape hatch for operators Spark lacks natively. Oracle-gated "
+        "via the single-batch settled state (see registration comment)."
     ),
 )
 def stream_stateful_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -389,7 +401,33 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_funnel",
-    oracle=None,  # custom stateful op — rows-only check; batch twin: event_funnel
+    # Same single-data-batch determinism argument as
+    # stream_stateful_running_max: the settled update-mode sink holds one
+    # final row per user, which equals the batch event_funnel totals
+    # (the oracle below is event_funnel's, minus its conversion_rate
+    # column). 60 = operators.events.FUNNEL_WINDOW_MIN; a drift would
+    # surface as a hash mismatch on either query.
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, ts,
+         min(CASE WHEN event_type = 'purchase' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase_ts
+  FROM events
+),
+clicks AS (
+  SELECT user_id,
+         CASE WHEN next_purchase_ts IS NOT NULL
+                   AND next_purchase_ts <= ts + INTERVAL 60 MINUTE
+              THEN 1 ELSE 0 END AS converted
+  FROM seq WHERE event_type = 'click'
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_clicks,
+       CAST(sum(converted) AS BIGINT) AS n_converted
+FROM clicks
+GROUP BY user_id
+""",
     tags=("streaming", "stateful", "pandas-udf", "funnel"),
     doc=(
         "Custom stateful streaming funnel via applyInPandasWithState: per "

@@ -86,24 +86,31 @@ def register(
 _PRIORITY = (
     # --- round-5 rotated 50-query gate prefix ---------------------------
     # The driver verifies a 50-query PREFIX of this order. Steady-state
-    # ROTATION RULE (every oracle-gated query has ≥1 green driver
-    # row since r4, so the invariant is now bounded staleness, not first
+    # ROTATION RULE (every query that was oracle-gated entering r5 has ≥1
+    # green driver row, so the invariant is bounded staleness, not first
     # coverage): each round the prefix is
-    #   (1) every query whose builder/oracle text or semantics changed
-    #       this round (it must be driver-re-verified), then
+    #   (1) every query that is NEW or whose builder/oracle text or
+    #       semantics changed this round (must be driver-(re)verified),
     #   (2) the least-recently-verified remainder — fill to 50 from the
     #       oldest last-green CORRECTNESS_r*.json round, alphabetical
     #       within a round.
-    # With ~136 gated queries and 50 slots, the full set recycles every
-    # ~3 rounds, so no query's last green driver row is ever more than 3
-    # rounds old (pinned by tests/test_registry_oracle.py::
-    # test_gate_prefix_bounds_staleness). Do not pad with trivial
-    # variants; a new flagship must displace a verified one.
-    # (1) new/changed in r5 — multimodal_decode (new: real stdlib PNG/WAV
-    # codec round-trip), repetition_ngram + pii_redact (new curation
-    # gates), embedding_quantize (new int8 ANN code path); two-phase df
-    # cutoff + train-only contamination side; mime-rule hoist rewrote
-    # three multimodal oracles:
+    # Capacity arithmetic (r5): 147 gated queries, 50 slots, and this
+    # round's unusually large changed set (17: 7 new ops + 8 streaming
+    # oracle upgrades + 2 semantics changes) leaves 33 backlog slots —
+    # all 19 r1-stale queries + the 14 oldest r2-stale; 21 r2-stale
+    # queries wait one more round. Worst-case recycle is therefore ~4
+    # rounds, and the pinned invariant is a FOUR-round staleness bound
+    # (tests/test_registry_oracle.py::test_gate_prefix_bounds_staleness);
+    # in steady state (small changed sets) the effective bound is 3.
+    # Do not pad with trivial variants; a new flagship must displace a
+    # verified one.
+    # (1) new/changed in r5 — multimodal_decode (real stdlib PNG/WAV
+    # codec round-trip), repetition_ngram + pii_redact (curation gates),
+    # embedding_quantize + ivf_train_centroids + sim_topk_ivf_trained
+    # (int8/Lloyd ANN path), all 8 stream_* queries (upgraded from
+    # rows-only to real oracles), two-phase df cutoff + train-only
+    # contamination side, mime-rule hoist across three multimodal
+    # oracles:
     "multimodal_decode", "repetition_ngram", "pii_redact",
     "embedding_quantize", "ivf_train_centroids", "sim_topk_ivf_trained",
     "stream_tumbling", "stream_sliding_watermark", "stream_dedup",
@@ -116,7 +123,8 @@ _PRIORITY = (
     "count_distinct", "distinct_rows", "filter_project", "having_filter",
     "lateral_posexplode", "multi_count_distinct", "orderby_limit",
     "sample_hash", "scalar_subquery", "unpivot_measures",
-    # (2) last green in r2, oldest 26 alphabetically:
+    # (2) last green in r2, oldest 14 alphabetically (the 21 remaining
+    # r2-stale queries head the rotated-out list and lead the r6 prefix):
     "bm25_search", "dataset_split", "dedup_clusters", "dedup_exact",
     "dedup_fuzzy_names", "dedup_keep_first", "dedup_simhash",
     "doc_fingerprint", "embedding_centroids", "grouped_map_zscore",

@@ -44,23 +44,29 @@ def table_path(sf_dir: str, name: str) -> str:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet has shipped with two physical layouts for ts:
-        # INT64 TIMESTAMP(NANOS), which Spark's parquet reader rejects by
-        # default (read nanos as long; integer `div` keeps full precision —
-        # ns since epoch exceeds 2^53, so float division would corrupt
-        # timestamps), and plain timestamp[us], which arrives as
-        # TIMESTAMP_NTZ (cast to session-tz TIMESTAMP — value-preserving
-        # under the UTC session, and keeps every downstream query on one
-        # timestamp class). Detect from the schema so either fixture
-        # generation works.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-
-        df = spark.read.parquet(table_path(sf_dir, name))
-        if dict(df.dtypes)["ts"] == "bigint":
-            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return normalize_events_ts(spark.read.parquet(table_path(sf_dir, name)))
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to session-tz TIMESTAMP from either physical
+    layout the fixture generator has shipped — the ONE place both the
+    batch loader and the streaming source get this logic from.
+
+    Layouts seen so far: INT64 TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects by default (read nanos as long via the nanosAsLong
+    conf; integer `div` keeps full precision — ns since epoch exceeds
+    2^53, so float division would corrupt timestamps), and plain
+    timestamp[us], which arrives as TIMESTAMP_NTZ (cast to session-tz
+    TIMESTAMP — value-preserving under the UTC session, and keeps every
+    downstream query on one timestamp class).
+    """
+    from pyspark.sql import functions as F
+
+    if dict(df.dtypes)["ts"] == "bigint":
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def rebalance_scan(df: DataFrame, spark: SparkSession) -> DataFrame:

@@ -43,9 +43,11 @@ TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (schema pinned from the
-    batch reader; ts is normalized to session-tz TIMESTAMP exactly as in
-    the batch loader — nanos-long fixtures convert via integer div,
-    timestamp[us] fixtures via a cast; see sources/tables.py)."""
+    batch reader; ts is normalized to session-tz TIMESTAMP by the SAME
+    helper the batch loader uses — sources.tables.normalize_events_ts —
+    so the two readers cannot drift across fixture layouts)."""
+    from multithreaded_mapreduce_library_spark.sources.tables import normalize_events_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(table_path(sf_dir, "events"))
     # The file source requires a directory; stream the sf dir filtered to
@@ -55,9 +57,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(batch.dtypes)["ts"] == "bigint":
-        return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return normalize_events_ts(stream)
 
 
 def run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
@@ -131,11 +131,14 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_sliding_watermark",
     # append mode emits exactly the windows the FINAL watermark has passed;
-    # availableNow pins that watermark to max(ts) - 2h (the closing no-data
-    # batch flushes finalized state), so the emitted set is deterministic:
-    # the batch sliding-window set with window_end < max(ts) - 2h. Strict
-    # '<' encodes "watermark passes the window end"; a window end landing
-    # EXACTLY on the watermark is measure-zero with microsecond data.
+    # availableNow pins that watermark to floor_ms(max(ts)) - 2h (Spark
+    # tracks event time in MILLISECONDS, truncating the microsecond tail,
+    # and the closing no-data batch flushes finalized state), and a window
+    # whose end equals the watermark IS emitted (verified empirically:
+    # end == watermark finalizes). Both details are encoded below —
+    # date_trunc to ms, inclusive <= — so the oracle is exact even when a
+    # boundary lands inside the sub-millisecond gap or dead on the
+    # watermark.
     oracle=f"""
 SELECT strftime(ws, '{TS_FMT_DUCK}') AS window_start, event_type, count(*) AS cnt
 FROM (
@@ -145,7 +148,8 @@ FROM (
   FROM events
 )
 WHERE ts >= ws AND ts < ws + INTERVAL 60 MINUTE
-  AND ws + INTERVAL 60 MINUTE < (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
+  AND ws + INTERVAL 60 MINUTE <=
+      (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 2 HOUR FROM events)
 GROUP BY 1, 2
 """,
     tags=("streaming", "time-window", "watermark"),
@@ -204,11 +208,11 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_session",
     # append mode emits exactly the sessions the FINAL watermark has
-    # closed; session end = last event + gap, watermark = max(ts) - 30min
-    # under availableNow — so the emitted set is the batch gaps-and-islands
-    # session set with (max session ts + 15min) < max(ts) - 30min. Strict
-    # '<' as in stream_sliding_watermark; the boundary is measure-zero
-    # with microsecond data.
+    # closed; session end = last event + gap, watermark =
+    # floor_ms(max(ts)) - 30min under availableNow (Spark truncates event
+    # time to milliseconds), and end == watermark counts as closed —
+    # same ms-truncation + inclusive-<= semantics as
+    # stream_sliding_watermark, encoded identically below.
     oracle=f"""
 WITH flagged AS (
   SELECT user_id, ts,
@@ -224,7 +228,8 @@ SELECT user_id,
        count(*) AS n_events
 FROM numbered
 GROUP BY user_id, sid
-HAVING max(ts) + INTERVAL 15 MINUTE < (SELECT max(ts) - INTERVAL 30 MINUTE FROM events)
+HAVING max(ts) + INTERVAL 15 MINUTE <=
+       (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 30 MINUTE FROM events)
 """,
     tags=("streaming", "session-window", "stateful"),
     doc=(

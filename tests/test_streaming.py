@@ -296,6 +296,36 @@ def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     assert r_multi > 0
 
 
+def test_trained_ivf_recall_beats_sign_buckets(spark, sf_dir):
+    """The point of training the coarse quantizer: Lloyd-refined cells
+    follow the data distribution, so cell-local probing recovers more of
+    the exact top-k than the data-oblivious sign buckets at comparable
+    probe cost. Measured 0.30 vs 0.13-0.17 recall@3 on the checked-in
+    fixtures — assert strict dominance plus a 0.2 floor (headroom under
+    the measured 0.30, far above sign-bucket's ceiling)."""
+    def topk(name, k=3):
+        out = {}
+        for r in SPECS[name].builder(spark, sf_dir).collect():
+            if r["rnk"] <= k:
+                out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = topk("sim_topk_bruteforce")
+    sign = topk("sim_topk_ivf")
+    trained = topk("sim_topk_ivf_trained")
+
+    def recall(approx):
+        hits = sum(len(approx.get(q, set()) & exact[q]) for q in exact)
+        total = sum(len(v) for v in exact.values())
+        return hits / total
+
+    r_sign, r_trained = recall(sign), recall(trained)
+    assert r_trained > r_sign, (
+        f"trained-IVF recall {r_trained} does not beat sign buckets {r_sign}"
+    )
+    assert r_trained >= 0.2
+
+
 def test_checkpoint_restart_exactly_once(spark, tmp_path):
     """Production durability: a stream with a checkpointLocation survives
     stop/restart without reprocessing — file 1's rows are NOT re-emitted

@@ -444,19 +444,37 @@ def sim_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embedding_quantize",
-    oracle="""
-WITH q AS (
-  SELECT vec_id, label,
-         list_transform(
+def _codes_col() -> Column:
+    """The affine-int8 code array of ``embedding`` — the ONE definition of
+    the quantization rule, shared by embedding_quantize (code statistics)
+    and sim_topk_quantized (integer-dot-product scoring)."""
+    amin = F.array_min("embedding").cast("double")
+    amax = F.array_max("embedding").cast("double")
+    return F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(
+            (x.cast("double") - amin) / (amax - amin) * 255 + F.lit(0.5)
+        ).cast("long"),
+    )
+
+
+# DuckDB twin of _codes_col, f-string'd into both quantization oracles.
+_DUCK_CODES = """list_transform(
            embedding,
            x -> CAST(floor(
                   (CAST(x AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE))
                   / (CAST(list_max(embedding) AS DOUBLE)
                      - CAST(list_min(embedding) AS DOUBLE))
                   * 255 + 0.5) AS BIGINT)
-         ) AS codes
+         )"""
+
+
+@register(
+    "embedding_quantize",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, label,
+         {_DUCK_CODES} AS codes
   FROM embeddings
 )
 SELECT vec_id,
@@ -484,15 +502,7 @@ FROM q
 )
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    amin = F.array_min("embedding").cast("double")
-    amax = F.array_max("embedding").cast("double")
-    codes = F.transform(
-        F.col("embedding"),
-        lambda x: F.floor(
-            (x.cast("double") - amin) / (amax - amin) * 255 + F.lit(0.5)
-        ).cast("long"),
-    )
-    c = emb.select("vec_id", "label", codes.alias("codes"))
+    c = emb.select("vec_id", "label", _codes_col().alias("codes"))
     return c.select(
         "vec_id",
         "label",
@@ -694,4 +704,65 @@ def sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
         .select("query_id", "neighbor_id", F.round("cos_exact", 6).alias("cosine"), "rnk")
+    )
+
+
+@register(
+    "sim_topk_quantized",
+    oracle=f"""
+WITH c AS (
+  SELECT vec_id, {_DUCK_CODES} AS codes
+  FROM embeddings
+)
+SELECT query_id, neighbor_id, qdot, rnk FROM (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(generate_series(1, {DIM}),
+                                      i -> q.codes[i] * n.codes[i])) AS BIGINT) AS qdot,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_sum(list_transform(generate_series(1, {DIM}),
+                                            i -> q.codes[i] * n.codes[i])) DESC,
+                    n.vec_id
+         ) AS rnk
+  FROM c q JOIN c n ON q.vec_id <> n.vec_id
+  WHERE q.vec_id % {QUERY_MOD} = 0
+)
+WHERE rnk <= {TOP_K}
+""",
+    tags=("similarity", "topk", "quantization", "llm-pipeline"),
+    doc=(
+        "Top-k scored ON THE INT8 CODES: rank candidates by the integer "
+        "dot product of their affine-quantized codes (embedding_quantize's "
+        "exact rule, shared Spark expression and shared oracle SQL) — the "
+        "asymmetric-distance serving path a 100 TB ANN index runs, where "
+        "float vectors stay on disk and the 4x-smaller codes are scored "
+        "with integer SIMD, refining only the survivors. All-integer math "
+        "makes the cross-engine differential exact with no float-order "
+        "caveats at all. Shuffle story: broadcast the tiny query-side "
+        "code set, score per partition, TakeOrdered per query — at scale "
+        "this composes with the trained IVF cells (score codes only "
+        "within the probed cell)."
+    ),
+)
+def sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _load_embeddings(spark, sf_dir).select("vec_id", _codes_col().alias("codes"))
+    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("codes").alias("qa")
+    )
+    n = e.select(F.col("vec_id").alias("neighbor_id"), F.col("codes").alias("qb"))
+    qdot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(q)
+        .join(n, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("qdot", qdot)
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("qdot").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "qdot", "rnk")
     )

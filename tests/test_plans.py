@@ -381,3 +381,11 @@ def test_ivf_train_broadcasts_centroids(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2, "centroid update must partial-aggregate"
+
+
+def test_quantized_topk_broadcasts_queries(spark, sf_dir):
+    """Code scoring must broadcast the tiny query-side code set and never
+    sort-merge or shuffle the corpus per query."""
+    plan = formatted_plan(SPECS["sim_topk_quantized"].builder(spark, sf_dir))
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan

@@ -137,3 +137,52 @@ def test_tokens_parity_adversarial(spark):
         ).fetchone()
         assert got[c] == list(exp), f"tokenizer divergence on {c!r}: {got[c]} vs {exp}"
     con.close()
+
+
+def test_quantize_codes_parity_adversarial(spark, tmp_path):
+    """The affine-int8 code rule (_codes_col vs _DUCK_CODES) must agree
+    element-for-element beyond the fixture's benign uniform vectors:
+    near-degenerate ranges (max-min ~ 1e-6), float32 extremes (~3e38),
+    negative-only, and denormal-scale values all stress the shared IEEE
+    expression where engines could plausibly diverge."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import duckdb
+
+    from multithreaded_mapreduce_library_spark.operators.similarity import (
+        _DUCK_CODES,
+        _codes_col,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = [
+        rng.uniform(-0.5, 0.5, 8).astype("float32"),
+        (np.float32(0.1) + rng.uniform(0, 1e-6, 8)).astype("float32"),
+        rng.uniform(1e30, 3e38, 8).astype("float32"),
+        (-rng.uniform(1, 2, 8)).astype("float32"),
+        rng.uniform(0, 1e-38, 8).astype("float32"),
+    ]
+    path = str(tmp_path / "embeddings.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        ),
+        path,
+    )
+    sdf = spark.read.parquet(path).select("vec_id", _codes_col().alias("codes"))
+    srows = {r["vec_id"]: r["codes"] for r in sdf.collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{path}')")
+    orows = {
+        r[0]: r[1]
+        for r in con.execute(f"SELECT vec_id, {_DUCK_CODES} FROM embeddings").fetchall()
+    }
+    con.close()
+    assert srows == orows

@@ -14,7 +14,7 @@ shuffle (broadcast). No driver-side collects anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from multithreaded_mapreduce_library_spark.functions import duck_money_sum, money_sum
@@ -496,4 +496,68 @@ def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.join(F.broadcast(n), F.length(n.n_name) > F.length(r.r_name))
         .groupBy("r_name")
         .agg(F.count("*").alias("n_pairs"), F.min("n_name").alias("first_nation"))
+    )
+
+
+@register(
+    "join_asof_window",
+    # Same semantics and SAME oracle as join_asof — deliberately: this is
+    # the carry-forward formulation of the as-of join, and sharing the
+    # oracle proves the two plans compute identical results.
+    oracle="""
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       strftime(max(c.ts), '%Y-%m-%d %H:%M:%S.%f') AS last_click_ts,
+       count(*) AS n_prior_clicks
+FROM events p
+JOIN events c ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id, p.ts
+""",
+    tags=("join", "asof", "window"),
+    doc=(
+        "The SCALE-RIGHT as-of join: instead of joining every purchase "
+        "against all its prior clicks (per-key fanout = clicks x "
+        "purchases per user, the shape join_asof demonstrates), carry "
+        "the last click forward with one ordered window pass — "
+        "last(click_ts) IGNORE NULLS + a running click count over "
+        "(user, ts) order, then keep purchase rows. Identical results "
+        "(same oracle as join_asof, hash-checked), but the plan is ONE "
+        "window exchange on user_id with NO join node and O(events) "
+        "work — at 100 TB this is the difference between a quadratic "
+        "per-user blowup on heavy users and a linear scan "
+        "(plan-asserted in tests/test_plans.py)."
+    ),
+)
+def join_asof_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    carried = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.last(click_ts, ignorenulls=True).over(w).alias("last_click_ts"),
+        F.count(click_ts).over(w).alias("n_prior_clicks"),
+    )
+    return (
+        carried.filter(
+            (F.col("event_type") == "purchase") & F.col("last_click_ts").isNotNull()
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+            F.date_format("last_click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "last_click_ts"
+            ),
+            "n_prior_clicks",
+        )
     )

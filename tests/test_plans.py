@@ -389,3 +389,14 @@ def test_quantized_topk_broadcasts_queries(spark, sf_dir):
     plan = formatted_plan(SPECS["sim_topk_quantized"].builder(spark, sf_dir))
     assert "Broadcast" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_asof_window_has_no_join(spark, sf_dir):
+    """The carry-forward as-of formulation must plan as ONE window pass —
+    no join node, no per-key fanout, a single exchange on user_id."""
+    import re
+
+    plan = formatted_plan(SPECS["join_asof_window"].builder(spark, sf_dir))
+    assert "Join" not in plan, "as-of window variant grew a join"
+    assert "Window" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1

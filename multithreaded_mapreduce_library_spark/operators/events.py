@@ -358,3 +358,63 @@ def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").alias("sum_k"),
         )
     )
+
+
+@register(
+    "quarantine_malformed",
+    # Corruption is injected as TRUNCATION (drop the closing brace on
+    # event_id % 7 = 0) — the classic ingest failure — because both
+    # engines' STRICT parsers (Spark's variant try_parse_json, DuckDB's
+    # json_valid) reject it identically; trailing-garbage corruption
+    # would NOT be cross-engine stable (Jackson accepts '{"k":5}x',
+    # DuckDB does not), so don't "generalize" the injection.
+    oracle="""
+WITH aug AS (
+  SELECT event_type,
+         CASE WHEN event_id % 7 = 0 THEN substr(props, 1, length(props) - 1)
+              ELSE props END AS p
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(CASE WHEN NOT json_valid(p) THEN 1 END) AS BIGINT) AS n_quarantined,
+       CAST(sum(CASE WHEN json_valid(p) THEN CAST(p ->> '$.k' AS BIGINT) END) AS BIGINT)
+         AS sum_valid_k
+FROM aug
+GROUP BY event_type
+""",
+    tags=("events", "json", "quarantine", "llm-pipeline"),
+    doc=(
+        "Malformed-record quarantine: strict-parse every props payload "
+        "(1/7 deterministically truncated to simulate ingest corruption), "
+        "count quarantined rows per event type, and aggregate the valid "
+        "payloads only — the route-bad-records-aside pattern every 100 TB "
+        "ingest needs so one truncated record can't poison a batch. "
+        "Strictness matters and is pinned cross-engine: Spark "
+        "try_parse_json (variant, RFC-strict) agrees with DuckDB "
+        "json_valid on truncation. Shuffle story: narrow parse riding "
+        "the scan + one partial-aggregated exchange on the 5-value "
+        "event_type key."
+    ),
+)
+def quarantine_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    aug = e.select(
+        "event_type",
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.expr("substr(props, 1, length(props) - 1)"),
+        )
+        .otherwise(F.col("props"))
+        .alias("p"),
+    )
+    parsed = aug.select(
+        "event_type",
+        F.expr("try_parse_json(p) IS NULL").alias("malformed"),
+        F.expr("try_variant_get(try_parse_json(p), '$.k', 'bigint')").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count(F.when(F.col("malformed"), F.lit(1))).alias("n_quarantined"),
+        F.sum("k").alias("sum_valid_k"),
+    )

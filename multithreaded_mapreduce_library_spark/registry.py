@@ -95,9 +95,9 @@ _PRIORITY = (
     #       oldest last-green CORRECTNESS_r*.json round, alphabetical
     #       within a round.
     # Capacity arithmetic (r5): 148 gated queries, 50 slots, and this
-    # round's unusually large changed set (19: 9 new ops + 8 streaming
-    # oracle upgrades + 2 semantics changes) leaves 31 backlog slots —
-    # all 19 r1-stale queries + the 12 oldest r2-stale; 23 r2-stale
+    # round's unusually large changed set (20: 10 new ops + 8 streaming
+    # oracle upgrades + 2 semantics changes) leaves 30 backlog slots —
+    # all 19 r1-stale queries + the 11 oldest r2-stale; 24 r2-stale
     # queries wait one more round. Worst-case recycle is therefore ~4
     # rounds, and the pinned invariant is a FOUR-round staleness bound
     # (tests/test_registry_oracle.py::test_gate_prefix_bounds_staleness);
@@ -113,7 +113,7 @@ _PRIORITY = (
     # oracles:
     "multimodal_decode", "repetition_ngram", "pii_redact",
     "embedding_quantize", "ivf_train_centroids", "sim_topk_ivf_trained",
-    "sim_topk_quantized", "join_asof_window",
+    "sim_topk_quantized", "join_asof_window", "quarantine_malformed",
     "stream_tumbling", "stream_sliding_watermark", "stream_dedup",
     "stream_session", "stream_stateful_running_max", "stream_funnel",
     "contamination_check", "dedup_ngram_jaccard", "multimodal_metadata",
@@ -124,15 +124,15 @@ _PRIORITY = (
     "count_distinct", "distinct_rows", "filter_project", "having_filter",
     "lateral_posexplode", "multi_count_distinct", "orderby_limit",
     "sample_hash", "scalar_subquery", "unpivot_measures",
-    # (2) last green in r2, oldest 12 alphabetically (the 23 remaining
+    # (2) last green in r2, oldest 11 alphabetically (the 24 remaining
     # r2-stale queries head the rotated-out list and lead the r6 prefix):
     "bm25_search", "dataset_split", "dedup_clusters", "dedup_exact",
     "dedup_fuzzy_names", "dedup_keep_first", "dedup_simhash",
     "doc_fingerprint", "embedding_centroids", "grouped_map_zscore",
-    "join_anti", "join_asof",
+    "join_anti",
     # --- end of gate prefix (50) ----------------------------------------
     # rotated out, most-stale first (r2 leftovers, then r3, then r4):
-    "join_broadcast", "join_large", "join_left", "join_range",
+    "join_asof", "join_broadcast", "join_large", "join_left", "join_range",
     "join_semi", "join_skew_salted", "lang_id", "map_in_arrow_project",
     "mr_inverted_index",
     "multimodal_frame_sample", "quality_score", "sample_stratified",

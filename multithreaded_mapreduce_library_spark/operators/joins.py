@@ -265,9 +265,10 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "join_asof",
-    oracle="""
+# ONE oracle for both as-of formulations (join_asof's join+argmax and
+# join_asof_window's carry-forward window): sharing the constant is what
+# actually enforces the "identical results, different plan" claim.
+_ASOF_ORACLE = """
 SELECT p.event_id, p.user_id,
        strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
        strftime(max(c.ts), '%Y-%m-%d %H:%M:%S.%f') AS last_click_ts,
@@ -276,7 +277,12 @@ FROM events p
 JOIN events c ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
 WHERE p.event_type = 'purchase'
 GROUP BY p.event_id, p.user_id, p.ts
-""",
+"""
+
+
+@register(
+    "join_asof",
+    oracle=_ASOF_ORACLE,
     tags=("join", "asof"),
     doc=(
         "As-of join: latest click at-or-before each purchase, per user. "
@@ -504,16 +510,7 @@ def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same semantics and SAME oracle as join_asof — deliberately: this is
     # the carry-forward formulation of the as-of join, and sharing the
     # oracle proves the two plans compute identical results.
-    oracle="""
-SELECT p.event_id, p.user_id,
-       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
-       strftime(max(c.ts), '%Y-%m-%d %H:%M:%S.%f') AS last_click_ts,
-       count(*) AS n_prior_clicks
-FROM events p
-JOIN events c ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
-WHERE p.event_type = 'purchase'
-GROUP BY p.event_id, p.user_id, p.ts
-""",
+    oracle=_ASOF_ORACLE,
     tags=("join", "asof", "window"),
     doc=(
         "The SCALE-RIGHT as-of join: instead of joining every purchase "
@@ -533,9 +530,15 @@ def join_asof_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "ts"
     )
+    # Tie handling: the oracle's condition is c.ts <= p.ts, which INCLUDES
+    # a click at exactly the purchase's timestamp — so at equal ts the
+    # window order must place clicks BEFORE purchases or the current-row
+    # frame would miss a same-ts click with a larger event_id ('click' <
+    # 'purchase' lexically, so ordering by event_type does it); event_id
+    # last keeps the total order deterministic.
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", "event_type", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     click_ts = F.when(F.col("event_type") == "click", F.col("ts"))

@@ -447,25 +447,36 @@ def sim_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _codes_col() -> Column:
     """The affine-int8 code array of ``embedding`` — the ONE definition of
     the quantization rule, shared by embedding_quantize (code statistics)
-    and sim_topk_quantized (integer-dot-product scoring)."""
+    and sim_topk_quantized (integer-dot-product scoring).
+
+    Degenerate constant vectors (max == min) are pinned to all-zero codes
+    EXPLICITLY: without the guard the engines diverge on 0/0 — Spark
+    floors NaN to 0 while DuckDB yields NULL — a latent hash mismatch on
+    any future fixture with a zero/padding vector (the exact-0 comparison
+    is IEEE-safe; both sides branch identically)."""
     amin = F.array_min("embedding").cast("double")
     amax = F.array_max("embedding").cast("double")
     return F.transform(
         F.col("embedding"),
-        lambda x: F.floor(
-            (x.cast("double") - amin) / (amax - amin) * 255 + F.lit(0.5)
-        ).cast("long"),
+        lambda x: F.when(amax == amin, F.lit(0))
+        .otherwise(
+            F.floor((x.cast("double") - amin) / (amax - amin) * 255 + F.lit(0.5))
+        )
+        .cast("long"),
     )
 
 
 # DuckDB twin of _codes_col, f-string'd into both quantization oracles.
 _DUCK_CODES = """list_transform(
            embedding,
-           x -> CAST(floor(
+           x -> CASE WHEN CAST(list_max(embedding) AS DOUBLE)
+                          = CAST(list_min(embedding) AS DOUBLE)
+                THEN 0
+                ELSE CAST(floor(
                   (CAST(x AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE))
                   / (CAST(list_max(embedding) AS DOUBLE)
                      - CAST(list_min(embedding) AS DOUBLE))
-                  * 255 + 0.5) AS BIGINT)
+                  * 255 + 0.5) AS BIGINT) END
          )"""
 
 

@@ -94,9 +94,10 @@ _PRIORITY = (
     #   (2) the least-recently-verified remainder — fill to 50 from the
     #       oldest last-green CORRECTNESS_r*.json round, alphabetical
     #       within a round.
-    # Capacity arithmetic (r5): 148 gated queries, 50 slots, and this
-    # round's unusually large changed set (20: 10 new ops + 8 streaming
-    # oracle upgrades + 2 semantics changes) leaves 30 backlog slots —
+    # Capacity arithmetic (r5): 150 gated queries, 50 slots, and this
+    # round's unusually large changed set (20: 9 new ops + 6 streaming
+    # rows-only-to-oracle upgrades + 5 oracle/semantics rewrites) leaves
+    # 30 backlog slots —
     # all 19 r1-stale queries + the 11 oldest r2-stale; 24 r2-stale
     # queries wait one more round. Worst-case recycle is therefore ~4
     # rounds, and the pinned invariant is a FOUR-round staleness bound
@@ -104,13 +105,15 @@ _PRIORITY = (
     # in steady state (small changed sets) the effective bound is 3.
     # Do not pad with trivial variants; a new flagship must displace a
     # verified one.
-    # (1) new/changed in r5 — multimodal_decode (real stdlib PNG/WAV
-    # codec round-trip), repetition_ngram + pii_redact (curation gates),
-    # embedding_quantize + ivf_train_centroids + sim_topk_ivf_trained
-    # (int8/Lloyd ANN path), all 8 stream_* queries (upgraded from
-    # rows-only to real oracles), two-phase df cutoff + train-only
-    # contamination side, mime-rule hoist across three multimodal
-    # oracles:
+    # (1) new/changed in r5 — 9 new ops (multimodal_decode,
+    # repetition_ngram, pii_redact, embedding_quantize,
+    # ivf_train_centroids, sim_topk_ivf_trained, sim_topk_quantized,
+    # join_asof_window, quarantine_malformed), the 6 stream_* queries
+    # upgraded from rows-only to real oracles (stream_stream_join and
+    # stream_static_join were already gated and r4-verified — they stay
+    # rotated out), and 5 oracle/semantics rewrites (two-phase df cutoff
+    # in dedup_ngram_jaccard, train-only contamination side, mime-rule
+    # hoist across three multimodal oracles):
     "multimodal_decode", "repetition_ngram", "pii_redact",
     "embedding_quantize", "ivf_train_centroids", "sim_topk_ivf_trained",
     "sim_topk_quantized", "join_asof_window", "quarantine_malformed",

@@ -163,6 +163,11 @@ def test_quantize_codes_parity_adversarial(spark, tmp_path):
         rng.uniform(1e30, 3e38, 8).astype("float32"),
         (-rng.uniform(1, 2, 8)).astype("float32"),
         rng.uniform(0, 1e-38, 8).astype("float32"),
+        # exactly degenerate (max == min): the explicit all-zero-codes
+        # branch — without it Spark floors 0/0's NaN to 0 while DuckDB
+        # yields NULL
+        np.zeros(8, dtype="float32"),
+        np.full(8, 0.25, dtype="float32"),
     ]
     path = str(tmp_path / "embeddings.parquet")
     pq.write_table(

@@ -373,3 +373,86 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     # complete-mode state restored from checkpoint + only the new rows added:
     # total is 140, not 240 (f1 not reprocessed) and not 40 (state kept)
     assert sum(second.values()) == 140, second
+
+
+def test_watermark_boundary_is_inclusive_and_ms_truncated(spark, tmp_path):
+    """Pins the two facts the sliding/session oracles encode (they were
+    first verified with a throwaway fixture — this is the checked-in
+    version): (1) a window whose end equals the final watermark IS
+    emitted (inclusive <=, not strict <); (2) the watermark truncates
+    event time to MILLISECONDS, so a max-ts microsecond tail does not
+    push the watermark past a boundary window. If a Spark upgrade flips
+    either, this fails before the oracle starts flaking."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    def run(max_ts):
+        d = tmp_path / f"wmb_{max_ts.microsecond}"
+        d.mkdir()
+        rows = [(1, dt.datetime(2024, 1, 1, 2, 30, 0)), (2, max_ts)]
+        spark.createDataFrame(rows, "id long, ts timestamp").coalesce(1).write.parquet(
+            str(d / "f.parquet")
+        )
+        s = (
+            spark.readStream.schema("id long, ts timestamp")
+            .parquet(str(d / "*"))
+            .withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("c"))
+        )
+        name = f"wmb_sink_{max_ts.microsecond}"
+        q = (
+            s.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {str(r["w"]["start"]) for r in spark.table(name).collect()}
+
+    # max = 05:00:00.000000 → watermark = 03:00:00.000; the [02:00, 03:00)
+    # window's end EQUALS the watermark and must be emitted (inclusive).
+    assert run(dt.datetime(2024, 1, 1, 5, 0, 0)) == {"2024-01-01 02:00:00"}
+    # max = 04:59:59.999999 → floor_ms = 04:59:59.999 → watermark
+    # 02:59:59.999 < window end 03:00 → NOT emitted. (Without truncation
+    # the sub-ms tail wouldn't change this case; combined with the case
+    # above it pins that the boundary sits at the ms-truncated value.)
+    assert run(dt.datetime(2024, 1, 1, 4, 59, 59, 999999)) == set()
+
+
+def test_asof_window_counts_same_timestamp_click(spark, tmp_path):
+    """Tie semantics for the as-of pair: the shared oracle counts any
+    click with c.ts <= p.ts, INCLUDING one at exactly the purchase's
+    timestamp — the window formulation must order clicks before
+    purchases at equal ts or it silently drops that click (and with it
+    the whole purchase row when it was the only click)."""
+    import datetime as dt
+
+    d = tmp_path / "asof_tie"
+    d.mkdir()
+    T = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: normal prior click
+        (1, 1, "click", T, 1.0, "{}"),
+        (2, 1, "purchase", T + dt.timedelta(minutes=5), 1.0, "{}"),
+        # user 2: the tie — purchase has the SMALLER event_id at equal ts
+        (10, 2, "purchase", T, 1.0, "{}"),
+        (11, 2, "click", T, 1.0, "{}"),
+        # user 3: purchase with no clicks at all — excluded by both
+        (20, 3, "purchase", T, 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double, props string"
+    ).coalesce(1).write.parquet(str(d / "events.parquet"))
+
+    for name in ("join_asof", "join_asof_window"):
+        got = {
+            (r["event_id"], r["n_prior_clicks"], r["last_click_ts"])
+            for r in SPECS[name].builder(spark, str(d)).collect()
+        }
+        assert got == {
+            (2, 1, "2024-01-01 12:00:00.000000"),
+            (10, 1, "2024-01-01 12:00:00.000000"),
+        }, f"{name}: tie semantics diverge from the shared oracle: {got}"

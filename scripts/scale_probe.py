@@ -1,0 +1,115 @@
+"""Scaling probe: measure how the heavy plans grow with data volume.
+
+Builds an N-fold copy of the sf0.1 fixture (fact tables replicated with
+key offsets so joins/groupings stay realistic — dims untouched, orders
+fan out over the same customers) and times a probe set of queries at 1x
+and Nx. A plan that is linear in the data should show t(Nx)/t(1x) <= ~N
+(less, when fixed overheads amortize); a quadratic candidate-pair blowup
+shows >> N. This is the empirical side of the plan assertions in
+tests/test_plans.py — run it after touching any dedup/contamination/join
+shape.
+
+Usage: python scripts/scale_probe.py [N] [out_json]
+Writes nothing outside /tmp; prints one JSON line with per-query ratios.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+BASE = "/root/testdata/sf0.1"
+DIMS = ("region", "nation", "customer", "supplier", "part")
+PROBE = (
+    "wordcount",
+    "pricing_summary",
+    "join_large",
+    "tf_idf",
+    "repetition_ngram",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "contamination_check",
+    "corpus_curation",
+)
+OFF = 100_000_000  # key offset per copy — far above any base key
+
+
+# Per-table SELECT template; {k} is the copy index, the offset column
+# keeps every key unique across copies while dims stay shared.
+_SCALED = {
+    "documents": "SELECT doc_id + {k} * {off} AS doc_id, text, lang, source,"
+    " n_chars FROM read_parquet('{base}/documents.parquet')",
+    "embeddings": "SELECT vec_id + {k} * {off} AS vec_id, embedding, label"
+    " FROM read_parquet('{base}/embeddings.parquet')",
+    "orders": "SELECT o_orderkey + {k} * {off} AS o_orderkey, o_custkey,"
+    " o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+    " FROM read_parquet('{base}/orders.parquet')",
+    "lineitem": "SELECT l_orderkey + {k} * {off} AS l_orderkey, l_partkey,"
+    " l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount,"
+    " l_tax, l_returnflag, l_linestatus, l_shipdate"
+    " FROM read_parquet('{base}/lineitem.parquet')",
+    "events": "SELECT event_id + {k} * {off} AS event_id, ts, user_id,"
+    " event_type, value, props FROM read_parquet('{base}/events.parquet')",
+}
+
+
+def build_scaled(n: int, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    for t in DIMS:
+        shutil.copy(f"{BASE}/{t}.parquet", f"{out_dir}/{t}.parquet")
+    for t, tpl in _SCALED.items():
+        union = " UNION ALL ".join(
+            tpl.format(k=k, off=OFF, base=BASE) for k in range(n)
+        )
+        con.execute(
+            f"COPY ({union}) TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+
+
+def time_queries(spark, specs, sf_dir: str, iters: int = 3) -> dict[str, float]:
+    out = {}
+    for name in PROBE:
+        best = float("inf")
+        for _ in range(iters):
+            df = specs[name].builder(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
+    return out
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    from multithreaded_mapreduce_library_spark.registry import load_all
+    from multithreaded_mapreduce_library_spark.session import get_spark
+
+    scaled_dir = f"/tmp/spark_graft_scale_{n}x"
+    if not os.path.exists(f"{scaled_dir}/lineitem.parquet"):
+        build_scaled(n, scaled_dir)
+    spark = get_spark(app_name="scale_probe")
+    specs = load_all()
+    specs["agg_stats"].builder(spark, BASE).write.format("noop").mode("overwrite").save()
+    t1 = time_queries(spark, specs, BASE)
+    tn = time_queries(spark, specs, scaled_dir)
+    ratios = {q: round(tn[q] / t1[q], 2) for q in PROBE}
+    print(
+        json.dumps(
+            {"n": n, "t_1x": t1, "t_nx": tn, "ratio": ratios},
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

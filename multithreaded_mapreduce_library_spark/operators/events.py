@@ -49,16 +49,22 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "time_tumbling",
-    oracle=f"""
+# Shared with the streaming twin (stream_tumbling): complete mode settles
+# to exactly this window set, and sharing the constant is what enforces
+# the "identical results" claim (same pattern as joins._ASOF_ORACLE).
+TUMBLING_ORACLE = f"""
 SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '{TS_FMT_DUCK}') AS window_start,
        event_type,
        count(*) AS cnt,
        (sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) / 1000000) AS sum_value
 FROM events
 GROUP BY 1, 2
-""",
+"""
+
+
+@register(
+    "time_tumbling",
+    oracle=TUMBLING_ORACLE,
     tags=("events", "time-window"),
     doc=(
         "Tumbling 1-hour event-time windows (epoch-aligned, matching "
@@ -82,9 +88,10 @@ def time_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "time_sliding",
-    oracle=f"""
+# The sliding-window SET (every event in its two 1h/30m windows); the
+# batch oracle aggregates it directly, the streaming twin appends the
+# final-watermark cutoff before the same GROUP BY.
+SLIDING_CORE = f"""
 SELECT strftime(ws, '{TS_FMT_DUCK}') AS window_start, event_type, count(*) AS cnt
 FROM (
   SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
@@ -92,9 +99,12 @@ FROM (
          event_type, ts
   FROM events
 )
-WHERE ts >= ws AND ts < ws + INTERVAL 60 MINUTE
-GROUP BY 1, 2
-""",
+WHERE ts >= ws AND ts < ws + INTERVAL 60 MINUTE"""
+
+
+@register(
+    "time_sliding",
+    oracle=SLIDING_CORE + "\nGROUP BY 1, 2\n",
     tags=("events", "time-window"),
     doc=(
         "Sliding windows (1h length, 30m slide): each event lands in two "
@@ -115,10 +125,9 @@ def time_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sessionize",
-    oracle=f"""
-WITH flagged AS (
+# Gaps-and-islands session identification, shared with stream_session
+# (which adds the watermark HAVING cutoff and drops sum_value).
+SESSION_ISLANDS_CTES = """flagged AS (
   SELECT user_id, ts, value,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) < INTERVAL 15 MINUTE
               THEN 0 ELSE 1 END AS brk
@@ -126,7 +135,13 @@ WITH flagged AS (
 ), numbered AS (
   SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
   FROM flagged
-)
+)"""
+
+
+@register(
+    "sessionize",
+    oracle=f"""
+WITH {SESSION_ISLANDS_CTES}
 SELECT user_id,
        strftime(min(ts), '{TS_FMT_DUCK}') AS session_start,
        count(*) AS n_events,
@@ -253,10 +268,9 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 FUNNEL_WINDOW_MIN = 60  # click -> purchase attribution window
 
 
-@register(
-    "event_funnel",
-    oracle=f"""
-WITH seq AS (
+# Click-conversion identification, shared with stream_funnel (which
+# SELECTs the same per-user totals minus conversion_rate).
+FUNNEL_CTES = f"""seq AS (
   SELECT user_id, event_type, ts,
          min(CASE WHEN event_type = 'purchase' THEN ts END)
            OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -269,7 +283,13 @@ clicks AS (
                    AND next_purchase_ts <= ts + INTERVAL {FUNNEL_WINDOW_MIN} MINUTE
               THEN 1 ELSE 0 END AS converted
   FROM seq WHERE event_type = 'click'
-)
+)"""
+
+
+@register(
+    "event_funnel",
+    oracle=f"""
+WITH {FUNNEL_CTES}
 SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_clicks,
        CAST(sum(converted) AS BIGINT) AS n_converted,

@@ -121,8 +121,12 @@ def _png_decode(blob: bytes):
         raise ValueError("not a PNG byte stream")
     pos, ihdr, idat = 8, None, []
     while pos < len(blob):
+        if pos + 8 > len(blob):
+            raise ValueError("PNG truncated inside a chunk header")
         (length,) = struct.unpack(">I", blob[pos : pos + 4])
         tag = blob[pos + 4 : pos + 8]
+        if pos + 12 + length > len(blob):
+            raise ValueError(f"PNG truncated inside chunk {tag!r}")
         data = blob[pos + 8 : pos + 8 + length]
         if zlib.crc32(tag + data) & 0xFFFFFFFF != struct.unpack(
             ">I", blob[pos + 8 + length : pos + 12 + length]

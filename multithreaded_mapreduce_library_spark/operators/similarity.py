@@ -504,9 +504,12 @@ FROM q
         "integer summaries (code sum, zero/saturated counts, first code) "
         "so the differential is exact — the float work is ONE shared "
         "IEEE expression inside floor(..+0.5), everything after is "
-        "integer. Degenerate all-constant vectors would divide by zero "
-        "identically on both engines; the fixture's random embeddings "
-        "never hit it. Shuffle story: ZERO exchanges — quantization is a "
+        "integer. Degenerate all-constant vectors are pinned to all-zero "
+        "codes by an explicit max==min branch on BOTH sides — the "
+        "engines DISAGREE on the unguarded 0/0 (Spark floors NaN to 0, "
+        "DuckDB yields NULL), so the guard is load-bearing, not "
+        "defensive decoration (see _codes_col). Shuffle story: ZERO "
+        "exchanges — quantization is a "
         "narrow projection that rides the scan, exactly how a real "
         "pipeline would materialize a code column next to the vectors."
     ),

@@ -7,18 +7,20 @@ transform → writeStream pipeline; the registry builders execute with
 ``trigger(availableNow=True)`` into a memory sink and return the settled
 result.
 
-Oracle coverage: where the settled availableNow result is fully
-deterministic the query carries a real DuckDB oracle — stream_tumbling
-(complete mode = the batch window set), stream_dedup (append over unique
-keys), stream_sliding_watermark (append = the batch window set cut at the
-final watermark, which availableNow pins to max(ts) - delay) — so the
-driver hash-checks an actual streaming run. The genuinely
-emission-order-dependent stateful ops (running max, funnel, session
-windows) stay rows-only per the contract, each exactness/completeness-
-anchored to a batch twin in tests/test_streaming.py.
+Oracle coverage: ALL EIGHT streaming queries carry real DuckDB oracles —
+their settled availableNow replays are deterministic. Complete-mode aggs
+(tumbling, static join) settle to the exact batch answer; append-mode
+windows/sessions settle to the batch set cut at the final watermark
+(floor_ms(max(ts)) - delay, inclusive boundary — pinned by
+tests/test_streaming.py::test_watermark_boundary_is_inclusive_and_ms_truncated);
+update-mode stateful ops (running max, funnel) settle to one final row
+per key because the single-file fixture replays as ONE data batch. The
+batch-twin exactness tests in tests/test_streaming.py remain as a second,
+oracle-independent anchor.
 
 Batch twins with full DuckDB oracles live in ``operators/events.py``
-(time_tumbling / time_sliding / sessionize / dedup_keep_first).
+(time_tumbling / time_sliding / sessionize / event_funnel /
+dedup_keep_first).
 
 Scale notes: watermarks bound state (late data beyond the delay is
 dropped); tumbling/sliding aggs shuffle on (window, key); session windows
@@ -32,6 +34,13 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from multithreaded_mapreduce_library_spark.functions import fixed_point
+from multithreaded_mapreduce_library_spark.operators.events import (
+    FUNNEL_CTES,
+    SESSION_ISLANDS_CTES,
+    SLIDING_CORE,
+    TUMBLING_ORACLE,
+)
 from multithreaded_mapreduce_library_spark.registry import register
 from multithreaded_mapreduce_library_spark.sources import table_path
 
@@ -90,15 +99,8 @@ def run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
 @register(
     "stream_tumbling",
     # complete mode emits the FULL settled window set — deterministic, so
-    # the oracle is the batch twin's (time_tumbling) verbatim.
-    oracle=f"""
-SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '{TS_FMT_DUCK}') AS window_start,
-       event_type,
-       count(*) AS cnt,
-       (sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) / 1000000) AS sum_value
-FROM events
-GROUP BY 1, 2
-""",
+    # the oracle IS the batch twin's, via the shared constant (drift-proof).
+    oracle=TUMBLING_ORACLE,
     tags=("streaming", "time-window"),
     doc=(
         "Tumbling 1-hour windowed count/sum as a streaming aggregation "
@@ -114,9 +116,7 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("cnt"),
-            (F.sum(F.floor(F.col("value") * 1_000_000 + F.lit(0.5))) / 1_000_000).alias(
-                "sum_value"
-            ),
+            (F.sum(fixed_point("value", 1_000_000)) / 1_000_000).alias("sum_value"),
         )
         .select(
             F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
@@ -139,15 +139,8 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # date_trunc to ms, inclusive <= — so the oracle is exact even when a
     # boundary lands inside the sub-millisecond gap or dead on the
     # watermark.
-    oracle=f"""
-SELECT strftime(ws, '{TS_FMT_DUCK}') AS window_start, event_type, count(*) AS cnt
-FROM (
-  SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
-                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS ws,
-         event_type, ts
-  FROM events
-)
-WHERE ts >= ws AND ts < ws + INTERVAL 60 MINUTE
+    oracle=SLIDING_CORE
+    + """
   AND ws + INTERVAL 60 MINUTE <=
       (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 2 HOUR FROM events)
 GROUP BY 1, 2
@@ -214,15 +207,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same ms-truncation + inclusive-<= semantics as
     # stream_sliding_watermark, encoded identically below.
     oracle=f"""
-WITH flagged AS (
-  SELECT user_id, ts,
-         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) < INTERVAL 15 MINUTE
-              THEN 0 ELSE 1 END AS brk
-  FROM events
-), numbered AS (
-  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
-  FROM flagged
-)
+WITH {SESSION_ISLANDS_CTES}
 SELECT user_id,
        strftime(min(ts), '{TS_FMT_DUCK}') AS session_start,
        count(*) AS n_events
@@ -397,9 +382,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = s.join(F.broadcast(cust), s.user_id == cust.c_custkey)
     agg = joined.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_events"),
-        (F.sum(F.floor(F.col("value") * 1_000_000 + F.lit(0.5))) / 1_000_000).alias(
-            "total_value"
-        ),
+        (F.sum(fixed_point("value", 1_000_000)) / 1_000_000).alias("total_value"),
     )
     return run_to_memory(agg, "complete")
 
@@ -412,21 +395,8 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the oracle below is event_funnel's, minus its conversion_rate
     # column). 60 = operators.events.FUNNEL_WINDOW_MIN; a drift would
     # surface as a hash mismatch on either query.
-    oracle="""
-WITH seq AS (
-  SELECT user_id, event_type, ts,
-         min(CASE WHEN event_type = 'purchase' THEN ts END)
-           OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase_ts
-  FROM events
-),
-clicks AS (
-  SELECT user_id,
-         CASE WHEN next_purchase_ts IS NOT NULL
-                   AND next_purchase_ts <= ts + INTERVAL 60 MINUTE
-              THEN 1 ELSE 0 END AS converted
-  FROM seq WHERE event_type = 'click'
-)
+    oracle=f"""
+WITH {FUNNEL_CTES}
 SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_clicks,
        CAST(sum(converted) AS BIGINT) AS n_converted
@@ -447,13 +417,21 @@ GROUP BY user_id
     ),
 )
 def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import datetime as _dt
-
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    WINDOW_S = 3600  # attribution window, matches operators.events.FUNNEL_WINDOW_MIN
+    from multithreaded_mapreduce_library_spark.operators.events import FUNNEL_WINDOW_MIN
 
-    s = events_stream(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    WINDOW_US = FUNNEL_WINDOW_MIN * 60 * 1_000_000  # attribution window, exact integer us
+
+    # Only clicks and purchases drive the funnel; filtering the stream up
+    # front shrinks state AND pins the output domain to the oracle's
+    # (users with >= 1 click) — other event types neither convert nor
+    # change what a later purchase can attribute.
+    s = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("user_id", "event_type", "ts", "event_id")
+    )
 
     def update(key, pdfs, state: GroupState):
         import pandas as pd
@@ -461,29 +439,38 @@ def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         pending, n_clicks, n_converted = (
             state.get if state.exists else ((), 0, 0)
         )
-        pending = list(pending)  # epoch-second click times, ascending
+        # Epoch MICROSECONDS (integers, carried in doubles — exact below
+        # 2^53): float epoch *seconds* have ~0.24us resolution at 2024
+        # magnitudes, enough to flip the <= at an exactly-60-minute
+        # boundary where the oracle's integer interval arithmetic is
+        # exact. Integer-microsecond comparisons match it bit-for-bit.
+        pending = list(pending)
         rows = pd.concat(list(pdfs), ignore_index=True)
         if len(rows):
             rows = rows.sort_values(["ts", "event_id"])
             # itertuples, not iterrows: ~10× less per-row overhead — this
             # loop is the operator's hot path (once per event per batch)
             for r in rows.itertuples(index=False):
-                t = r.ts.timestamp()
+                t = r.ts.value // 1000  # ns -> us, exact integer
                 if r.event_type == "click":
                     pending.append(t)
                     n_clicks += 1
                 elif r.event_type == "purchase":
                     keep = []
                     for c in pending:
-                        if t - c <= WINDOW_S and t >= c:
+                        if t - c <= WINDOW_US and t >= c:
                             n_converted += 1  # every in-window click converts
-                        elif t - c <= WINDOW_S:
+                        elif t - c <= WINDOW_US:
                             keep.append(c)
                     pending = keep
                 # expire clicks the next purchase could never reach
-                cutoff = t - WINDOW_S
+                cutoff = t - WINDOW_US
                 pending = [c for c in pending if c >= cutoff]
-        state.update((tuple(pending), n_clicks, n_converted))
+        state.update((tuple(float(c) for c in pending), n_clicks, n_converted))
+        if not n_clicks:
+            # zero-click users (purchases only) are outside the funnel
+            # domain — the oracle's clicks CTE has no row for them
+            return
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],

@@ -95,14 +95,20 @@ def main() -> None:
     from multithreaded_mapreduce_library_spark.session import get_spark
 
     scaled_dir = f"/tmp/spark_graft_scale_{n}x"
-    if not os.path.exists(f"{scaled_dir}/lineitem.parquet"):
+    # done-marker, not a table file: an interrupted build must not leave a
+    # complete-looking cache missing its later tables
+    marker = f"{scaled_dir}/.complete"
+    if not os.path.exists(marker):
+        if os.path.exists(scaled_dir):
+            shutil.rmtree(scaled_dir)
         build_scaled(n, scaled_dir)
+        open(marker, "w").close()
     spark = get_spark(app_name="scale_probe")
     specs = load_all()
     specs["agg_stats"].builder(spark, BASE).write.format("noop").mode("overwrite").save()
     t1 = time_queries(spark, specs, BASE)
     tn = time_queries(spark, specs, scaled_dir)
-    ratios = {q: round(tn[q] / t1[q], 2) for q in PROBE}
+    ratios = {q: round(tn[q] / max(t1[q], 1e-3), 2) for q in PROBE}
     print(
         json.dumps(
             {"n": n, "t_1x": t1, "t_nx": tn, "ratio": ratios},

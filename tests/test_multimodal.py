@@ -77,6 +77,12 @@ def test_png_corruption_rejected():
         decode_media(bytes(blob), IMAGE_MIME)
     with pytest.raises(ValueError, match="not a PNG"):
         decode_media(b"\x89PNG", IMAGE_MIME)
+    # truncation anywhere must raise ValueError, never escape as
+    # struct.error — callers quarantine on ValueError
+    full = bytes(png_encode(img))
+    for cut in (9, 11, 20, len(full) - 5):
+        with pytest.raises(ValueError, match="truncated|CRC|missing"):
+            decode_media(full[:cut], IMAGE_MIME)
 
 
 def test_wav_roundtrip():

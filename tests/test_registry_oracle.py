@@ -87,22 +87,32 @@ def test_gated_schemas_scalar_only(spark, sf_dir):
     sides — the structural closure of the r3 array red row (schema-level,
     so a non-scalar output fails even before any value comparison runs).
 
-    stream_* queries are excluded from this sweep: their builders execute
-    a full availableNow streaming run just to produce the DataFrame, and
-    the same scalar check already runs inside each one's
-    test_query_matches_oracle via check_type_alignment — re-running 8
-    stateful streaming pipelines here buys nothing but minutes. The
-    oracle-side check (pure DESCRIBE, no execution) still covers them."""
+    ORACLE-GATED stream_* queries are excluded from the Spark-side half:
+    their builders execute a full availableNow streaming run just to
+    produce the DataFrame, and the same scalar check already runs inside
+    each one's test_query_matches_oracle via check_type_alignment —
+    re-running 8 stateful streaming pipelines here buys nothing but
+    minutes. That justification holds ONLY while the query stays gated:
+    a stream op that reverts to oracle=None (the rows-only escape hatch)
+    loses its check_type_alignment coverage, so rows-only stream queries
+    re-enter this sweep automatically. The oracle-side check (pure
+    DESCRIBE, no execution) still covers every gated query."""
     from tests.oracle import duck_oracle_types
 
     complex_spark = ("array", "map", "struct")
-    for name in ORACLE_NAMES:
-        if not name.startswith("stream_"):
+    sweep = ORACLE_NAMES + [n for n in ROWS_ONLY_NAMES if n.startswith("stream_")]
+    for name in sweep:
+        covered_by_oracle_test = (
+            name.startswith("stream_") and SPECS[name].oracle is not None
+        )
+        if not covered_by_oracle_test:
             sdf = SPECS[name].builder(spark, sf_dir)
             for col, styp in sdf.dtypes:
                 assert not styp.lower().startswith(complex_spark), (
                     f"{name}.{col}: non-scalar Spark output {styp}"
                 )
+        if SPECS[name].oracle is None:
+            continue
         otypes = duck_oracle_types(SPECS[name].oracle, sf_dir)
         for col, otyp in otypes.items():
             u = otyp.upper()

@@ -14,9 +14,13 @@ windows/sessions settle to the batch set cut at the final watermark
 (floor_ms(max(ts)) - delay, inclusive boundary — pinned by
 tests/test_streaming.py::test_watermark_boundary_is_inclusive_and_ms_truncated);
 update-mode stateful ops (running max, funnel) settle to one final row
-per key because the single-file fixture replays as ONE data batch. The
-batch-twin exactness tests in tests/test_streaming.py remain as a second,
-oracle-independent anchor.
+per key because the single-file fixture replays as ONE data batch —
+``events_stream`` hard-asserts that layout so a fixture change fails with
+one clear message instead of eight hash mismatches. The batch-twin
+exactness tests in tests/test_streaming.py remain as a second,
+oracle-independent anchor, and its multi-batch replay suite drives the
+extracted ``*_transform`` functions over a time-split multi-file source
+(maxFilesPerTrigger=1) to verify REAL cross-batch state transitions.
 
 Batch twins with full DuckDB oracles live in ``operators/events.py``
 (time_tumbling / time_sliding / sessionize / event_funnel /
@@ -55,10 +59,32 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch reader; ts is normalized to session-tz TIMESTAMP by the SAME
     helper the batch loader uses — sources.tables.normalize_events_ts —
     so the two readers cannot drift across fixture layouts)."""
+    import os
+
     from multithreaded_mapreduce_library_spark.sources.tables import normalize_events_ts
 
+    events_file = table_path(sf_dir, "events")
+    # HARD single-file guard: the update-mode oracles
+    # (stream_stateful_running_max, stream_funnel — "one final row per
+    # key") and the no-late-drop assumption behind the sliding/session/
+    # dedup oracles all depend on the events source replaying as exactly
+    # ONE data batch, which holds only for a single parquet FILE (file
+    # sources never split one file across triggers). A fixture-layout
+    # change to a part-file DIRECTORY must fail here with one clear
+    # message, not as eight confusing driver hash mismatches. Multi-batch
+    # replays are a deliberate act: see tests/test_streaming.py's
+    # multi-batch suite, which drives the *_transform functions below
+    # over a time-split directory with maxFilesPerTrigger=1.
+    if not os.path.isfile(events_file):
+        kind = "a directory" if os.path.isdir(events_file) else "missing"
+        raise AssertionError(
+            f"events source {events_file} is {kind}, not a single parquet "
+            "file — the streaming oracles' single-data-batch replay "
+            "assumption is void; fix the fixture layout or drive the "
+            "*_transform functions explicitly for multi-batch semantics"
+        )
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch = spark.read.parquet(table_path(sf_dir, "events"))
+    batch = spark.read.parquet(events_file)
     # The file source requires a directory; stream the sf dir filtered to
     # the events file (real deployments point at an arriving-files dir).
     stream = (
@@ -96,6 +122,24 @@ def run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
     return spark.table(name)
 
 
+def tumbling_transform(s: DataFrame) -> DataFrame:
+    """The tumbling-window aggregation, factored out so the multi-batch
+    replay test drives the IDENTICAL logic over a time-split source."""
+    return (
+        s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            (F.sum(fixed_point("value", 1_000_000)) / 1_000_000).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
 @register(
     "stream_tumbling",
     # complete mode emits the FULL settled window set — deterministic, so
@@ -111,21 +155,21 @@ def run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
     ),
 )
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = events_stream(spark, sf_dir)
-    agg = (
-        s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count("*").alias("cnt"),
-            (F.sum(fixed_point("value", 1_000_000)) / 1_000_000).alias("sum_value"),
-        )
+    return run_to_memory(tumbling_transform(events_stream(spark, sf_dir)), "complete")
+
+
+def sliding_transform(s: DataFrame) -> DataFrame:
+    """Sliding windows + 2h watermark (shared with the multi-batch test)."""
+    return (
+        s.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
         .select(
             F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
             "event_type",
             "cnt",
-            "sum_value",
         )
     )
-    return run_to_memory(agg, "complete")
 
 
 @register(
@@ -155,17 +199,19 @@ GROUP BY 1, 2
     ),
 )
 def stream_sliding_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
-    agg = (
-        s.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
-        .agg(F.count("*").alias("cnt"))
+    return run_to_memory(sliding_transform(events_stream(spark, sf_dir)), "append")
+
+
+def dedup_transform(s: DataFrame) -> DataFrame:
+    """Watermarked dropDuplicates (shared with the multi-batch test)."""
+    return (
+        s.withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
         .select(
-            F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
-            "event_type",
-            "cnt",
+            "event_id", "user_id", "event_type",
+            F.date_format("ts", TS_FMT_SPARK).alias("ts_s"),
         )
     )
-    return run_to_memory(agg, "append")
 
 
 @register(
@@ -190,12 +236,21 @@ FROM events
     ),
 )
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
-    deduped = s.dropDuplicates(["event_id"]).select(
-        "event_id", "user_id", "event_type",
-        F.date_format("ts", TS_FMT_SPARK).alias("ts_s"),
+    return run_to_memory(dedup_transform(events_stream(spark, sf_dir)), "append")
+
+
+def session_transform(s: DataFrame) -> DataFrame:
+    """Session windows + 30m watermark (shared with the multi-batch test)."""
+    return (
+        s.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "15 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", TS_FMT_SPARK).alias("session_start"),
+            "n_events",
+        )
     )
-    return run_to_memory(deduped, "append")
 
 
 @register(
@@ -226,17 +281,35 @@ HAVING max(ts) + INTERVAL 15 MINUTE <=
     ),
 )
 def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = events_stream(spark, sf_dir).withWatermark("ts", "30 minutes")
-    agg = (
-        s.groupBy(F.session_window("ts", "15 minutes").alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"))
-        .select(
-            "user_id",
-            F.date_format("w.start", TS_FMT_SPARK).alias("session_start"),
-            "n_events",
-        )
+    return run_to_memory(session_transform(events_stream(spark, sf_dir)), "append")
+
+
+def running_max_transform(s: DataFrame) -> DataFrame:
+    """Per-user running max/count via applyInPandasWithState (shared with
+    the multi-batch test, where state genuinely transitions across
+    batches and each batch re-emits the updated per-user row)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    s = s.select("user_id", "value")
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        mx, n = state.get if state.exists else (float("-inf"), 0)
+        for pdf in pdfs:
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+                n += int(len(pdf))
+        state.update((mx, n))
+        yield pd.DataFrame({"user_id": [key[0]], "max_value": [mx], "n_events": [n]})
+
+    return s.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, max_value double, n_events long",
+        stateStructType="max_value double, n_events long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return run_to_memory(agg, "append")
 
 
 @register(
@@ -262,29 +335,45 @@ GROUP BY user_id
     ),
 )
 def stream_stateful_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    s = events_stream(spark, sf_dir).select("user_id", "value")
-
-    def update(key, pdfs, state: GroupState):
-        import pandas as pd
-
-        mx, n = state.get if state.exists else (float("-inf"), 0)
-        for pdf in pdfs:
-            if len(pdf):
-                mx = max(mx, float(pdf["value"].max()))
-                n += int(len(pdf))
-        state.update((mx, n))
-        yield pd.DataFrame({"user_id": [key[0]], "max_value": [mx], "n_events": [n]})
-
-    out = s.groupBy("user_id").applyInPandasWithState(
-        update,
-        outputStructType="user_id long, max_value double, n_events long",
-        stateStructType="max_value double, n_events long",
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    return run_to_memory(
+        running_max_transform(events_stream(spark, sf_dir)), "update"
     )
-    return run_to_memory(out, "update")
+
+
+def stream_stream_join_transform(p_events: DataFrame, c_events: DataFrame) -> DataFrame:
+    """The watermarked purchase-click interval join over two event
+    streams (shared with the multi-batch test, where join state buffers
+    across micro-batches)."""
+    p = (
+        p_events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    c = (
+        c_events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    return p.join(
+        c,
+        (p.user_id == c.c_user)
+        & (c.c_ts >= p.p_ts - F.expr("INTERVAL 1 HOUR"))
+        & (c.c_ts <= p.p_ts),
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+    )
 
 
 @register(
@@ -315,39 +404,20 @@ JOIN events c
     ),
 )
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = (
-        events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            "user_id",
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", "2 hours")
-    )
-    c = (
-        events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "2 hours")
-    )
-    joined = p.join(
-        c,
-        (p.user_id == c.c_user)
-        & (c.c_ts >= p.p_ts - F.expr("INTERVAL 1 HOUR"))
-        & (c.c_ts <= p.p_ts),
-    ).select(
-        "purchase_id",
-        "click_id",
-        "user_id",
-        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
-        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+    joined = stream_stream_join_transform(
+        events_stream(spark, sf_dir), events_stream(spark, sf_dir)
     )
     return run_to_memory(joined, "append")
+
+
+def static_join_transform(s: DataFrame, cust: DataFrame) -> DataFrame:
+    """Broadcast stream-static enrichment + segment aggregation (shared
+    with the multi-batch test)."""
+    joined = s.join(F.broadcast(cust), s.user_id == cust.c_custkey)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        (F.sum(fixed_point("value", 1_000_000)) / 1_000_000).alias("total_value"),
+    )
 
 
 @register(
@@ -379,12 +449,91 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s = events_stream(spark, sf_dir)
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    joined = s.join(F.broadcast(cust), s.user_id == cust.c_custkey)
-    agg = joined.groupBy("c_mktsegment").agg(
-        F.count("*").alias("n_events"),
-        (F.sum(fixed_point("value", 1_000_000)) / 1_000_000).alias("total_value"),
+    return run_to_memory(static_join_transform(s, cust), "complete")
+
+
+def funnel_transform(s: DataFrame) -> DataFrame:
+    """The stateful click→purchase attribution funnel (shared with the
+    multi-batch test, where pending clicks committed to state in one
+    micro-batch are attributed by purchases arriving in later batches)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from multithreaded_mapreduce_library_spark.operators.events import FUNNEL_WINDOW_MIN
+
+    WINDOW_US = FUNNEL_WINDOW_MIN * 60 * 1_000_000  # attribution window, exact integer us
+
+    # Only clicks and purchases drive the funnel; filtering the stream up
+    # front shrinks state AND pins the output domain to the oracle's
+    # (users with >= 1 click) — other event types neither convert nor
+    # change what a later purchase can attribute.
+    s = (
+        s.filter(F.col("event_type").isin("click", "purchase"))
+        .select("user_id", "event_type", "ts", "event_id")
     )
-    return run_to_memory(agg, "complete")
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        pending, n_clicks, n_converted = (
+            state.get if state.exists else ((), 0, 0)
+        )
+        # Epoch MICROSECONDS (integers, carried in doubles — exact below
+        # 2^53): float epoch *seconds* have ~0.24us resolution at 2024
+        # magnitudes, enough to flip the <= at an exactly-60-minute
+        # boundary where the oracle's integer interval arithmetic is
+        # exact. Integer-microsecond comparisons match it bit-for-bit.
+        pending = list(pending)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows):
+            rows = rows.sort_values(["ts", "event_id"])
+            # itertuples, not iterrows: ~10× less per-row overhead — this
+            # loop is the operator's hot path (once per event per batch)
+            for r in rows.itertuples(index=False):
+                t = r.ts.value // 1000  # ns -> us, exact integer
+                if r.event_type == "click":
+                    pending.append(t)
+                    n_clicks += 1
+                elif r.event_type == "purchase":
+                    keep = []
+                    for c in pending:
+                        if c > t:
+                            # Event-time disorder ACROSS micro-batches: a
+                            # click committed to state by an earlier batch
+                            # while this purchase (smaller ts) arrives in a
+                            # later one. Not attributable to THIS purchase;
+                            # must stay pending for a later one. Unreachable
+                            # in an ordered replay (single batch, or a
+                            # time-split multi-batch source) where rows are
+                            # processed in (ts, event_id) order — kept
+                            # because an update operator must not silently
+                            # corrupt state under batch-boundary reordering.
+                            keep.append(c)
+                        elif t - c <= WINDOW_US:
+                            n_converted += 1  # every in-window click converts
+                    pending = keep
+                # expire clicks the next purchase could never reach
+                cutoff = t - WINDOW_US
+                pending = [c for c in pending if c >= cutoff]
+        state.update((tuple(float(c) for c in pending), n_clicks, n_converted))
+        if not n_clicks:
+            # zero-click users (purchases only) are outside the funnel
+            # domain — the oracle's clicks CTE has no row for them
+            return
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_clicks": [n_clicks],
+                "n_converted": [n_converted],
+            }
+        )
+
+    return s.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_clicks long, n_converted long",
+        stateStructType="pending array<double>, n_clicks long, n_converted long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
 
 
 @register(
@@ -417,73 +566,4 @@ GROUP BY user_id
     ),
 )
 def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    from multithreaded_mapreduce_library_spark.operators.events import FUNNEL_WINDOW_MIN
-
-    WINDOW_US = FUNNEL_WINDOW_MIN * 60 * 1_000_000  # attribution window, exact integer us
-
-    # Only clicks and purchases drive the funnel; filtering the stream up
-    # front shrinks state AND pins the output domain to the oracle's
-    # (users with >= 1 click) — other event types neither convert nor
-    # change what a later purchase can attribute.
-    s = (
-        events_stream(spark, sf_dir)
-        .filter(F.col("event_type").isin("click", "purchase"))
-        .select("user_id", "event_type", "ts", "event_id")
-    )
-
-    def update(key, pdfs, state: GroupState):
-        import pandas as pd
-
-        pending, n_clicks, n_converted = (
-            state.get if state.exists else ((), 0, 0)
-        )
-        # Epoch MICROSECONDS (integers, carried in doubles — exact below
-        # 2^53): float epoch *seconds* have ~0.24us resolution at 2024
-        # magnitudes, enough to flip the <= at an exactly-60-minute
-        # boundary where the oracle's integer interval arithmetic is
-        # exact. Integer-microsecond comparisons match it bit-for-bit.
-        pending = list(pending)
-        rows = pd.concat(list(pdfs), ignore_index=True)
-        if len(rows):
-            rows = rows.sort_values(["ts", "event_id"])
-            # itertuples, not iterrows: ~10× less per-row overhead — this
-            # loop is the operator's hot path (once per event per batch)
-            for r in rows.itertuples(index=False):
-                t = r.ts.value // 1000  # ns -> us, exact integer
-                if r.event_type == "click":
-                    pending.append(t)
-                    n_clicks += 1
-                elif r.event_type == "purchase":
-                    keep = []
-                    for c in pending:
-                        if t - c <= WINDOW_US and t >= c:
-                            n_converted += 1  # every in-window click converts
-                        elif t - c <= WINDOW_US:
-                            keep.append(c)
-                    pending = keep
-                # expire clicks the next purchase could never reach
-                cutoff = t - WINDOW_US
-                pending = [c for c in pending if c >= cutoff]
-        state.update((tuple(float(c) for c in pending), n_clicks, n_converted))
-        if not n_clicks:
-            # zero-click users (purchases only) are outside the funnel
-            # domain — the oracle's clicks CTE has no row for them
-            return
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "n_clicks": [n_clicks],
-                "n_converted": [n_converted],
-            }
-        )
-
-    out = s.groupBy("user_id").applyInPandasWithState(
-        update,
-        outputStructType="user_id long, n_clicks long, n_converted long",
-        stateStructType="pending array<double>, n_clicks long, n_converted long",
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
-    return run_to_memory(out, "update")
+    return run_to_memory(funnel_transform(events_stream(spark, sf_dir)), "update")

@@ -461,3 +461,225 @@ def test_asof_window_counts_same_timestamp_click(spark, tmp_path):
             (2, 1, "2024-01-01 12:00:00.000000"),
             (10, 1, "2024-01-01 12:00:00.000000"),
         }, f"{name}: tie semantics diverge from the shared oracle: {got}"
+
+
+# --- multi-batch replay suite ----------------------------------------------
+# The 8 streaming oracles all settle a single-file fixture that replays as
+# ONE micro-batch (events_stream hard-asserts that layout). These tests are
+# the other half of the story: split the events table into time-ordered
+# part files, replay with maxFilesPerTrigger=1 so availableNow executes
+# SEVERAL data batches, and drive the exact same *_transform logic the
+# gated builders use. Complete/append modes must settle to the same rows
+# as the single-batch replay (the time-ordered split means the final
+# watermark — and therefore the emitted set — is identical); update-mode
+# ops accumulate one row per key per batch, and their per-key FINAL state
+# (the max of the monotone counters) must equal the single-batch settle.
+# This is where cross-batch state transitions — the thing Structured
+# Streaming exists to do — actually happen and get verified.
+
+import itertools as _it
+import os as _os
+
+import pytest as _pytest
+
+_mb_sink_ids = _it.count()
+
+N_SPLIT_FILES = 3
+
+
+@_pytest.fixture(scope="module")
+def events_multi_dir(tmp_path_factory, sf_dir):
+    """events.parquet split into N time-ordered part files via pyarrow —
+    preserving the original physical column types bit-for-bit (the split
+    never round-trips through Spark, so nanos stay nanos)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out = tmp_path_factory.mktemp("events_multi")
+    t = pq.read_table(_os.path.join(sf_dir, "events.parquet"))
+    idx = pc.sort_indices(
+        t, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+    )
+    t = t.take(idx)
+    n = t.num_rows
+    bounds = [round(i * n / N_SPLIT_FILES) for i in range(N_SPLIT_FILES + 1)]
+    for i in range(N_SPLIT_FILES):
+        pq.write_table(
+            t.slice(bounds[i], bounds[i + 1] - bounds[i]),
+            str(out / f"part-{i:02d}.parquet"),
+        )
+    return str(out)
+
+
+def _multi_batch_stream(spark, sf_dir, events_dir):
+    """Multi-file events stream: same schema pinning and ts normalization
+    as events_stream, but one file per trigger over the split directory."""
+    from multithreaded_mapreduce_library_spark.sources.tables import (
+        normalize_events_ts,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    return normalize_events_ts(s)
+
+
+def _run_multi(stream_df, mode):
+    """run_to_memory twin that also reports how many DATA batches ran —
+    the suite's own guard that the replay was genuinely multi-batch."""
+    spark = stream_df.sparkSession
+    name = f"mb_sink_{next(_mb_sink_ids)}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_data_batches = sum(
+            1 for p in q.recentProgress if p.numInputRows > 0
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name), n_data_batches
+
+
+def test_multibatch_complete_modes_settle_to_batch(spark, sf_dir, events_multi_dir):
+    """Complete-mode aggs re-emit the full settled set each batch — after
+    the last batch the sink holds exactly the single-batch answer, state
+    having transitioned through N partial views on the way."""
+    from multithreaded_mapreduce_library_spark.sources import load_table
+    from multithreaded_mapreduce_library_spark.streaming.queries import (
+        static_join_transform,
+        tumbling_transform,
+    )
+
+    got, n_batches = _run_multi(
+        tumbling_transform(_multi_batch_stream(spark, sf_dir, events_multi_dir)),
+        "complete",
+    )
+    assert n_batches >= 2, f"replay ran {n_batches} data batches — not multi-batch"
+    assert _rows(got) == _rows(SPECS["stream_tumbling"].builder(spark, sf_dir))
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    got, n_batches = _run_multi(
+        static_join_transform(
+            _multi_batch_stream(spark, sf_dir, events_multi_dir), cust
+        ),
+        "complete",
+    )
+    assert n_batches >= 2
+    assert _rows(got) == _rows(SPECS["stream_static_join"].builder(spark, sf_dir))
+
+
+def test_multibatch_append_modes_settle_to_batch(spark, sf_dir, events_multi_dir):
+    """Append-mode windows/sessions/dedup: because the split is
+    time-ordered, every intermediate watermark only finalizes windows no
+    later event can touch, so the union of per-batch emissions equals the
+    single-batch settled set — nothing extra, nothing dropped."""
+    from multithreaded_mapreduce_library_spark.streaming.queries import (
+        dedup_transform,
+        session_transform,
+        sliding_transform,
+    )
+
+    for transform, gated in (
+        (sliding_transform, "stream_sliding_watermark"),
+        (session_transform, "stream_session"),
+        (dedup_transform, "stream_dedup"),
+    ):
+        got, n_batches = _run_multi(
+            transform(_multi_batch_stream(spark, sf_dir, events_multi_dir)),
+            "append",
+        )
+        assert n_batches >= 2, f"{gated}: only {n_batches} data batches"
+        assert _rows(got) == _rows(SPECS[gated].builder(spark, sf_dir)), gated
+
+
+def test_multibatch_update_state_transitions(spark, sf_dir, events_multi_dir):
+    """Update mode is where multi-batch actually differs: each batch emits
+    the UPDATED per-key row, so the sink accumulates one row per key per
+    touching batch. The per-key final state (max of the monotone
+    counters) must equal the single-batch settle, and at least one key
+    must have been emitted in more than one batch — i.e. state really
+    crossed a batch boundary."""
+    from pyspark.sql import functions as F
+
+    from multithreaded_mapreduce_library_spark.streaming.queries import (
+        funnel_transform,
+        running_max_transform,
+    )
+
+    got, n_batches = _run_multi(
+        running_max_transform(_multi_batch_stream(spark, sf_dir, events_multi_dir)),
+        "update",
+    )
+    assert n_batches >= 2
+    n_rows = got.count()
+    n_users = got.select("user_id").distinct().count()
+    assert n_rows > n_users, (
+        "no user was updated in more than one batch — state never "
+        f"transitioned ({n_rows} rows / {n_users} users)"
+    )
+    final = got.groupBy("user_id").agg(
+        F.max("max_value").alias("max_value"), F.max("n_events").alias("n_events")
+    )
+    assert _rows(final) == _rows(
+        SPECS["stream_stateful_running_max"].builder(spark, sf_dir)
+    )
+
+    got, n_batches = _run_multi(
+        funnel_transform(_multi_batch_stream(spark, sf_dir, events_multi_dir)),
+        "update",
+    )
+    assert n_batches >= 2
+    final = got.groupBy("user_id").agg(
+        F.max("n_clicks").alias("n_clicks"),
+        F.max("n_converted").alias("n_converted"),
+    )
+    # Cross-batch attribution: pending clicks committed to state by an
+    # earlier batch are attributed by purchases arriving in a later one —
+    # the per-key final totals must equal the single-batch replay (which
+    # itself equals the batch event_funnel oracle).
+    assert _rows(final) == _rows(SPECS["stream_funnel"].builder(spark, sf_dir))
+
+
+def test_multibatch_stream_stream_join(spark, sf_dir, events_multi_dir):
+    """Stream-stream join state buffers across batches: clicks from early
+    batches must still match purchases arriving in later ones (within the
+    watermark bound). The time-ordered split keeps every match inside the
+    2h watermark, so the appended set equals the single-batch replay."""
+    from multithreaded_mapreduce_library_spark.streaming.queries import (
+        stream_stream_join_transform,
+    )
+
+    joined = stream_stream_join_transform(
+        _multi_batch_stream(spark, sf_dir, events_multi_dir),
+        _multi_batch_stream(spark, sf_dir, events_multi_dir),
+    )
+    got, n_batches = _run_multi(joined, "append")
+    assert n_batches >= 2
+    assert _rows(got) == _rows(SPECS["stream_stream_join"].builder(spark, sf_dir))
+
+
+def test_events_stream_rejects_multi_file_layout(spark, events_multi_dir, tmp_path):
+    """The single-file guard in events_stream: a part-file DIRECTORY at
+    events.parquet must fail fast with the layout message, not surface as
+    eight oracle hash mismatches."""
+    import shutil
+
+    from multithreaded_mapreduce_library_spark.streaming.queries import events_stream
+
+    bad_sf = tmp_path / "bad_sf"
+    bad_sf.mkdir()
+    shutil.copytree(events_multi_dir, str(bad_sf / "events.parquet"))
+    with _pytest.raises(AssertionError, match="single parquet"):
+        events_stream(spark, str(bad_sf))

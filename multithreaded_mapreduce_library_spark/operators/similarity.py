@@ -467,15 +467,22 @@ def _codes_col() -> Column:
 
 
 # DuckDB twin of _codes_col, f-string'd into both quantization oracles.
+# list_min/list_max are hoisted into a FROM-subquery (_DUCK_MNMX below)
+# instead of being re-evaluated inside the per-element lambda — inlined
+# they make every oracle evaluation O(dim^2) per vector (min/max rescanned
+# for each of the dim elements); values are identical either way.
+_DUCK_MNMX = """(
+  SELECT *,
+         CAST(list_min(embedding) AS DOUBLE) AS mn,
+         CAST(list_max(embedding) AS DOUBLE) AS mx
+  FROM embeddings
+) AS emb_mnmx"""
 _DUCK_CODES = """list_transform(
            embedding,
-           x -> CASE WHEN CAST(list_max(embedding) AS DOUBLE)
-                          = CAST(list_min(embedding) AS DOUBLE)
+           x -> CASE WHEN mx = mn
                 THEN 0
                 ELSE CAST(floor(
-                  (CAST(x AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE))
-                  / (CAST(list_max(embedding) AS DOUBLE)
-                     - CAST(list_min(embedding) AS DOUBLE))
+                  (CAST(x AS DOUBLE) - mn) / (mx - mn)
                   * 255 + 0.5) AS BIGINT) END
          )"""
 
@@ -486,7 +493,7 @@ _DUCK_CODES = """list_transform(
 WITH q AS (
   SELECT vec_id, label,
          {_DUCK_CODES} AS codes
-  FROM embeddings
+  FROM {_DUCK_MNMX}
 )
 SELECT vec_id,
        label,
@@ -604,7 +611,9 @@ FROM a2
         "are bit-identical across engines and partitionings), then emit "
         "the final assignment + fixed-point distance per vector. This is "
         "the training step sim_topk_ivf's sign-bucket stand-in abstracts "
-        "over; further Lloyd rounds repeat the same two stages. Shuffle "
+        "over; the convergence loop is real — _lloyd_final_assignment "
+        "takes a rounds parameter (this gated query is rounds=1), and "
+        "inertia is pinned monotone non-increasing across rounds. Shuffle "
         "story: centroids are k rows and BROADCAST both times; the "
         "argmin window partitions by vec_id with exactly k rows per key "
         "(bounded, never skewed); the update is a posexplode into "
@@ -621,9 +630,25 @@ def ivf_train_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lloyd_final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, cid, d2, va) after one Lloyd refinement — the Spark twin
-    of _DUCK_LLOYD_CTES, shared by training output and trained probe."""
+def _lloyd_final_assignment(
+    spark: SparkSession, sf_dir: str, rounds: int = 1
+) -> DataFrame:
+    """(vec_id, cid, d2, va) after ``rounds`` Lloyd refinements — the
+    Spark twin of _DUCK_LLOYD_CTES at rounds=1 (the oracle-gated query),
+    and the real convergence loop beyond it: each round recomputes
+    centroids as fixed-point component means from the current assignment,
+    then re-assigns. The fixed-point-means trick is what makes EVERY
+    round engine- and partitioning-independent, not just the first —
+    integer component sums are associative, so round r's centroids (and
+    therefore round r+1's assignment) are bit-identical however the
+    corpus is partitioned. Monotone non-increasing inertia across rounds
+    is pinned by tests/test_streaming.py::test_lloyd_inertia_monotone.
+
+    Shuffle story per round: centroids are k rows broadcast into the
+    assignment (k-row-bounded argmin window per vec_id), and the update
+    partial-aggregates into k×dim cells — nothing wide ever shuffles,
+    at any round count. Centroid frames are localCheckpoint'ed between
+    rounds so the lineage stays O(1) deep instead of O(rounds)."""
     e = _load_embeddings(spark, sf_dir).select("vec_id", _dvec("embedding").alias("v"))
     seeds = e.filter(F.col("vec_id") < K_CELLS).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("vc")
@@ -642,25 +667,45 @@ def _lloyd_final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "cid", "d2", "va")
         )
 
-    a1 = assign(seeds)
-    comp = a1.select("cid", F.posexplode("va").alias("pos", "x"))
-    upd = (
-        comp.groupBy("cid", "pos")
-        .agg(
-            F.sum(F.floor(F.col("x") * _FX + F.lit(0.5)).cast("long")).alias("sfx"),
-            F.count("*").alias("n"),
+    def update(a: DataFrame) -> DataFrame:
+        comp = a.select("cid", F.posexplode("va").alias("pos", "x"))
+        upd = (
+            comp.groupBy("cid", "pos")
+            .agg(
+                F.sum(F.floor(F.col("x") * _FX + F.lit(0.5)).cast("long")).alias("sfx"),
+                F.count("*").alias("n"),
+            )
+            .withColumn(
+                "cval",
+                F.floor(F.col("sfx").cast("double") / F.col("n") + F.lit(0.5)) / _FX,
+            )
         )
-        .withColumn(
-            "cval",
-            F.floor(F.col("sfx").cast("double") / F.col("n") + F.lit(0.5)) / _FX,
+        return upd.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda s: s["cval"],
+            ).alias("vc")
         )
-    )
-    newc = upd.groupBy("cid").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "cval"))), lambda s: s["cval"]
-        ).alias("vc")
-    )
-    return assign(newc)
+
+    assert rounds >= 1
+    a = assign(seeds)
+    for r in range(rounds):
+        newc = update(a)
+        if rounds > 1:
+            # k tiny rows; truncating lineage here keeps the multi-round
+            # plan O(1) deep (the rounds=1 gated path stays byte-identical)
+            newc = newc.localCheckpoint(eager=False)
+        a = assign(newc)
+    return a
+
+
+def lloyd_inertia_fx(spark: SparkSession, sf_dir: str, rounds: int) -> int:
+    """Total within-cell squared distance after ``rounds`` refinements,
+    in 1e-6 fixed-point units (exact integer — comparable across runs)."""
+    a = _lloyd_final_assignment(spark, sf_dir, rounds)
+    return a.agg(
+        F.sum(F.floor(F.col("d2") * _FX + F.lit(0.5)).cast("long")).alias("i")
+    ).collect()[0]["i"]
 
 
 @register(
@@ -726,7 +771,7 @@ def sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH c AS (
   SELECT vec_id, {_DUCK_CODES} AS codes
-  FROM embeddings
+  FROM {_DUCK_MNMX}
 )
 SELECT query_id, neighbor_id, qdot, rnk FROM (
   SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,

@@ -331,6 +331,34 @@ def test_trained_ivf_recall_beats_sign_buckets(spark, sf_dir):
     assert r_trained >= 0.2
 
 
+def test_lloyd_inertia_monotone(spark, sf_dir):
+    """The convergence property that makes multi-round Lloyd worth
+    running: total within-cell squared distance must not increase as
+    rounds of (update centroids -> re-assign) are added. Exact k-means
+    guarantees strict non-increase; the 1e-6 fixed-point quantization of
+    the component means can perturb a centroid off the exact minimizer by
+    up to 5e-7 per component, so allow that much slack — one fx unit per
+    (vector, dimension) — which is ~9 orders of magnitude below the
+    inertia itself on the fixture."""
+    from multithreaded_mapreduce_library_spark.operators.similarity import (
+        DIM,
+        lloyd_inertia_fx,
+    )
+    from multithreaded_mapreduce_library_spark.sources import load_table
+
+    n_vec = load_table(spark, sf_dir, "embeddings").count()
+    slack = n_vec * DIM  # 1 fixed-point unit per component per vector
+    inertias = [lloyd_inertia_fx(spark, sf_dir, r) for r in (1, 2, 3)]
+    for prev, cur in zip(inertias, inertias[1:]):
+        assert cur <= prev + slack, (
+            f"inertia increased across Lloyd rounds: {inertias}"
+        )
+    # and the loop must actually improve something on the fixture — a
+    # no-op update() (e.g. always returning the seeds) would pass the
+    # monotone check trivially
+    assert inertias[-1] < inertias[0], inertias
+
+
 def test_checkpoint_restart_exactly_once(spark, tmp_path):
     """Production durability: a stream with a checkpointLocation survives
     stop/restart without reprocessing — file 1's rows are NOT re-emitted

@@ -5,12 +5,15 @@ Pandas functions over ``mapInPandas`` (SURVEY.md §2.3).
 The container has no installable codec libraries (PIL/soundfile/av absent,
 pip disallowed), so PNG and WAV decode are implemented for real on stdlib
 only (zlib chunk/filter PNG, wave-module PCM — see png_encode/_png_decode/
-wav_encode/_wav_decode) and exercised end-to-end by the oracle-gated
-``multimodal_decode`` query; only video decode remains a clearly-marked
-stub (no stdlib MP4 demuxer). The fixture corpus has no binary column, so
-media bytes are derived deterministically from documents.text (utf-8
-encode) — or synthesized as real PNG/WAV blobs from doc_id arithmetic in
-the decode query — which keeps every query oracle-checkable in DuckDB.
+wav_encode/_wav_decode), video METADATA parses for real through an ISO
+BMFF box walker (mp4_encode/mp4_parse_meta: mvhd duration/timescale, trak
+count, tkhd 16.16 dimensions), and all three are exercised end-to-end by
+the oracle-gated ``multimodal_decode`` query; only video PIXEL decode
+remains a clearly-marked stub (no stdlib demuxer/codec). The fixture
+corpus has no binary column, so media bytes are derived deterministically
+from documents.text (utf-8 encode) — or synthesized as real PNG/WAV/MP4
+blobs from doc_id arithmetic in the decode query — which keeps every
+query oracle-checkable in DuckDB.
 
 Scale notes: binary payloads ride parquet as-is (no row-group bloat beyond
 the bytes themselves); feature extraction is embarrassingly parallel per
@@ -222,6 +225,121 @@ def _wav_decode(blob: bytes):
     return data if ch == 1 else data.reshape(-1, ch)
 
 
+def mp4_encode(
+    duration: int, n_tracks: int, width: int, height: int, timescale: int = 1000
+) -> bytes:
+    """Minimal ISO BMFF (MP4) writer, stdlib struct only: ftyp + moov
+    (mvhd v0 + one tkhd-bearing trak per track) + a stub mdat. The box
+    layout is real — 32-bit size + fourcc headers, version/flags fields,
+    16.16 fixed-point tkhd dimensions, identity matrices — so a parser
+    exercised against it must get every offset right; only the media
+    payload is absent (no codec in this environment, and the metadata
+    level is the honest scope: see mp4_parse_meta)."""
+    import struct
+
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + tag + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom" + b"mp42")
+    unity = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">I", 0)  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # creation/modification time
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">i", 0x00010000)  # rate 1.0
+        + struct.pack(">h", 0x0100)  # volume 1.0
+        + b"\x00" * 10  # reserved
+        + unity
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", n_tracks + 1),  # next_track_ID
+    )
+    traks = b""
+    for track_id in range(1, n_tracks + 1):
+        tkhd = box(
+            b"tkhd",
+            struct.pack(">I", 7)  # version 0 + flags: enabled|in_movie|in_preview
+            + struct.pack(">II", 0, 0)  # creation/modification time
+            + struct.pack(">I", track_id)
+            + b"\x00" * 4  # reserved
+            + struct.pack(">I", duration)
+            + b"\x00" * 8  # reserved
+            + struct.pack(">hhhh", 0, 0, 0, 0)  # layer/alt_group/volume/reserved
+            + unity
+            + struct.pack(">II", width << 16, height << 16),  # 16.16 fixed
+        )
+        traks += box(b"trak", tkhd)
+    moov = box(b"moov", mvhd + traks)
+    mdat = box(b"mdat", b"\x00" * 16)
+    return ftyp + moov + mdat
+
+
+def mp4_parse_meta(blob: bytes) -> dict:
+    """Minimal ISO BMFF (MP4) box parser, stdlib struct only: walks the
+    top-level box sequence (32-bit sizes, size==1 largesize, size==0
+    to-end-of-file), descends into moov, and reads mvhd (version 0 AND 1
+    layouts) for timescale/duration, counts trak boxes, and decodes the
+    first tkhd's 16.16 fixed-point width/height. This is the metadata
+    level of video decode — duration, track count, dimensions — done for
+    real; pixel/frame decode stays honestly stubbed in decode_media (no
+    stdlib demuxer or codec exists). Every size field is validated, so a
+    truncated or corrupt stream raises ValueError instead of misreading."""
+    import struct
+
+    def walk(start: int, end: int):
+        pos = start
+        while pos < end:
+            if pos + 8 > end:
+                raise ValueError("MP4 truncated inside a box header")
+            (size,) = struct.unpack(">I", blob[pos : pos + 4])
+            tag = blob[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > end:
+                    raise ValueError("MP4 truncated inside a largesize header")
+                (size,) = struct.unpack(">Q", blob[pos + 8 : pos + 16])
+                hdr = 16
+            elif size == 0:  # box extends to end of enclosing scope
+                size = end - pos
+            if size < hdr or pos + size > end:
+                raise ValueError(f"MP4 box {tag!r}: bad size {size}")
+            yield tag, pos + hdr, pos + size
+            pos += size
+
+    moov_span = None
+    for tag, s, e in walk(0, len(blob)):
+        if tag == b"moov":
+            moov_span = (s, e)
+    if moov_span is None:
+        raise ValueError("MP4 missing moov box")
+    timescale = duration = width = height = None
+    n_tracks = 0
+    for tag, s, e in walk(*moov_span):
+        if tag == b"mvhd":
+            if blob[s] == 1:  # version 1: 64-bit times
+                timescale, duration = struct.unpack(">IQ", blob[s + 20 : s + 32])
+            else:
+                timescale, duration = struct.unpack(">II", blob[s + 12 : s + 20])
+        elif tag == b"trak":
+            n_tracks += 1
+            for t2, s2, _e2 in walk(s, e):
+                if t2 == b"tkhd" and width is None:
+                    # width/height trail the 36-byte matrix; offsets differ
+                    # between v0 (32-bit times) and v1 (64-bit times)
+                    off = s2 + (88 if blob[s2] == 1 else 76)
+                    w16, h16 = struct.unpack(">II", blob[off : off + 8])
+                    width, height = w16 >> 16, h16 >> 16
+    if timescale is None:
+        raise ValueError("MP4 moov missing mvhd")
+    return {
+        "duration": duration,
+        "timescale": timescale,
+        "n_tracks": n_tracks,
+        "width": width,
+        "height": height,
+    }
+
+
 def decode_media(blob: bytes, mime: str):
     """Decode a media blob to a numpy array.
 
@@ -230,9 +348,11 @@ def decode_media(blob: bytes, mime: str):
     pip installs (checked 2026-08-13: PIL/soundfile/av all absent, no
     package installation permitted), so the pure-Python path IS the
     production path here; a real deployment would swap PIL/soundfile for
-    throughput, keeping this as the fallback. Video stays a clearly
-    marked stub: there is no stdlib MP4 demuxer, so the contract (bytes +
-    mime in, frame tensor out) raises until PyAV is available.
+    throughput, keeping this as the fallback. Video METADATA (duration,
+    timescale, track count, dimensions) parses for real via
+    mp4_parse_meta's box walker; PIXEL decode for video stays a clearly
+    marked stub — there is no stdlib demuxer/codec, so this contract
+    (bytes + mime in, frame tensor out) raises until PyAV is available.
     """
     if mime == IMAGE_MIME:
         return _png_decode(blob)
@@ -533,11 +653,27 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- real codec round-trip (oracle-gated) ----------------------------------
 # Synthetic media content defined by pure doc_id arithmetic, so the oracle
 # can compute the decoded-value statistics symbolically while Spark earns
-# them the hard way: encode a real PNG/WAV blob, decode it with the real
-# stdlib codec, aggregate the decoded values. An encoder OR decoder bug
-# (chunk layout, CRC, scanline filters, PCM byte order) breaks the hash.
+# them the hard way: encode a real PNG/WAV/MP4 blob, decode it with the
+# real stdlib codec/parser, aggregate the decoded values. An encoder OR
+# decoder bug (chunk layout, CRC, scanline filters, PCM byte order, box
+# sizes, 16.16 fixed-point) breaks the hash. Video rows cover the
+# METADATA level (mvhd/tkhd fields round-tripped through real ISO BMFF
+# boxes) — the honest scope without a codec.
 DECODE_PNG_W, DECODE_PNG_H = 8, 4        # 32 gray pixels per image doc
 DECODE_WAV_N = 64                         # 64 int16 samples per audio doc
+DECODE_MP4_N = 4                          # duration, n_tracks, width, height
+
+
+def _mp4_meta_rule(doc_id: int) -> tuple[int, int, int, int]:
+    """doc_id -> (duration, n_tracks, width, height): the ONE definition
+    of the synthetic video metadata, mirrored symbolically in the oracle
+    SQL below. width/height reuse attach_media's meta formulas."""
+    return (
+        (doc_id * 11) % 90000 + 1000,
+        (doc_id % 5) % 3 + 1,
+        (doc_id * 37 + 11) % 1024 + 16,
+        (doc_id * 53 + 7) % 768 + 16,
+    )
 
 DECODE_SCHEMA = T.StructType(
     [
@@ -564,13 +700,22 @@ def _decode_stat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
                 blob = png_encode(pix.reshape(DECODE_PNG_H, DECODE_PNG_W))
                 vals = decode_media(blob, IMAGE_MIME).ravel().astype(np.int64)
                 mime = IMAGE_MIME
-            else:
+            elif doc_id % 3 == 1:
                 samples = (
                     (doc_id * 31 + np.arange(DECODE_WAV_N) * 17) % 65536 - 32768
                 ).astype(np.int16)
                 blob = wav_encode(samples)
                 vals = decode_media(blob, AUDIO_MIME).astype(np.int64)
                 mime = AUDIO_MIME
+            else:
+                duration, n_tracks, width, height = _mp4_meta_rule(doc_id)
+                blob = mp4_encode(duration, n_tracks, width, height)
+                meta = mp4_parse_meta(blob)
+                vals = np.array(
+                    [meta["duration"], meta["n_tracks"], meta["width"], meta["height"]],
+                    dtype=np.int64,
+                )
+                mime = VIDEO_MIME
             out.append(
                 (doc_id, mime, len(vals), int(vals.sum()), int(vals.min()), int(vals.max()))
             )
@@ -583,18 +728,22 @@ def _decode_stat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
 @register(
     "multimodal_decode",
     oracle=f"""
-WITH ids AS (
-  SELECT doc_id FROM documents WHERE doc_id % 3 <> 2
-),
-vals AS (
+WITH vals AS (
   SELECT doc_id,
          CASE WHEN doc_id % 3 = 0 THEN (doc_id * 7 + i * 13) % 256
-              ELSE (doc_id * 31 + i * 17) % 65536 - 32768 END AS v
-  FROM ids CROSS JOIN unnest(generate_series(0, {DECODE_WAV_N - 1})) AS t(i)
-  WHERE doc_id % 3 = 1 OR i < {DECODE_PNG_W * DECODE_PNG_H}
+              WHEN doc_id % 3 = 1 THEN (doc_id * 31 + i * 17) % 65536 - 32768
+              ELSE CASE i WHEN 0 THEN (doc_id * 11) % 90000 + 1000
+                          WHEN 1 THEN (doc_id % 5) % 3 + 1
+                          WHEN 2 THEN (doc_id * 37 + 11) % 1024 + 16
+                          ELSE (doc_id * 53 + 7) % 768 + 16 END
+         END AS v
+  FROM documents CROSS JOIN unnest(generate_series(0, {DECODE_WAV_N - 1})) AS t(i)
+  WHERE (doc_id % 3 = 1)
+     OR (doc_id % 3 = 0 AND i < {DECODE_PNG_W * DECODE_PNG_H})
+     OR (doc_id % 3 = 2 AND i < {DECODE_MP4_N})
 )
 SELECT doc_id,
-       CASE WHEN doc_id % 3 = 0 THEN '{IMAGE_MIME}' ELSE '{AUDIO_MIME}' END AS mime,
+       {DUCK_MIME_CASE} AS mime,
        CAST(count(*) AS BIGINT) AS n_values,
        CAST(sum(v) AS BIGINT) AS val_sum,
        min(v) AS val_min,
@@ -604,27 +753,26 @@ GROUP BY doc_id
 """,
     tags=("multimodal", "decode", "pandas-udf", "llm-pipeline"),
     doc=(
-        "REAL media decode over mapInPandas: per image/audio doc, build a "
+        "REAL media decode over mapInPandas: per doc, build a "
         f"{DECODE_PNG_W}x{DECODE_PNG_H} grayscale PNG / {DECODE_WAV_N}-sample "
-        "16-bit PCM WAV whose content is doc_id arithmetic, round-trip it "
-        "through the stdlib-only codecs (zlib chunk+filter PNG, wave-module "
-        "PCM), and aggregate the DECODED values. The oracle computes the "
-        "same statistics symbolically from the arithmetic — so a codec bug "
-        "anywhere (chunk layout, CRC, scanline unfilter, byte order) is a "
-        "driver hash mismatch, not a silent pass. Video (doc_id % 3 = 2) is "
-        "excluded: no stdlib MP4 demuxer (decode_media documents the stub). "
-        "Shuffle story: zero exchanges beyond one optional round-robin "
-        "rebalance of bare doc_ids — blobs are created, decoded, and "
-        "reduced to 4 scalars inside one task; at 100 TB no payload byte "
-        "ever crosses the wire."
+        "16-bit PCM WAV / multi-track ISO-BMFF MP4 whose content is doc_id "
+        "arithmetic, round-trip it through the stdlib-only codecs (zlib "
+        "chunk+filter PNG, wave-module PCM, struct box-walker MP4), and "
+        "aggregate the DECODED values. The oracle computes the same "
+        "statistics symbolically from the arithmetic — so a codec bug "
+        "anywhere (chunk layout, CRC, scanline unfilter, byte order, box "
+        "sizes, 16.16 fixed-point) is a driver hash mismatch, not a silent "
+        "pass. Video rows cover the METADATA level (mvhd duration, trak "
+        "count, tkhd dimensions through real boxes); pixel/frame decode "
+        "for video remains the one honestly-labeled stub (no stdlib "
+        "demuxer/codec; decode_media documents it). Shuffle story: zero "
+        "exchanges beyond one optional round-robin rebalance of bare "
+        "doc_ids — blobs are created, decoded, and reduced to 4 scalars "
+        "inside one task; at 100 TB no payload byte ever crosses the wire."
     ),
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from multithreaded_mapreduce_library_spark.sources.tables import rebalance_scan
 
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .filter(F.col("doc_id") % 3 != 2)
-    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return rebalance_scan(docs, spark).mapInPandas(_decode_stat_batches, DECODE_SCHEMA)

@@ -124,3 +124,93 @@ def test_features_scalar_schema(spark, sf_dir):
     # the exploded shape must stay scalar-only (regression for r3 red row)
     for _, dtype in multimodal_features(spark, sf_dir).dtypes:
         assert not dtype.startswith(("array", "map", "struct")), dtype
+
+
+def test_mp4_metadata_roundtrip():
+    from multithreaded_mapreduce_library_spark.operators.multimodal import (
+        mp4_encode,
+        mp4_parse_meta,
+    )
+
+    meta = mp4_parse_meta(mp4_encode(duration=4321, n_tracks=3, width=640, height=360))
+    assert meta == {
+        "duration": 4321,
+        "timescale": 1000,
+        "n_tracks": 3,
+        "width": 640,
+        "height": 360,
+    }
+
+
+def test_mp4_parser_handles_v1_and_largesize():
+    """The parser must read layouts our writer doesn't emit: version-1
+    mvhd/tkhd (64-bit times) and a 64-bit largesize moov header — both
+    appear in real-world files (>4 GiB movies, post-2040 timestamps)."""
+    from multithreaded_mapreduce_library_spark.operators.multimodal import (
+        mp4_parse_meta,
+    )
+
+    def box(tag, payload, large=False):
+        if large:
+            return (
+                struct.pack(">I", 1) + tag + struct.pack(">Q", len(payload) + 16) + payload
+            )
+        return struct.pack(">I", len(payload) + 8) + tag + payload
+
+    unity = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    mvhd_v1 = box(
+        b"mvhd",
+        struct.pack(">I", 1 << 24)           # version 1
+        + struct.pack(">QQ", 0, 0)           # 64-bit creation/modification
+        + struct.pack(">IQ", 90000, 2**33)   # timescale, 64-bit duration
+        + struct.pack(">i", 0x00010000) + struct.pack(">h", 0x0100)
+        + b"\x00" * 10 + unity + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    tkhd_v1 = box(
+        b"tkhd",
+        struct.pack(">I", (1 << 24) | 7)
+        + struct.pack(">QQ", 0, 0)           # 64-bit times
+        + struct.pack(">I", 1) + b"\x00" * 4
+        + struct.pack(">Q", 2**33)           # 64-bit duration
+        + b"\x00" * 8 + struct.pack(">hhhh", 0, 0, 0, 0) + unity
+        + struct.pack(">II", 1920 << 16, 1080 << 16),
+    )
+    blob = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom") + box(
+        b"moov", mvhd_v1 + box(b"trak", tkhd_v1), large=True
+    )
+    meta = mp4_parse_meta(blob)
+    assert meta == {
+        "duration": 2**33,
+        "timescale": 90000,
+        "n_tracks": 1,
+        "width": 1920,
+        "height": 1080,
+    }
+
+
+def test_mp4_corruption_rejected():
+    from multithreaded_mapreduce_library_spark.operators.multimodal import (
+        mp4_encode,
+        mp4_parse_meta,
+    )
+
+    good = mp4_encode(duration=1000, n_tracks=1, width=64, height=64)
+    with pytest.raises(ValueError, match="truncated|bad size"):
+        mp4_parse_meta(good[:-9])          # cut inside the trailing mdat
+    with pytest.raises(ValueError, match="bad size"):
+        # corrupt the moov size field (bytes 24-27 = start of moov header)
+        bad = bytearray(good)
+        bad[24:28] = struct.pack(">I", 2**31)
+        mp4_parse_meta(bytes(bad))
+    with pytest.raises(ValueError, match="moov"):
+        mp4_parse_meta(good[:24])          # ftyp only, no moov
+
+
+def test_video_pixel_decode_still_stubbed():
+    """mp4_parse_meta handles metadata; the frame-tensor contract stays a
+    labeled stub until a real demuxer/codec is installable."""
+    from multithreaded_mapreduce_library_spark.operators.multimodal import mp4_encode
+
+    blob = mp4_encode(duration=1000, n_tracks=1, width=64, height=64)
+    with pytest.raises(NotImplementedError, match="stub"):
+        decode_media(blob, VIDEO_MIME)

@@ -84,73 +84,59 @@ def register(
 # than only the first modules imported. Contains no names not registered
 # elsewhere; everything unlisted follows in registration order.
 _PRIORITY = (
-    # --- round-5 rotated 50-query gate prefix ---------------------------
+    # --- round-6 rotated 50-query gate prefix ---------------------------
     # The driver verifies a 50-query PREFIX of this order. Steady-state
-    # ROTATION RULE (every query that was oracle-gated entering r5 has ≥1
-    # green driver row, so the invariant is bounded staleness, not first
-    # coverage): each round the prefix is
+    # ROTATION RULE (every gated query has >=1 green driver row, so the
+    # invariant is bounded staleness, not first coverage): each round the
+    # prefix is
     #   (1) every query that is NEW or whose builder/oracle text or
     #       semantics changed this round (must be driver-(re)verified),
     #   (2) the least-recently-verified remainder — fill to 50 from the
     #       oldest last-green CORRECTNESS_r*.json round, alphabetical
     #       within a round.
-    # Capacity arithmetic (r5): 150 gated queries, 50 slots, and this
-    # round's unusually large changed set (20: 9 new ops + 6 streaming
-    # rows-only-to-oracle upgrades + 5 oracle/semantics rewrites) leaves
-    # 30 backlog slots —
-    # all 19 r1-stale queries + the 11 oldest r2-stale; 24 r2-stale
-    # queries wait one more round. Worst-case recycle is therefore ~4
-    # rounds, and the pinned invariant is a FOUR-round staleness bound
+    # Capacity arithmetic (r6): 150 gated queries, 50 slots. Changed set
+    # is 13 — multimodal_decode (MP4 metadata rows + oracle rewrite),
+    # embedding_quantize + sim_topk_quantized (oracle min/max hoist),
+    # ivf_train_centroids + sim_topk_ivf_trained (multi-round Lloyd
+    # refactor of the shared helper), and all 8 stream_* queries (builder
+    # bodies extracted into shared *_transform functions for the
+    # multi-batch replay suite; semantics unchanged, but changed text =>
+    # re-verify). That leaves 37 backlog slots: all 24 r2-stale queries
+    # (the round-5 schedule, honored) + the 13 alphabetically-first
+    # r3-stale; the remaining 17 r3-stale wait one round and MUST lead
+    # the r7 prefix. Worst-case recycle stays within the pinned
+    # FOUR-round staleness bound
     # (tests/test_registry_oracle.py::test_gate_prefix_bounds_staleness);
     # in steady state (small changed sets) the effective bound is 3.
     # Do not pad with trivial variants; a new flagship must displace a
     # verified one.
-    # (1) new/changed in r5 — 9 new ops (multimodal_decode,
-    # repetition_ngram, pii_redact, embedding_quantize,
-    # ivf_train_centroids, sim_topk_ivf_trained, sim_topk_quantized,
-    # join_asof_window, quarantine_malformed), the 6 stream_* queries
-    # upgraded from rows-only to real oracles (stream_stream_join and
-    # stream_static_join were already gated and r4-verified — they stay
-    # rotated out), and 5 oracle/semantics rewrites (two-phase df cutoff
-    # in dedup_ngram_jaccard, train-only contamination side, mime-rule
-    # hoist across three multimodal oracles):
-    "multimodal_decode", "repetition_ngram", "pii_redact",
-    "embedding_quantize", "ivf_train_centroids", "sim_topk_ivf_trained",
-    "sim_topk_quantized", "join_asof_window", "quarantine_malformed",
-    "stream_tumbling", "stream_sliding_watermark", "stream_dedup",
-    "stream_session", "stream_stateful_running_max", "stream_funnel",
-    "contamination_check", "dedup_ngram_jaccard", "multimodal_metadata",
-    "multimodal_features", "multimodal_resize",
-    # (2) last green in r1 (19 — the oldest):
-    "agg_argmax", "agg_bool", "agg_listagg", "agg_mode", "agg_salted_skew",
-    "agg_stats", "calendar_fill", "case_when", "conditional_agg",
-    "count_distinct", "distinct_rows", "filter_project", "having_filter",
-    "lateral_posexplode", "multi_count_distinct", "orderby_limit",
-    "sample_hash", "scalar_subquery", "unpivot_measures",
-    # (2) last green in r2, oldest 11 alphabetically (the 24 remaining
-    # r2-stale queries head the rotated-out list and lead the r6 prefix):
-    "bm25_search", "dataset_split", "dedup_clusters", "dedup_exact",
-    "dedup_fuzzy_names", "dedup_keep_first", "dedup_simhash",
-    "doc_fingerprint", "embedding_centroids", "grouped_map_zscore",
-    "join_anti",
-    # --- end of gate prefix (50) ----------------------------------------
-    # rotated out, most-stale first (r2 leftovers, then r3, then r4):
+    # (1) new/changed in r6 (13):
+    "multimodal_decode", "embedding_quantize", "sim_topk_quantized",
+    "ivf_train_centroids", "sim_topk_ivf_trained", "stream_tumbling",
+    "stream_sliding_watermark", "stream_dedup", "stream_session",
+    "stream_stateful_running_max", "stream_funnel", "stream_stream_join",
+    "stream_static_join",
+    # (2) last green in r2 (24 — the oldest, the full r2 cohort):
     "join_asof", "join_broadcast", "join_large", "join_left", "join_range",
     "join_semi", "join_skew_salted", "lang_id", "map_in_arrow_project",
-    "mr_inverted_index",
-    "multimodal_frame_sample", "quality_score", "sample_stratified",
-    "sequence_packing",
-    "sessionize", "sim_lsh_buckets", "sim_near_dup", "sim_topk_bruteforce",
-    "time_tumbling", "token_stats", "udtf_tokenize", "window_range_frame",
-    "window_rank", "window_running",
+    "mr_inverted_index", "multimodal_frame_sample", "quality_score",
+    "sample_stratified", "sequence_packing", "sessionize", "sim_lsh_buckets",
+    "sim_near_dup", "sim_topk_bruteforce", "time_tumbling", "token_stats",
+    "udtf_tokenize", "window_range_frame", "window_rank", "window_running",
+    # (2) last green in r3, oldest 13 alphabetically (the 17 remaining
+    # r3-stale queries head the rotated-out list and lead the r7 prefix):
     "cogroup_reconcile", "corpus_curation", "corr_stats",
     "correlated_subquery", "dist_moments", "event_funnel", "group_cube",
     "grouping_sets", "join_full", "join_right", "join_shuffle_hash",
-    "join_theta", "market_share", "percentiles", "pivot_status",
-    "product_profit", "scalar_array", "scalar_date", "scalar_map",
-    "scalar_math", "setop_except", "setop_except_all", "setop_intersect",
-    "setop_intersect_all", "shipping_priority", "variance_stats",
-    "waiting_orders", "window_lag_lead", "window_ntile", "window_share",
+    "join_theta", "market_share",
+    # --- end of gate prefix (50) ----------------------------------------
+    # rotated out, most-stale first: r3 leftovers (17), then r4-green
+    # (44), then r5-green (39):
+    "percentiles", "pivot_status", "product_profit", "scalar_array",
+    "scalar_date", "scalar_map", "scalar_math", "setop_except",
+    "setop_except_all", "setop_intersect", "setop_intersect_all",
+    "shipping_priority", "variance_stats", "waiting_orders",
+    "window_lag_lead", "window_ntile", "window_share",
     "customer_distribution", "dedup_apply", "dedup_keep_list",
     "dedup_minhash", "disjunctive_revenue", "dormant_customers",
     "excess_shipments", "forecast_revenue", "group_rollup",
@@ -160,12 +146,22 @@ _PRIORITY = (
     "order_priority_check", "pandas_udaf_grouped", "pandas_udf_scalar",
     "parts_supplier_cnt", "pricing_summary", "priority_shipping",
     "promo_revenue_share", "returned_items", "scalar_string", "scd2_merge",
-    "setop_union", "sim_topk_ivf", "sim_topk_multiprobe",
-    "small_qty_revenue", "sql_interface", "stream_static_join",
-    "stream_stream_join", "tf_idf", "time_sliding", "top_supplier",
+    "setop_union", "sim_topk_ivf", "sim_topk_multiprobe", "small_qty_revenue",
+    "sql_interface", "tf_idf", "time_sliding", "top_supplier",
     "variant_extract", "volume_shipping", "window_distribution",
     "window_first_last", "window_moving_avg", "window_topk_per_group",
     "wordcount",
+    "repetition_ngram", "pii_redact", "join_asof_window",
+    "quarantine_malformed", "contamination_check", "dedup_ngram_jaccard",
+    "multimodal_metadata", "multimodal_features", "multimodal_resize",
+    "agg_argmax", "agg_bool", "agg_listagg", "agg_mode", "agg_salted_skew",
+    "agg_stats", "calendar_fill", "case_when", "conditional_agg",
+    "count_distinct", "distinct_rows", "filter_project", "having_filter",
+    "lateral_posexplode", "multi_count_distinct", "orderby_limit",
+    "sample_hash", "scalar_subquery", "unpivot_measures", "bm25_search",
+    "dataset_split", "dedup_clusters", "dedup_exact", "dedup_fuzzy_names",
+    "dedup_keep_first", "dedup_simhash", "doc_fingerprint",
+    "embedding_centroids", "grouped_map_zscore", "join_anti",
 )
 
 

@@ -64,6 +64,12 @@ def main() -> None:
     # scheduling jitter at local[32] — best-of-3 reports steady-state
     # cost, which is what scales with data volume.
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
+    # Machine-load provenance: every bench dispute in rounds 3-5 turned
+    # out to be a loaded box (single loaded runs read 50-100% high vs the
+    # quiet-box band in PERF.md). Recording 1/5/15-min loadavg at start
+    # and end plus wall timestamps makes a high number self-diagnosing.
+    load_start = os.getloadavg()
+    t_start = time.time()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
@@ -83,6 +89,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "load_avg_start": [round(x, 2) for x in load_start],
+                "load_avg_end": [round(x, 2) for x in os.getloadavg()],
+                "wall_start_unix": round(t_start, 1),
+                "wall_end_unix": round(time.time(), 1),
+                "iters": iters,
             }
         )
     )

@@ -38,6 +38,19 @@ PROBE = (
     "dedup_ngram_jaccard",
     "contamination_check",
     "corpus_curation",
+    # ANN family (embeddings table scales with PERTURBED copies — see
+    # _SCALED["embeddings"]): quantize is a narrow map (expect ~1x),
+    # training/assignment is linear with broadcast centroids,
+    # cell-local probing scales with (queries x cell size), and near-dup
+    # candidate generation is bucket-local. The query SET also grows
+    # with the corpus here (vec_id % QUERY_MOD keeps its density), so
+    # the topk queries' fair bound is queries x per-query work, not a
+    # flat Nx — called out per-query in PERF.md.
+    "embedding_quantize",
+    "ivf_train_centroids",
+    "sim_topk_ivf_trained",
+    "sim_topk_quantized",
+    "sim_near_dup",
 )
 OFF = 100_000_000  # key offset per copy — far above any base key
 
@@ -47,7 +60,16 @@ OFF = 100_000_000  # key offset per copy — far above any base key
 _SCALED = {
     "documents": "SELECT doc_id + {k} * {off} AS doc_id, text, lang, source,"
     " n_chars FROM read_parquet('{base}/documents.parquet')",
-    "embeddings": "SELECT vec_id + {k} * {off} AS vec_id, embedding, label"
+    # Copies k>0 get a deterministic large perturbation per component:
+    # replicating embeddings VERBATIM would make every copy an exact
+    # near-duplicate of its original — a degenerate ANN/near-dup workload
+    # whose true answer (and therefore any correct plan's output) grows
+    # quadratically in N. Perturbed copies model the real thing: a bigger
+    # corpus of DISTINCT vectors spread across buckets/cells.
+    "embeddings": "SELECT vec_id + {k} * {off} AS vec_id,"
+    " CASE WHEN {k} = 0 THEN embedding ELSE"
+    " list_transform(embedding, x -> CAST(x + sin(x * 12.9898 + {k} * 1.618)"
+    " AS FLOAT)) END AS embedding, label"
     " FROM read_parquet('{base}/embeddings.parquet')",
     "orders": "SELECT o_orderkey + {k} * {off} AS o_orderkey, o_custkey,"
     " o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
@@ -111,7 +133,15 @@ def main() -> None:
     ratios = {q: round(tn[q] / max(t1[q], 1e-3), 2) for q in PROBE}
     print(
         json.dumps(
-            {"n": n, "t_1x": t1, "t_nx": tn, "ratio": ratios},
+            {
+                "n": n,
+                "t_1x": t1,
+                "t_nx": tn,
+                "ratio": ratios,
+                # same provenance as bench.py: a loaded box reads 2-10x
+                # high on individual queries and poisons ratios
+                "load_avg_end": [round(x, 2) for x in os.getloadavg()],
+            },
         )
     )
     spark.stop()

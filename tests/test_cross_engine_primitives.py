@@ -153,6 +153,7 @@ def test_quantize_codes_parity_adversarial(spark, tmp_path):
 
     from multithreaded_mapreduce_library_spark.operators.similarity import (
         _DUCK_CODES,
+        _DUCK_MNMX,
         _codes_col,
     )
 
@@ -187,7 +188,11 @@ def test_quantize_codes_parity_adversarial(spark, tmp_path):
     con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{path}')")
     orows = {
         r[0]: r[1]
-        for r in con.execute(f"SELECT vec_id, {_DUCK_CODES} FROM embeddings").fetchall()
+        # _DUCK_CODES references the mn/mx aliases hoisted into _DUCK_MNMX
+        # (the O(dim) form both production oracles consume it through)
+        for r in con.execute(
+            f"SELECT vec_id, {_DUCK_CODES} FROM {_DUCK_MNMX}"
+        ).fetchall()
     }
     con.close()
     assert srows == orows

@@ -383,6 +383,29 @@ def test_ivf_train_broadcasts_centroids(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2, "centroid update must partial-aggregate"
 
 
+def test_lloyd_multi_round_plan_stays_bounded(spark, sf_dir):
+    """The multi-round Lloyd loop must keep the SAME plan shape per round
+    — centroids broadcast (never the corpus shuffled against them), no
+    cartesian fallback — and the between-round localCheckpoint must keep
+    the final plan O(1) deep: round 2's assignment plan reads the
+    checkpointed k-row centroid RDD instead of re-embedding round 1's
+    whole assignment+update tree."""
+    from multithreaded_mapreduce_library_spark.operators.similarity import (
+        _lloyd_final_assignment,
+    )
+
+    plan2 = formatted_plan(_lloyd_final_assignment(spark, sf_dir, rounds=2))
+    assert "CartesianProduct" not in plan2
+    assert "BroadcastNestedLoopJoin" in plan2, "centroids must broadcast"
+    # lineage truncation: the checkpointed centroids appear as a scanned
+    # existing RDD, and the plan does NOT contain round-1's posexplode
+    # update tree (which would appear as a Generate node)
+    assert "Scan ExistingRDD" in plan2, "round-2 plan should read checkpointed centroids"
+    assert "Generate" not in plan2, (
+        "round-1 update tree leaked into the round-2 assignment plan"
+    )
+
+
 def test_quantized_topk_broadcasts_queries(spark, sf_dir):
     """Code scoring must broadcast the tiny query-side code set and never
     sort-merge or shuffle the corpus per query."""

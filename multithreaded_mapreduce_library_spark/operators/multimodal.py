@@ -316,17 +316,31 @@ def mp4_parse_meta(blob: bytes) -> dict:
     n_tracks = 0
     for tag, s, e in walk(*moov_span):
         if tag == b"mvhd":
+            # intra-box bounds: a box SIZE can be valid while the payload
+            # is too short for the fields — unpack on a short slice would
+            # raise struct.error (not ValueError) or, worse, a field read
+            # past the box end would silently pull bytes from the NEXT box
+            if s >= e:
+                raise ValueError("MP4 mvhd has empty payload")
             if blob[s] == 1:  # version 1: 64-bit times
+                if s + 32 > e:
+                    raise ValueError("MP4 mvhd (v1) payload too short")
                 timescale, duration = struct.unpack(">IQ", blob[s + 20 : s + 32])
             else:
+                if s + 20 > e:
+                    raise ValueError("MP4 mvhd (v0) payload too short")
                 timescale, duration = struct.unpack(">II", blob[s + 12 : s + 20])
         elif tag == b"trak":
             n_tracks += 1
-            for t2, s2, _e2 in walk(s, e):
+            for t2, s2, e2 in walk(s, e):
                 if t2 == b"tkhd" and width is None:
+                    if s2 >= e2:
+                        raise ValueError("MP4 tkhd has empty payload")
                     # width/height trail the 36-byte matrix; offsets differ
                     # between v0 (32-bit times) and v1 (64-bit times)
                     off = s2 + (88 if blob[s2] == 1 else 76)
+                    if off + 8 > e2:
+                        raise ValueError("MP4 tkhd payload too short")
                     w16, h16 = struct.unpack(">II", blob[off : off + 8])
                     width, height = w16 >> 16, h16 >> 16
     if timescale is None:

@@ -206,6 +206,36 @@ def test_mp4_corruption_rejected():
         mp4_parse_meta(good[:24])          # ftyp only, no moov
 
 
+def test_mp4_short_payload_with_valid_size_rejected():
+    """Intra-box bounds: a box whose SIZE field is consistent with the
+    stream but whose payload is too short for its fields must raise
+    ValueError — not silently read the adjacent box's bytes as
+    width/height, and not leak struct.error (both observed before the
+    bounds checks were added)."""
+    from multithreaded_mapreduce_library_spark.operators.multimodal import (
+        mp4_parse_meta,
+    )
+
+    def box(tag, payload):
+        return struct.pack(">I", len(payload) + 8) + tag + payload
+
+    # tkhd with a valid size but only 12 payload bytes, followed by a
+    # 'free' box whose bytes would land exactly where width/height are read
+    trak = box(b"trak", box(b"tkhd", b"\x00" * 12) + box(b"free", b"\xab" * 96))
+    mvhd = box(b"mvhd", b"\x00" * 100)
+    with pytest.raises(ValueError, match="tkhd"):
+        mp4_parse_meta(box(b"moov", mvhd + trak))
+    # mvhd with a valid size but a 10-byte payload (shorter than the v0
+    # timescale/duration fields)
+    with pytest.raises(ValueError, match="mvhd"):
+        mp4_parse_meta(box(b"moov", box(b"mvhd", b"\x00" * 10)))
+    # zero-payload boxes at the very end of the stream
+    with pytest.raises(ValueError, match="mvhd"):
+        mp4_parse_meta(box(b"moov", box(b"mvhd", b"")))
+    with pytest.raises(ValueError, match="tkhd"):
+        mp4_parse_meta(box(b"moov", mvhd + box(b"trak", box(b"tkhd", b""))))
+
+
 def test_video_pixel_decode_still_stubbed():
     """mp4_parse_meta handles metadata; the frame-tensor contract stays a
     labeled stub until a real demuxer/codec is installable."""

@@ -335,11 +335,16 @@ def test_lloyd_inertia_monotone(spark, sf_dir):
     """The convergence property that makes multi-round Lloyd worth
     running: total within-cell squared distance must not increase as
     rounds of (update centroids -> re-assign) are added. Exact k-means
-    guarantees strict non-increase; the 1e-6 fixed-point quantization of
-    the component means can perturb a centroid off the exact minimizer by
-    up to 5e-7 per component, so allow that much slack — one fx unit per
-    (vector, dimension) — which is ~9 orders of magnitude below the
-    inertia itself on the fixture."""
+    guarantees strict non-increase; the fixed-point pipeline perturbs a
+    centroid off the exact minimizer twice — the per-member input
+    quantization floor(x*1e6 + 0.5) shifts the mean by up to 5e-7 when
+    members' fractional residues align, and the final mean rounding adds
+    up to another 5e-7 — so the centroid can sit up to ~1e-6 off, and
+    the induced inertia change per (vector, component) is
+    ~2*|x - c|*1e-6, up to ~2 fx units at the fixture's |x - c| <= ~1
+    range. Allow 2 fx units per (vector, dimension) of slack — still
+    many orders of magnitude below the inertia itself, and robust to a
+    regenerated fixture with adversarial residue alignment."""
     from multithreaded_mapreduce_library_spark.operators.similarity import (
         DIM,
         lloyd_inertia_fx,
@@ -347,7 +352,7 @@ def test_lloyd_inertia_monotone(spark, sf_dir):
     from multithreaded_mapreduce_library_spark.sources import load_table
 
     n_vec = load_table(spark, sf_dir, "embeddings").count()
-    slack = n_vec * DIM  # 1 fixed-point unit per component per vector
+    slack = 2 * n_vec * DIM  # 2 fixed-point units per component per vector
     inertias = [lloyd_inertia_fx(spark, sf_dir, r) for r in (1, 2, 3)]
     for prev, cur in zip(inertias, inertias[1:]):
         assert cur <= prev + slack, (

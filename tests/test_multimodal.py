@@ -244,3 +244,39 @@ def test_video_pixel_decode_still_stubbed():
     blob = mp4_encode(duration=1000, n_tracks=1, width=64, height=64)
     with pytest.raises(NotImplementedError, match="stub"):
         decode_media(blob, VIDEO_MIME)
+
+
+def test_mp4_roundtrip_property():
+    """Property check across the writer's whole legal input space:
+    encode -> parse is the identity on (duration, n_tracks, width,
+    height) for any 32-bit duration, 1-64 tracks, and 16-bit dims
+    (tkhd's 16.16 fixed-point integer range)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from multithreaded_mapreduce_library_spark.operators.multimodal import (
+        mp4_encode,
+        mp4_parse_meta,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        duration=st.integers(0, 2**32 - 1),
+        n_tracks=st.integers(1, 64),
+        width=st.integers(0, 2**16 - 1),
+        height=st.integers(0, 2**16 - 1),
+        timescale=st.integers(1, 2**32 - 1),
+    )
+    def check(duration, n_tracks, width, height, timescale):
+        meta = mp4_parse_meta(
+            mp4_encode(duration, n_tracks, width, height, timescale=timescale)
+        )
+        assert meta == {
+            "duration": duration,
+            "timescale": timescale,
+            "n_tracks": n_tracks,
+            "width": width,
+            "height": height,
+        }
+
+    check()

@@ -716,3 +716,61 @@ def test_events_stream_rejects_multi_file_layout(spark, events_multi_dir, tmp_pa
     shutil.copytree(events_multi_dir, str(bad_sf / "events.parquet"))
     with _pytest.raises(AssertionError, match="single parquet"):
         events_stream(spark, str(bad_sf))
+
+
+def test_multibatch_funnel_event_time_disorder(spark, tmp_path):
+    """The funnel update loop's c > t keep branch is unreachable in
+    ordered replays but load-bearing under cross-batch event-time
+    disorder: a click committed to state in batch 1 with a purchase
+    arriving in batch 2 at an EARLIER event time. The purchase must not
+    attribute the future click (a naive `t - c <= WINDOW` check would:
+    t - c is negative, trivially inside the window) and must leave it
+    pending. Batch file order is forced via mtimes."""
+    import datetime as dt
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from multithreaded_mapreduce_library_spark.sources.tables import (
+        normalize_events_ts,
+    )
+    from multithreaded_mapreduce_library_spark.streaming.queries import (
+        funnel_transform,
+    )
+
+    src = tmp_path / "disorder"
+    src.mkdir()
+    T = dt.datetime(2024, 6, 1, 12, 0, 0)
+    schema = (
+        "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double, props string"
+    )
+    # batch 1: user 1 clicks at T+2h (far in the "future" of batch 2's
+    # purchase — outside its window even if wrongly attributed)
+    spark.createDataFrame(
+        [(1, 1, "click", T + dt.timedelta(hours=2), 1.0, "{}")], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    _time.sleep(1.1)  # file source orders same-mtime files arbitrarily
+    # batch 2: user 1 purchase at T — event time BEFORE the pending click
+    spark.createDataFrame(
+        [(2, 1, "purchase", T, 1.0, "{}")], schema
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    got, n_batches = _run_multi(funnel_transform(normalize_events_ts(stream)), "update")
+    assert n_batches >= 2, "disorder scenario requires the click and purchase in separate batches"
+    final = got.groupBy("user_id").agg(
+        F.max("n_clicks").alias("n_clicks"),
+        F.max("n_converted").alias("n_converted"),
+    ).collect()
+    assert len(final) == 1
+    r = final[0]
+    # correct: the future click stays pending, nothing converts; the
+    # naive branchless loop would report n_converted=1 here
+    assert (r["n_clicks"], r["n_converted"]) == (1, 0), (
+        f"disordered purchase wrongly attributed a future click: {r}"
+    )

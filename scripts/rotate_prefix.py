@@ -1,0 +1,143 @@
+"""Compute the next round's 50-query gate-prefix rotation.
+
+Implements the rotation rule pinned in registry.py's ``_PRIORITY``
+comment and by test_gate_prefix_bounds_staleness:
+
+  (1) every NEW or changed query this round (passed as arguments) leads,
+  (2) fill to 50 with the least-recently-verified remainder — oldest
+      last-green CORRECTNESS_r*.json round first, alphabetical within a
+      round,
+  then the rotated-out tail, most-stale first, alphabetical within a
+  round.
+
+Prints a ready-to-paste body for the ``_PRIORITY`` tuple (names only —
+keep/refresh the prose comment by hand, it carries the per-round
+arithmetic) plus a staleness forecast for the round after next. Purely
+advisory: registry.py stays the single source of truth, and the pinned
+tests still validate whatever is committed.
+
+Usage: python scripts/rotate_prefix.py changed_query [changed_query ...]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PREFIX_SLOTS = 50
+
+
+def tracked_correctness(repo: str) -> dict[int, dict]:
+    """Round -> parsed CORRECTNESS_r*.json, git-tracked files only when
+    git is available (same rule as tests/test_registry_oracle.py)."""
+    try:
+        out = subprocess.run(
+            ["git", "-C", repo, "ls-files", "CORRECTNESS_r*.json"],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        files = [os.path.join(repo, rel) for rel in out.stdout.split()]
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        files = glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+    rounds: dict[int, dict] = {}
+    for f in files:
+        rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        rounds[rnd] = json.load(open(f))
+    return rounds
+
+
+def rotate(
+    gated: list[str], changed: list[str], rounds: dict[int, dict]
+) -> tuple[list[str], list[str], dict[str, int]]:
+    """Return (prefix, tail, last_green). ``gated`` is every oracle-gated
+    query name; ``changed`` the new/changed set (kept in given order)."""
+    unknown = [n for n in changed if n not in gated]
+    if unknown:
+        raise SystemExit(f"changed names not in the gated registry: {unknown}")
+    last_green: dict[str, int] = {}
+    for rnd in sorted(rounds):
+        for name, r in rounds[rnd].items():
+            if r.get("hash_match"):
+                last_green[name] = rnd
+    never = [n for n in gated if n not in last_green]
+    if never:
+        # first-coverage queries outrank staleness — they have NO green row
+        raise SystemExit(
+            f"gated queries with no green driver row (put them in changed): {never}"
+        )
+    backlog = sorted(
+        (n for n in gated if n not in changed),
+        key=lambda n: (last_green[n], n),
+    )
+    if len(changed) > PREFIX_SLOTS:
+        raise SystemExit(
+            f"changed set ({len(changed)}) exceeds the {PREFIX_SLOTS}-slot prefix"
+        )
+    fill = backlog[: PREFIX_SLOTS - len(changed)]
+    tail = backlog[PREFIX_SLOTS - len(changed) :]
+    return list(changed) + fill, tail, last_green
+
+
+def fmt(names: list[str], indent: str = "    ") -> str:
+    lines, cur = [], indent
+    for n in names:
+        tok = f'"{n}",'
+        if len(cur) + len(tok) + 1 > 79:
+            lines.append(cur.rstrip())
+            cur = indent
+        cur += tok + " "
+    lines.append(cur.rstrip())
+    return "\n".join(lines)
+
+
+def main() -> None:
+    changed = sys.argv[1:]
+    if not changed:
+        raise SystemExit(__doc__)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    from multithreaded_mapreduce_library_spark.registry import load_all
+
+    specs = load_all()
+    gated = [n for n, s in specs.items() if s.oracle is not None]
+    rounds = tracked_correctness(repo)
+    prefix, tail, last_green = rotate(gated, changed, rounds)
+
+    this_round = max(rounds) + 1
+    by_round: dict[int, list[str]] = {}
+    for n in prefix[len(changed):]:
+        by_round.setdefault(last_green[n], []).append(n)
+    print(f"# --- round-{this_round} gate prefix ({len(prefix)}) ---")
+    print(f"# (1) new/changed ({len(changed)}):")
+    print(fmt(changed))
+    for rnd in sorted(by_round):
+        print(f"# (2) last green in r{rnd} ({len(by_round[rnd])}):")
+        print(fmt(by_round[rnd]))
+    print("# --- end of gate prefix ---")
+    tail_by_round: dict[int, list[str]] = {}
+    for n in tail:
+        tail_by_round.setdefault(last_green[n], []).append(n)
+    for rnd in sorted(tail_by_round):
+        print(f"# rotated out, last green r{rnd} ({len(tail_by_round[rnd])}):")
+        print(fmt(tail_by_round[rnd]))
+    # forecast: after this round's driver run, everything in the prefix is
+    # green at this_round; what must lead the NEXT prefix?
+    oldest_waiting = min((last_green[n] for n in tail), default=None)
+    if oldest_waiting is not None:
+        must_lead = [n for n in tail if last_green[n] == oldest_waiting]
+        print(
+            f"# forecast: {len(must_lead)} queries last green in "
+            f"r{oldest_waiting} wait this round and must lead the "
+            f"r{this_round + 1} prefix:"
+        )
+        print(fmt(must_lead, indent="#   "))
+
+
+if __name__ == "__main__":
+    main()

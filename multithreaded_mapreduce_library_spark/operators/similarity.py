@@ -825,3 +825,161 @@ def sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", "qdot", "rnk")
     )
+
+
+
+
+SHORTLIST_K = 10  # int8 candidates kept per query before exact re-rank
+
+
+@register(
+    "sim_topk_ivf_quantized",
+    oracle=f"""
+WITH {_DUCK_LLOYD_CTES},
+unit AS (
+  SELECT u.vec_id, u.cid, u.v,
+         list_transform(u.v, x -> x / CASE WHEN u.nrm = 0 THEN 1 ELSE u.nrm END)
+           AS uv
+  FROM (
+    SELECT e.vec_id, a2.cid, e.v,
+           sqrt({_duck_fold_sum("list_transform(e.v, x -> x * x)")}) AS nrm
+    FROM e JOIN a2 ON e.vec_id = a2.vec_id
+  ) u
+),
+gs AS (
+  SELECT 127.0 / CASE WHEN max(greatest(abs(list_min(uv)), abs(list_max(uv)))) = 0
+                 THEN 1
+                 ELSE max(greatest(abs(list_min(uv)), abs(list_max(uv)))) END AS s
+  FROM unit
+),
+asn AS (
+  SELECT vec_id, cid, v,
+         list_transform(uv, x -> CAST(floor(x * s + 0.5) AS BIGINT)) AS codes
+  FROM unit CROSS JOIN gs
+),
+cand AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(generate_series(1, {DIM}),
+                                      i -> q.codes[i] * n.codes[i])) AS BIGINT) AS qdot,
+         q.v AS qv, n.v AS nv
+  FROM asn q JOIN asn n ON q.cid = n.cid AND q.vec_id <> n.vec_id
+  WHERE q.vec_id % {QUERY_MOD} = 0
+),
+shortlist AS (
+  SELECT query_id, neighbor_id, qv, nv FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY qdot DESC, neighbor_id
+    ) AS crnk
+    FROM cand
+  ) WHERE crnk <= {SHORTLIST_K}
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM (
+  SELECT query_id, neighbor_id,
+         round({_duck_cosine('qv', 'nv')}, 6) AS cosine,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY {_duck_cosine('qv', 'nv')} DESC, neighbor_id
+         ) AS rnk
+  FROM shortlist
+) WHERE rnk <= 3
+""",
+    tags=("similarity", "topk", "ivf", "kmeans", "quantization", "llm-pipeline"),
+    doc=(
+        "The COMPLETE production ANN serving path in one oracle-gated "
+        "query: Lloyd-trained coarse cells (ivf_train_centroids' exact "
+        "pipeline), int8 codes, candidate generation restricted to the "
+        "query's trained cell, an integer dot-product shortlist of "
+        f"{SHORTLIST_K} per query (deterministic with the id tiebreak), "
+        "then exact float cosine ONLY on the shortlist survivors, ranked "
+        "to top-3. The codes here are deliberately NOT "
+        "embedding_quantize's per-vector affine rule: affine codes are "
+        "scale/offset-invariant per vector, so their integer dot product "
+        "ranks cosine poorly (measured 0.33 of the exact cell top-3 "
+        "retained in a 10-deep shortlist, invariant to normalization). "
+        "Ranking needs scores comparable ACROSS vectors, so this query "
+        "quantizes the UNIT-normalized vectors with one GLOBAL symmetric "
+        "scale s = 127/max|u_i| (both reductions order-independent, so s "
+        "is cross-engine exact) — measured 1.00 of the exact cell top-3 "
+        "retained at the same depth. Both rules coexist on purpose: "
+        "affine-per-vector for storage/reconstruction statistics, "
+        "global-symmetric for similarity serving — which is how real "
+        "systems do it (shared scales or codebooks for comparable "
+        "scores). This is how a 100 TB index answers: floats stay on "
+        "disk, 4x-smaller codes are scanned cell-locally with integer "
+        "SIMD, and the expensive exact math touches K rows per query. "
+        "Shuffle story: training as in ivf_train_centroids (k centroids "
+        "broadcast, kxdim partial-agg update); ONE extra 1-row global-"
+        "scale aggregation broadcast back (the documented tiny-stats "
+        "crossJoin pattern); the probe is ONE equi-join on the trained "
+        "cell id (no CartesianProduct, plan-asserted); shortlist and "
+        "re-rank are two windows partitioned by query_id, bounded by "
+        f"cell size and {SHORTLIST_K} rows respectively."
+    ),
+)
+def sim_topk_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _lloyd_final_assignment(spark, sf_dir).select(
+        "vec_id", "cid", F.col("va").alias("v")
+    )
+    # unit-normalize (zero-norm guard keeps degenerate vectors
+    # deterministic: unit := v, codes all zero after scaling)
+    base = base.withColumn("norm", F.expr(_SPARK_NORM)).withColumn(
+        "uv", F.expr("transform(v, x -> x / IF(norm = 0.0D, 1.0D, norm))")
+    )
+    # one global symmetric scale: max|u_i| over the corpus via
+    # greatest(|min|, |max|) per vector (order-independent reductions →
+    # cross-engine exact), broadcast back as a 1-row frame
+    gmax = F.max(
+        F.greatest(F.abs(F.expr("array_min(uv)")), F.abs(F.expr("array_max(uv)")))
+    )
+    gs = base.agg(
+        (F.lit(127.0) / F.when(gmax == 0.0, 1.0).otherwise(gmax)).alias("s")
+    )
+    coded = base.crossJoin(F.broadcast(gs)).select(
+        "vec_id",
+        "cid",
+        "v",
+        "norm",
+        F.expr("transform(uv, x -> CAST(floor(x * s + 0.5) AS BIGINT))").alias(
+            "codes"
+        ),
+    )
+    q = coded.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cid").alias("qcid"),
+        F.col("codes").alias("qa"),
+        F.col("v").alias("va"),
+        F.col("norm").alias("norm_a"),
+    )
+    n = coded.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cid").alias("ncid"),
+        F.col("codes").alias("qb"),
+        F.col("v").alias("vb"),
+        F.col("norm").alias("norm_b"),
+    )
+    qdot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cand = q.join(
+        n,
+        (F.col("qcid") == F.col("ncid"))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    ).withColumn("qdot", qdot)
+    w_short = W.partitionBy("query_id").orderBy(F.col("qdot").desc(), "neighbor_id")
+    short = (
+        cand.withColumn("crnk", F.row_number().over(w_short))
+        .filter(F.col("crnk") <= SHORTLIST_K)
+        .withColumn("cos_exact", F.expr(_SPARK_COSINE))
+    )
+    w_rank = W.partitionBy("query_id").orderBy(F.col("cos_exact").desc(), "neighbor_id")
+    return (
+        short.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_exact", 6).alias("cosine"),
+            "rnk",
+        )
+    )

@@ -66,7 +66,7 @@ def rotate(
         for name, r in rounds[rnd].items():
             if r.get("hash_match"):
                 last_green[name] = rnd
-    never = [n for n in gated if n not in last_green]
+    never = [n for n in gated if n not in last_green and n not in changed]
     if never:
         # first-coverage queries outrank staleness — they have NO green row
         raise SystemExit(

@@ -414,6 +414,16 @@ def test_quantized_topk_broadcasts_queries(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_ivf_quantized_serving_path_is_cell_local(spark, sf_dir):
+    """The capstone serving query must generate candidates through the
+    cell equi-join only — no cartesian fallback anywhere in the composed
+    train+quantize+probe+rerank plan — and keep the centroid broadcasts
+    from the training stage."""
+    plan = formatted_plan(SPECS["sim_topk_ivf_quantized"].builder(spark, sf_dir))
+    assert "CartesianProduct" not in plan, "probe must stay cell-local"
+    assert "BroadcastNestedLoopJoin" in plan, "training centroids must broadcast"
+
+
 def test_asof_window_has_no_join(spark, sf_dir):
     """The carry-forward as-of formulation must plan as ONE window pass —
     no join node, no per-key fanout, a single exchange on user_id."""

@@ -166,9 +166,9 @@ def test_gate_prefix_bounds_staleness():
     gated query either has a green driver row in one of the FOUR most
     recent checked-in rounds, or holds a slot in the current 50-query
     prefix (so the next driver run refreshes it). Four, not three: a
-    round with a large changed set (r5 spent 20 slots, r6 spent 13)
+    round with a large changed set (r5 spent 20 slots, r6 spent 14)
     pushes part of the stale backlog one extra round — the r6
-    arithmetic in the _PRIORITY comment leaves 17 r3-stale queries
+    arithmetic in the _PRIORITY comment leaves 18 r3-stale queries
     waiting to lead the r7 prefix. Dropping a stale query from the
     prefix without a fresh green row fails here."""
     from multithreaded_mapreduce_library_spark.registry import _PRIORITY

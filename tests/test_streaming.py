@@ -331,6 +331,39 @@ def test_trained_ivf_recall_beats_sign_buckets(spark, sf_dir):
     assert r_trained >= 0.2
 
 
+def test_ivf_quantized_serving_results_are_cell_local_and_shortlisted(spark, sf_dir):
+    """Structural contract of the capstone serving query: every returned
+    neighbor shares its query's TRAINED cell (candidates never leave the
+    cell), ranks are dense from 1, and every returned pair also appears
+    in the exact same-cell ranking (the int8 shortlist can only SELECT
+    from the cell, never invent pairs)."""
+    cells = {
+        r["vec_id"]: r["cell_id"]
+        for r in SPECS["ivf_train_centroids"].builder(spark, sf_dir).collect()
+    }
+    rows = SPECS["sim_topk_ivf_quantized"].builder(spark, sf_dir).collect()
+    assert rows, "serving query returned nothing"
+    by_q = {}
+    for r in rows:
+        assert cells[r["query_id"]] == cells[r["neighbor_id"]], (
+            f"neighbor {r['neighbor_id']} outside query {r['query_id']}'s cell"
+        )
+        by_q.setdefault(r["query_id"], []).append(r["rnk"])
+    for q, rnks in by_q.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1)), (q, rnks)
+    trained_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SPECS["sim_topk_ivf_trained"].builder(spark, sf_dir).collect()
+    }
+    # same top-3-by-cosine contract: when the int8 shortlist retains the
+    # true cell top-3 (it does on the fixture), the two queries agree
+    got_pairs = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    overlap = len(got_pairs & trained_pairs) / max(len(trained_pairs), 1)
+    assert overlap >= 0.5, (
+        f"int8 shortlist lost most of the exact cell top-3 (overlap {overlap:.2f})"
+    )
+
+
 def test_lloyd_inertia_monotone(spark, sf_dir):
     """The convergence property that makes multi-round Lloyd worth
     running: total within-cell squared distance must not increase as

@@ -449,20 +449,31 @@ def _codes_col() -> Column:
     the quantization rule, shared by embedding_quantize (code statistics)
     and sim_topk_quantized (integer-dot-product scoring).
 
-    Degenerate constant vectors (max == min) are pinned to all-zero codes
-    EXPLICITLY: without the guard the engines diverge on 0/0 — Spark
-    floors NaN to 0 while DuckDB yields NULL — a latent hash mismatch on
-    any future fixture with a zero/padding vector (the exact-0 comparison
-    is IEEE-safe; both sides branch identically)."""
+    STORAGE IS A REAL ``array<tinyint>``: the affine level
+    round((x - min) / (max - min) * 255) ∈ [0, 255] is stored shifted by
+    the zero-point −128 (stored = level − 128 ∈ [−128, 127]) — exactly how
+    asymmetric uint8 quantizers materialize into signed int8 — so each
+    code really occupies ONE byte in Tungsten rows / shuffle pages and
+    the 4× compression the docstrings claim is realized in-engine, not
+    just in value range. Consumers widen to BIGINT inside arithmetic.
+
+    Degenerate constant vectors (max == min) are pinned EXPLICITLY to the
+    zero-point (all codes −128, i.e. level 0): without the guard the
+    engines diverge on 0/0 — Spark floors NaN to 0 while DuckDB yields
+    NULL — a latent hash mismatch on any future fixture with a
+    zero/padding vector (the exact-0 comparison is IEEE-safe; both sides
+    branch identically)."""
     amin = F.array_min("embedding").cast("double")
     amax = F.array_max("embedding").cast("double")
     return F.transform(
         F.col("embedding"),
-        lambda x: F.when(amax == amin, F.lit(0))
-        .otherwise(
-            F.floor((x.cast("double") - amin) / (amax - amin) * 255 + F.lit(0.5))
-        )
-        .cast("long"),
+        lambda x: (
+            F.when(amax == amin, F.lit(0))
+            .otherwise(
+                F.floor((x.cast("double") - amin) / (amax - amin) * 255 + F.lit(0.5))
+            )
+            - 128
+        ).cast("tinyint"),
     )
 
 
@@ -480,10 +491,10 @@ _DUCK_MNMX = """(
 _DUCK_CODES = """list_transform(
            embedding,
            x -> CASE WHEN mx = mn
-                THEN 0
+                THEN CAST(-128 AS TINYINT)
                 ELSE CAST(floor(
                   (CAST(x AS DOUBLE) - mn) / (mx - mn)
-                  * 255 + 0.5) AS BIGINT) END
+                  * 255 + 0.5) - 128 AS TINYINT) END
          )"""
 
 
@@ -498,25 +509,30 @@ WITH q AS (
 SELECT vec_id,
        label,
        CAST(list_sum(codes) AS BIGINT) AS code_sum,
-       CAST(len(list_filter(codes, c -> c = 0)) AS BIGINT) AS n_zero,
-       CAST(len(list_filter(codes, c -> c = 255)) AS BIGINT) AS n_sat,
-       codes[1] AS first_code
+       CAST(len(list_filter(codes, c -> c = -128)) AS BIGINT) AS n_min,
+       CAST(len(list_filter(codes, c -> c = 127)) AS BIGINT) AS n_sat,
+       CAST(codes[1] AS BIGINT) AS first_code
 FROM q
 """,
     tags=("similarity", "quantization", "embedding", "llm-pipeline"),
     doc=(
         "Per-vector affine int8 quantization (the memory-4x/bandwidth-4x "
-        "code path an ANN index uses at 100 TB): code_i = "
-        "round((x_i - min) / (max - min) * 255), emitted as per-vector "
-        "integer summaries (code sum, zero/saturated counts, first code) "
-        "so the differential is exact — the float work is ONE shared "
-        "IEEE expression inside floor(..+0.5), everything after is "
-        "integer. Degenerate all-constant vectors are pinned to all-zero "
-        "codes by an explicit max==min branch on BOTH sides — the "
-        "engines DISAGREE on the unguarded 0/0 (Spark floors NaN to 0, "
-        "DuckDB yields NULL), so the guard is load-bearing, not "
-        "defensive decoration (see _codes_col). Shuffle story: ZERO "
-        "exchanges — quantization is a "
+        "code path an ANN index uses at 100 TB): level_i = "
+        "round((x_i - min) / (max - min) * 255), stored as a REAL "
+        "array<tinyint> shifted by the zero-point -128 (stored = level "
+        "- 128, the standard asymmetric-uint8-into-int8 materialization "
+        "— so the 4x compression is physical, one byte per code in "
+        "Tungsten rows and shuffle pages, not just a value range). "
+        "Emitted as per-vector integer summaries (code sum, "
+        "min-pinned/saturated counts, first code, widened to BIGINT at "
+        "the output boundary only) so the differential is exact — the "
+        "float work is ONE shared IEEE expression inside floor(..+0.5), "
+        "everything after is integer. Degenerate all-constant vectors "
+        "are pinned to the zero-point (all codes -128) by an explicit "
+        "max==min branch on BOTH sides — the engines DISAGREE on the "
+        "unguarded 0/0 (Spark floors NaN to 0, DuckDB yields NULL), so "
+        "the guard is load-bearing, not defensive decoration (see "
+        "_codes_col). Shuffle story: ZERO exchanges — quantization is a "
         "narrow projection that rides the scan, exactly how a real "
         "pipeline would materialize a code column next to the vectors."
     ),
@@ -528,11 +544,11 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.aggregate(
-            "codes", F.lit(0).cast("long"), lambda acc, x: acc + x
+            "codes", F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
         ).alias("code_sum"),
-        F.size(F.filter("codes", lambda x: x == 0)).cast("long").alias("n_zero"),
-        F.size(F.filter("codes", lambda x: x == 255)).cast("long").alias("n_sat"),
-        F.element_at("codes", 1).alias("first_code"),
+        F.size(F.filter("codes", lambda x: x == -128)).cast("long").alias("n_min"),
+        F.size(F.filter("codes", lambda x: x == 127)).cast("long").alias("n_sat"),
+        F.element_at("codes", 1).cast("long").alias("first_code"),
     )
 
 
@@ -776,11 +792,13 @@ WITH c AS (
 SELECT query_id, neighbor_id, qdot, rnk FROM (
   SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
          CAST(list_sum(list_transform(generate_series(1, {DIM}),
-                                      i -> q.codes[i] * n.codes[i])) AS BIGINT) AS qdot,
+                                      i -> CAST(q.codes[i] AS BIGINT)
+                                           * CAST(n.codes[i] AS BIGINT))) AS BIGINT) AS qdot,
          row_number() OVER (
            PARTITION BY q.vec_id
            ORDER BY list_sum(list_transform(generate_series(1, {DIM}),
-                                            i -> q.codes[i] * n.codes[i])) DESC,
+                                            i -> CAST(q.codes[i] AS BIGINT)
+                                                 * CAST(n.codes[i] AS BIGINT))) DESC,
                     n.vec_id
          ) AS rnk
   FROM c q JOIN c n ON q.vec_id <> n.vec_id
@@ -792,15 +810,17 @@ WHERE rnk <= {TOP_K}
     doc=(
         "Top-k scored ON THE INT8 CODES: rank candidates by the integer "
         "dot product of their affine-quantized codes (embedding_quantize's "
-        "exact rule, shared Spark expression and shared oracle SQL) — the "
-        "asymmetric-distance serving path a 100 TB ANN index runs, where "
-        "float vectors stay on disk and the 4x-smaller codes are scored "
-        "with integer SIMD, refining only the survivors. All-integer math "
-        "makes the cross-engine differential exact with no float-order "
-        "caveats at all. Shuffle story: broadcast the tiny query-side "
-        "code set, score per partition, TakeOrdered per query — at scale "
-        "this composes with the trained IVF cells (score codes only "
-        "within the probed cell)."
+        "exact rule, shared Spark expression and shared oracle SQL; the "
+        "codes travel as real 1-byte tinyints and are widened to BIGINT "
+        "only inside the dot fold, so products can never overflow the "
+        "storage type) — the asymmetric-distance serving path a 100 TB "
+        "ANN index runs, where float vectors stay on disk and the "
+        "4x-smaller codes are scored with integer SIMD, refining only "
+        "the survivors. All-integer math makes the cross-engine "
+        "differential exact with no float-order caveats at all. Shuffle "
+        "story: broadcast the tiny query-side code set, score per "
+        "partition, TakeOrdered per query — at scale this composes with "
+        "the trained IVF cells (score codes only within the probed cell)."
     ),
 )
 def sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -810,7 +830,7 @@ def sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = e.select(F.col("vec_id").alias("neighbor_id"), F.col("codes").alias("qb"))
     qdot = F.aggregate(
-        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.zip_with("qa", "qb", lambda x, y: x.cast("long") * y.cast("long")),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
@@ -830,6 +850,75 @@ def sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SHORTLIST_K = 10  # int8 candidates kept per query before exact re-rank
+
+
+def _ivfq_coded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cid, codes) — trained cell assignment plus GLOBAL-symmetric
+    int8 codes of the unit-normalized vectors, stored as a real
+    ``array<tinyint>`` (range [-127, 127], so the signed byte holds the
+    symmetric rule directly with no zero-point shift). Deliberately
+    carries NO float column: this frame is everything the candidate
+    generation + shortlist stage is allowed to shuffle."""
+    base = _lloyd_final_assignment(spark, sf_dir).select(
+        "vec_id", "cid", F.col("va").alias("v")
+    )
+    # unit-normalize (zero-norm guard keeps degenerate vectors
+    # deterministic: unit := v, codes all zero after scaling)
+    base = base.withColumn("norm", F.expr(_SPARK_NORM)).withColumn(
+        "uv", F.expr("transform(v, x -> x / IF(norm = 0.0D, 1.0D, norm))")
+    )
+    # one global symmetric scale: max|u_i| over the corpus via
+    # greatest(|min|, |max|) per vector (order-independent reductions →
+    # cross-engine exact), broadcast back as a 1-row frame
+    gmax = F.max(
+        F.greatest(F.abs(F.expr("array_min(uv)")), F.abs(F.expr("array_max(uv)")))
+    )
+    gs = base.agg(
+        (F.lit(127.0) / F.when(gmax == 0.0, 1.0).otherwise(gmax)).alias("s")
+    )
+    return base.crossJoin(F.broadcast(gs)).select(
+        "vec_id",
+        "cid",
+        F.expr("transform(uv, x -> CAST(floor(x * s + 0.5) AS TINYINT))").alias(
+            "codes"
+        ),
+    )
+
+
+def _ivfq_shortlist_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id) — the per-query int8 shortlist, computed
+    entirely on the tinyint codes: cell-local candidate join, widened
+    integer dot product, top-SHORTLIST_K window. No float-array column
+    exists anywhere in this subplan past the code projection — the
+    candidate exchange carries ids + 1-byte codes only (plan-asserted by
+    tests/test_plans.py::test_ivf_quantized_shortlist_carries_no_floats)."""
+    coded = _ivfq_coded(spark, sf_dir)
+    q = coded.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cid").alias("qcid"),
+        F.col("codes").alias("qa"),
+    )
+    n = coded.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cid").alias("ncid"),
+        F.col("codes").alias("qb"),
+    )
+    qdot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cand = q.join(
+        n,
+        (F.col("qcid") == F.col("ncid"))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    ).withColumn("qdot", qdot)
+    w_short = W.partitionBy("query_id").orderBy(F.col("qdot").desc(), "neighbor_id")
+    return (
+        cand.withColumn("crnk", F.row_number().over(w_short))
+        .filter(F.col("crnk") <= SHORTLIST_K)
+        .select("query_id", "neighbor_id")
+    )
 
 
 @register(
@@ -905,76 +994,53 @@ SELECT query_id, neighbor_id, cosine, rnk FROM (
         "systems do it (shared scales or codebooks for comparable "
         "scores). This is how a 100 TB index answers: floats stay on "
         "disk, 4x-smaller codes are scanned cell-locally with integer "
-        "SIMD, and the expensive exact math touches K rows per query. "
-        "Shuffle story: training as in ivf_train_centroids (k centroids "
-        "broadcast, kxdim partial-agg update); ONE extra 1-row global-"
-        "scale aggregation broadcast back (the documented tiny-stats "
-        "crossJoin pattern); the probe is ONE equi-join on the trained "
-        "cell id (no CartesianProduct, plan-asserted); shortlist and "
-        "re-rank are two windows partitioned by query_id, bounded by "
-        f"cell size and {SHORTLIST_K} rows respectively."
+        "SIMD, and the expensive exact math touches K rows per query — "
+        "and the PLAN now matches the claim end-to-end: the candidate "
+        "join + shortlist window shuffle ids and real 1-byte tinyint "
+        "codes ONLY (no float-array column exists in that subplan, "
+        "plan-asserted), and the exact rerank re-acquires the float "
+        "vectors by broadcasting the tiny (queries x SHORTLIST_K) id "
+        "list against the embeddings scan — the corpus itself never "
+        "shuffles for the rerank. Shuffle story: training as in "
+        "ivf_train_centroids (k centroids broadcast, kxdim partial-agg "
+        "update); ONE extra 1-row global-scale aggregation broadcast "
+        "back (the documented tiny-stats crossJoin pattern); the probe "
+        "is ONE equi-join on the trained cell id (no CartesianProduct, "
+        "plan-asserted) carrying codes only; shortlist and re-rank are "
+        f"two windows partitioned by query_id, bounded by cell size and "
+        f"{SHORTLIST_K} rows respectively. (The oracle materializes the "
+        "same code VALUES as BIGINT lists — storage width is an "
+        "engine-side physical property the value differential cannot "
+        "and need not see.)"
     ),
 )
 def sim_topk_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = _lloyd_final_assignment(spark, sf_dir).select(
-        "vec_id", "cid", F.col("va").alias("v")
-    )
-    # unit-normalize (zero-norm guard keeps degenerate vectors
-    # deterministic: unit := v, codes all zero after scaling)
-    base = base.withColumn("norm", F.expr(_SPARK_NORM)).withColumn(
-        "uv", F.expr("transform(v, x -> x / IF(norm = 0.0D, 1.0D, norm))")
-    )
-    # one global symmetric scale: max|u_i| over the corpus via
-    # greatest(|min|, |max|) per vector (order-independent reductions →
-    # cross-engine exact), broadcast back as a 1-row frame
-    gmax = F.max(
-        F.greatest(F.abs(F.expr("array_min(uv)")), F.abs(F.expr("array_max(uv)")))
-    )
-    gs = base.agg(
-        (F.lit(127.0) / F.when(gmax == 0.0, 1.0).otherwise(gmax)).alias("s")
-    )
-    coded = base.crossJoin(F.broadcast(gs)).select(
-        "vec_id",
-        "cid",
-        "v",
-        "norm",
-        F.expr("transform(uv, x -> CAST(floor(x * s + 0.5) AS BIGINT))").alias(
-            "codes"
-        ),
-    )
-    q = coded.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    short_ids = _ivfq_shortlist_ids(spark, sf_dir)
+    # exact rerank: re-acquire float vectors for the K survivors per query
+    # by joining the tiny shortlist back to the embeddings scan (broadcast
+    # the shortlist side both times — the corpus never shuffles, and the
+    # candidate exchange above never carried a float array)
+    vec = _load_embeddings(spark, sf_dir).select(
+        "vec_id", _dvec("embedding").alias("v")
+    ).withColumn("norm", F.expr(_SPARK_NORM))
+    a = vec.select(
         F.col("vec_id").alias("query_id"),
-        F.col("cid").alias("qcid"),
-        F.col("codes").alias("qa"),
         F.col("v").alias("va"),
         F.col("norm").alias("norm_a"),
     )
-    n = coded.select(
+    b = vec.select(
         F.col("vec_id").alias("neighbor_id"),
-        F.col("cid").alias("ncid"),
-        F.col("codes").alias("qb"),
         F.col("v").alias("vb"),
         F.col("norm").alias("norm_b"),
     )
-    qdot = F.aggregate(
-        F.zip_with("qa", "qb", lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    cand = q.join(
-        n,
-        (F.col("qcid") == F.col("ncid"))
-        & (F.col("query_id") != F.col("neighbor_id")),
-    ).withColumn("qdot", qdot)
-    w_short = W.partitionBy("query_id").orderBy(F.col("qdot").desc(), "neighbor_id")
-    short = (
-        cand.withColumn("crnk", F.row_number().over(w_short))
-        .filter(F.col("crnk") <= SHORTLIST_K)
-        .withColumn("cos_exact", F.expr(_SPARK_COSINE))
+    withq = a.join(F.broadcast(short_ids), "query_id")
+    short = b.join(F.broadcast(withq), "neighbor_id").withColumn(
+        "cos_exact", F.expr(_SPARK_COSINE)
     )
     w_rank = W.partitionBy("query_id").orderBy(F.col("cos_exact").desc(), "neighbor_id")
     return (
-        short.withColumn("rnk", F.row_number().over(w_rank))
+        short.select("query_id", "neighbor_id", "cos_exact")
+        .withColumn("rnk", F.row_number().over(w_rank))
         .filter(F.col("rnk") <= 3)
         .select(
             "query_id",

@@ -164,9 +164,9 @@ def test_quantize_codes_parity_adversarial(spark, tmp_path):
         rng.uniform(1e30, 3e38, 8).astype("float32"),
         (-rng.uniform(1, 2, 8)).astype("float32"),
         rng.uniform(0, 1e-38, 8).astype("float32"),
-        # exactly degenerate (max == min): the explicit all-zero-codes
-        # branch — without it Spark floors 0/0's NaN to 0 while DuckDB
-        # yields NULL
+        # exactly degenerate (max == min): the explicit pin-to-zero-point
+        # (-128) branch — without it Spark floors 0/0's NaN to 0 while
+        # DuckDB yields NULL
         np.zeros(8, dtype="float32"),
         np.full(8, 0.25, dtype="float32"),
     ]
@@ -183,6 +183,8 @@ def test_quantize_codes_parity_adversarial(spark, tmp_path):
         path,
     )
     sdf = spark.read.parquet(path).select("vec_id", _codes_col().alias("codes"))
+    # the claimed 4x compression must be physical: real 1-byte codes
+    assert dict(sdf.dtypes)["codes"] == "array<tinyint>"
     srows = {r["vec_id"]: r["codes"] for r in sdf.collect()}
     con = duckdb.connect()
     con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{path}')")

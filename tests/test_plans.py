@@ -424,6 +424,42 @@ def test_ivf_quantized_serving_path_is_cell_local(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan, "training centroids must broadcast"
 
 
+def test_ivf_quantized_shortlist_carries_no_floats(spark, sf_dir):
+    """The capstone's 'floats stay on disk' claim, enforced at the plan
+    level: the frame the candidate stage shuffles is (ids, tinyint codes)
+    with no float column at all, and every shuffle exchange in the
+    candidate-generation/shortlist subplan keyed on the cell id or the
+    query id carries only ids / code arrays / the integer dot — never a
+    float-vector column. (The training argmin exchanges, keyed on vec_id,
+    legitimately carry the vector; the exact rerank re-acquires floats by
+    broadcasting the tiny shortlist against the scan, not by shuffling.)"""
+    import re
+
+    from multithreaded_mapreduce_library_spark.operators.similarity import (
+        _ivfq_coded,
+        _ivfq_shortlist_ids,
+    )
+
+    dtypes = dict(_ivfq_coded(spark, sf_dir).dtypes)
+    assert dtypes["codes"] == "array<tinyint>", dtypes
+    assert not any("double" in t or "float" in t for t in dtypes.values()), dtypes
+
+    plan = formatted_plan(_ivfq_shortlist_ids(spark, sf_dir))
+    float_cols = re.compile(r"\b(v|uv|va|vb|norm)#")
+    blocks = re.findall(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\n"
+        r"Arguments: hashpartitioning\((\w+)#",
+        plan,
+    )
+    assert blocks, "no shuffle exchanges found in the shortlist plan"
+    for cols, key in blocks:
+        if key in ("qcid", "ncid", "query_id", "neighbor_id"):
+            assert not float_cols.search(cols), (
+                f"float-vector column crosses the {key}-keyed shortlist "
+                f"exchange: [{cols}]"
+            )
+
+
 def test_asof_window_has_no_join(spark, sf_dir):
     """The carry-forward as-of formulation must plan as ONE window pass —
     no join node, no per-key fanout, a single exchange on user_id."""

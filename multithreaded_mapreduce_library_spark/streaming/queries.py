@@ -461,6 +461,16 @@ def funnel_transform(s: DataFrame) -> DataFrame:
     from multithreaded_mapreduce_library_spark.operators.events import FUNNEL_WINDOW_MIN
 
     WINDOW_US = FUNNEL_WINDOW_MIN * 60 * 1_000_000  # attribution window, exact integer us
+    # Event-time disorder allowance: pending clicks are expired against a
+    # MONOTONE watermark (max event time seen so far, carried in state)
+    # minus this lateness budget — never against the current row's
+    # timestamp, which regresses under disorder. A purchase arriving up
+    # to LATENESS_US behind the watermark still finds its in-window
+    # clicks pending; one later than that is late-beyond-allowance data
+    # and may miss expired clicks — the standard watermark contract,
+    # stated instead of accidental. State stays bounded by clicks per
+    # user per (window + lateness).
+    LATENESS_US = FUNNEL_WINDOW_MIN * 60 * 1_000_000
 
     # Only clicks and purchases drive the funnel; filtering the stream up
     # front shrinks state AND pins the output domain to the oracle's
@@ -474,9 +484,10 @@ def funnel_transform(s: DataFrame) -> DataFrame:
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
-        pending, n_clicks, n_converted = (
-            state.get if state.exists else ((), 0, 0)
+        pending, n_clicks, n_converted, max_ts = (
+            state.get if state.exists else ((), 0, 0, 0.0)
         )
+        max_ts = int(max_ts)  # monotone event-time watermark, integer us
         # Epoch MICROSECONDS (integers, carried in doubles — exact below
         # 2^53): float epoch *seconds* have ~0.24us resolution at 2024
         # magnitudes, enough to flip the <= at an exactly-60-minute
@@ -490,6 +501,8 @@ def funnel_transform(s: DataFrame) -> DataFrame:
             # loop is the operator's hot path (once per event per batch)
             for r in rows.itertuples(index=False):
                 t = r.ts.value // 1000  # ns -> us, exact integer
+                if t > max_ts:
+                    max_ts = t
                 if r.event_type == "click":
                     pending.append(t)
                     n_clicks += 1
@@ -511,10 +524,16 @@ def funnel_transform(s: DataFrame) -> DataFrame:
                         elif t - c <= WINDOW_US:
                             n_converted += 1  # every in-window click converts
                     pending = keep
-                # expire clicks the next purchase could never reach
-                cutoff = t - WINDOW_US
-                pending = [c for c in pending if c >= cutoff]
-        state.update((tuple(float(c) for c in pending), n_clicks, n_converted))
+            # expire clicks no allowed-lateness purchase could still reach
+            # — once per batch, against the monotone watermark (see
+            # LATENESS_US above; a per-row cutoff from t would let a
+            # future-timestamped click evict state a disorder-within-
+            # allowance purchase still needs)
+            cutoff = max_ts - LATENESS_US - WINDOW_US
+            pending = [c for c in pending if c >= cutoff]
+        state.update(
+            (tuple(float(c) for c in pending), n_clicks, n_converted, float(max_ts))
+        )
         if not n_clicks:
             # zero-click users (purchases only) are outside the funnel
             # domain — the oracle's clicks CTE has no row for them
@@ -530,7 +549,10 @@ def funnel_transform(s: DataFrame) -> DataFrame:
     return s.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="user_id long, n_clicks long, n_converted long",
-        stateStructType="pending array<double>, n_clicks long, n_converted long",
+        stateStructType=(
+            "pending array<double>, n_clicks long, n_converted long,"
+            " max_ts double"
+        ),
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -558,11 +580,16 @@ GROUP BY user_id
         "user, GroupState carries the pending click timestamps inside the "
         "1-hour attribution window plus running (n_clicks, n_converted); "
         "each batch sorts its events in event-time order, attributes "
-        "purchases to the earliest pending clicks, expires clicks older "
-        "than the window, and emits the updated per-user totals. State is "
-        "bounded by clicks-per-user-per-hour — the invariant that keeps "
-        "memory flat at any stream volume. The settled replay equals the "
-        "batch event_funnel operator exactly (asserted in tests)."
+        "purchases to pending in-window clicks, expires clicks against a "
+        "MONOTONE event-time watermark (max ts seen, carried in state) "
+        "minus an explicit lateness allowance — so disorder-within-"
+        "allowance purchases in later batches still find their clicks, "
+        "and 'late beyond allowance' is a stated contract rather than an "
+        "accident of row order — and emits the updated per-user totals. "
+        "State is bounded by clicks-per-user per (window + lateness) — "
+        "the invariant that keeps memory flat at any stream volume. The "
+        "settled replay equals the batch event_funnel operator exactly "
+        "(asserted in tests)."
     ),
 )
 def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:

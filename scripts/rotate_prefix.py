@@ -107,6 +107,13 @@ def main() -> None:
     specs = load_all()
     gated = [n for n, s in specs.items() if s.oracle is not None]
     rounds = tracked_correctness(repo)
+    if not rounds:
+        raise SystemExit(
+            "no git-tracked CORRECTNESS_r*.json found — the rotation is "
+            "derived from driver history, so at least one round's file "
+            "must be committed first (a fresh repo has no prefix to "
+            "rotate: seed _PRIORITY by hand for round 1)."
+        )
     prefix, tail, last_green = rotate(gated, changed, rounds)
 
     this_round = max(rounds) + 1

@@ -807,3 +807,68 @@ def test_multibatch_funnel_event_time_disorder(spark, tmp_path):
     assert (r["n_clicks"], r["n_converted"]) == (1, 0), (
         f"disordered purchase wrongly attributed a future click: {r}"
     )
+
+
+def test_multibatch_funnel_click_side_disorder_within_lateness(spark, tmp_path):
+    """Click-side disorder, the direction the c > t keep branch does NOT
+    cover: a future-timestamped click lands in batch 1 alongside an older
+    click, and the older click's attributing purchase arrives in batch 2
+    at an earlier event time. The old per-row expiry (cutoff = t - WINDOW
+    after every row) let the future click evict the older one, silently
+    losing the conversion; the monotone-watermark expiry with a lateness
+    allowance keeps it pending until the watermark passes
+    window + lateness beyond it, so the within-allowance purchase still
+    attributes. Expected: 2 clicks, 1 conversion."""
+    import datetime as dt
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from multithreaded_mapreduce_library_spark.sources.tables import (
+        normalize_events_ts,
+    )
+    from multithreaded_mapreduce_library_spark.streaming.queries import (
+        funnel_transform,
+    )
+
+    src = tmp_path / "click_disorder"
+    src.mkdir()
+    T = dt.datetime(2024, 6, 1, 12, 0, 0)
+    schema = (
+        "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double, props string"
+    )
+    # batch 1: click at T, then a click 2h in the future — the future
+    # click pushes the watermark to T+2h; with window=lateness=1h the
+    # expiry cutoff is exactly T, so the first click survives the batch
+    spark.createDataFrame(
+        [
+            (1, 1, "click", T, 1.0, "{}"),
+            (2, 1, "click", T + dt.timedelta(hours=2), 1.0, "{}"),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    _time.sleep(1.1)  # file source orders same-mtime files arbitrarily
+    # batch 2: purchase at T+30min — 90min behind the watermark but only
+    # 30min after the first click: in-window, must convert it; the future
+    # click is kept pending by the c > t branch
+    spark.createDataFrame(
+        [(3, 1, "purchase", T + dt.timedelta(minutes=30), 1.0, "{}")], schema
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    got, n_batches = _run_multi(funnel_transform(normalize_events_ts(stream)), "update")
+    assert n_batches >= 2, "scenario requires the clicks and purchase in separate batches"
+    final = got.groupBy("user_id").agg(
+        F.max("n_clicks").alias("n_clicks"),
+        F.max("n_converted").alias("n_converted"),
+    ).collect()
+    assert len(final) == 1
+    r = final[0]
+    assert (r["n_clicks"], r["n_converted"]) == (2, 1), (
+        f"watermark expiry lost a click a within-allowance purchase needed: {r}"
+    )

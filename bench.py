@@ -36,6 +36,7 @@ HEADLINE = (
     "dedup_exact",
     "dedup_minhash",
     "sim_topk_bruteforce",
+    "sim_topk_ivf_quantized",
     "time_tumbling",
     "sessionize",
     "product_profit",

@@ -1,0 +1,329 @@
+"""Product quantization (PQ) over the ``embeddings`` table — the canonical
+100 TB ANN compression/serving scheme (Jégou, Douze, Schmid, "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011; the index family
+FAISS ships as IVF-PQ): split each vector into M subvectors, train a
+small codebook per subspace (same exact fixed-point Lloyd machinery as
+``ivf_train_centroids``), store each vector as M tiny code ids, and
+answer queries with asymmetric distance computation (ADC) — a per-query
+lookup table of query-subvector-to-codeword distances, so scoring a
+candidate is M table lookups + M integer adds instead of a 64-element
+float dot product.
+
+Extension op (no reference counterpart — the reference is a wordcount
+MapReduce library, `mapreduce.h:48`); part of the mandated LLM-pipeline
+similarity-search surface, composing with the trained-IVF family in
+``similarity.py``.
+
+Cross-engine exactness: subvector squared-L2 uses the shared sequential
+left fold (bit-identical doubles), codeword means are 1e-6 fixed-point
+(order-independent integer sums), and every ADC score is a SUM OF M
+INTEGERS (the fixed-point LUT entries) — associative, so the differential
+is exact with no float-order caveats anywhere in the serving path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from multithreaded_mapreduce_library_spark.operators.similarity import (
+    _FX,
+    _SPARK_D2,
+    _duck_fold_sum,
+    _dvec,
+    _load_embeddings,
+    QUERY_MOD,
+    TOP_K,
+)
+from multithreaded_mapreduce_library_spark.registry import register
+
+DIM = 64
+PQ_M = 8  # subspaces
+SUB = DIM // PQ_M  # dims per subspace
+PQ_K = 8  # codewords per subspace (3 bits/code — tiny on purpose: the
+# oracle re-derives the full training, so k stays SQL-tractable; the
+# plan shape is identical at k=256)
+
+
+def _duck_d2n(a: str, b: str, n: int) -> str:
+    """Squared-L2 over the first ``n`` list elements as the same
+    sequential left fold as similarity._duck_d2 (which pins n=DIM)."""
+    return _duck_fold_sum(
+        f"list_transform(generate_series(1, {n}), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))"
+    )
+
+
+# Shared PQ training CTE chain: slice -> seed -> assign -> fixed-point
+# update -> re-assign. Consumed by BOTH pq_train_codes and sim_topk_pq so
+# the codebooks can never drift between trainer and server (the same
+# shared-CTE discipline as similarity._DUCK_LLOYD_CTES).
+_DUCK_PQ_CTES = f"""e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+sub AS (
+  SELECT vec_id, m, list_slice(v, m * {SUB} + 1, m * {SUB} + {SUB}) AS sv
+  FROM e CROSS JOIN unnest([{", ".join(str(m) for m in range(PQ_M))}]) AS mm(m)
+),
+seeds AS (SELECT m, vec_id AS cid, sv AS c FROM sub WHERE vec_id < {PQ_K}),
+p1 AS (
+  SELECT vec_id, m, sv, cid FROM (
+    SELECT s.vec_id, s.m, s.sv, d.cid,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY {_duck_d2n('s.sv', 'd.c', SUB)}, d.cid
+           ) AS rn
+    FROM sub s JOIN seeds d ON s.m = d.m
+  ) WHERE rn = 1
+),
+comp AS (
+  SELECT m, cid, i AS pos, sv[i] AS x
+  FROM p1 CROSS JOIN unnest(generate_series(1, {SUB})) AS g(i)
+),
+upd AS (
+  SELECT m, cid, pos,
+         floor(CAST(sum(CAST(floor(x * {_FX} + 0.5) AS BIGINT)) AS DOUBLE)
+               / count(*) + 0.5) / {_FX} AS cval
+  FROM comp GROUP BY m, cid, pos
+),
+newc AS (SELECT m, cid, list(cval ORDER BY pos) AS c FROM upd GROUP BY m, cid),
+p2 AS (
+  SELECT vec_id, m, cid, d2 FROM (
+    SELECT s.vec_id, s.m, n.cid, {_duck_d2n('s.sv', 'n.c', SUB)} AS d2,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY {_duck_d2n('s.sv', 'n.c', SUB)}, n.cid
+           ) AS rn
+    FROM sub s JOIN newc n ON s.m = n.m
+  ) WHERE rn = 1
+)"""
+
+
+def _pq_sub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, sv) — each vector split into its PQ_M subvectors.
+    The slice explode is a narrow map-side fanout (M rows per vector,
+    each SUB doubles — same bytes as the original row)."""
+    e = _load_embeddings(spark, sf_dir).select("vec_id", _dvec("embedding").alias("v"))
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.expr(f"slice(v, {m * SUB + 1}, {SUB})").alias("sv"),
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    return e.select("vec_id", F.explode(subs).alias("s")).select(
+        "vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv")
+    )
+
+
+def _pq_assign(sub: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """Nearest-codeword assignment per (vec_id, m): broadcast the
+    M×k codebook rows, shared-fold squared-L2, argmin window with the
+    codeword-id tiebreak — exactly k rows per (vec_id, m) key, bounded
+    and unskewable."""
+    crossed = (
+        sub.select("vec_id", "m", F.col("sv").alias("va"))
+        .join(
+            F.broadcast(codebooks.select(F.col("m").alias("m2"), "cid", "vc")),
+            F.col("m") == F.col("m2"),
+        )
+        .withColumn("d2", F.expr(_SPARK_D2))
+    )
+    w = W.partitionBy("vec_id", "m").orderBy("d2", "cid")
+    return (
+        crossed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "cid", "d2", F.col("va").alias("sv"))
+    )
+
+
+def _pq_codebooks(assigned: DataFrame) -> DataFrame:
+    """Fixed-point per-(subspace, codeword) component means — the update
+    step. Partial-aggregates into M×k×SUB counters regardless of corpus
+    size (the same integer-sum trick as the Lloyd update, so the updated
+    codebooks are bit-identical across engines and partitionings)."""
+    comp = assigned.select("m", "cid", F.posexplode("sv").alias("pos", "x"))
+    upd = (
+        comp.groupBy("m", "cid", "pos")
+        .agg(
+            F.sum(F.floor(F.col("x") * _FX + F.lit(0.5)).cast("long")).alias("sfx"),
+            F.count("*").alias("n"),
+        )
+        .withColumn(
+            "cval",
+            F.floor(F.col("sfx").cast("double") / F.col("n") + F.lit(0.5)) / _FX,
+        )
+    )
+    return upd.groupBy("m", "cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+            lambda s: s["cval"],
+        ).alias("vc")
+    )
+
+
+def _pq_final(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(final assignment, trained codebooks) after one exact refinement —
+    the Spark twin of _DUCK_PQ_CTES (p2, newc)."""
+    sub = _pq_sub(spark, sf_dir)
+    seeds = sub.filter(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("vc")
+    )
+    a1 = _pq_assign(sub, seeds)
+    newc = _pq_codebooks(a1)
+    return _pq_assign(sub, newc), newc
+
+
+@register(
+    "pq_train_codes",
+    oracle=f"""
+WITH {_DUCK_PQ_CTES}
+SELECT vec_id,
+       CAST(m AS BIGINT) AS subspace,
+       CAST(cid AS BIGINT) AS code,
+       CAST(floor(d2 * {_FX} + 0.5) AS BIGINT) AS d2_fx
+FROM p2
+""",
+    tags=("similarity", "pq", "quantization", "kmeans", "llm-pipeline"),
+    doc=(
+        f"PQ codebook TRAINING + encoding: split every vector into "
+        f"{PQ_M} subvectors of {SUB} dims, seed {PQ_K} codewords per "
+        "subspace from the smallest vec_ids, one exact Lloyd refinement "
+        "per subspace (shared-fold squared-L2 assignment with codeword-"
+        "id tiebreak, 1e-6 fixed-point component means — order-"
+        "independent integer sums, so the trained codebooks are bit-"
+        "identical across engines and partitionings), then emit each "
+        "vector's per-subspace code + fixed-point residual distance. "
+        f"A vector is now {PQ_M} tiny code ids ({PQ_M}x3 bits here; "
+        f"{PQ_M}x8 at k=256) instead of {DIM} floats — the compression "
+        "an index at 100 TB actually stores. Shuffle story: the "
+        "subvector explode is a narrow map ({PQ_M} rows per vector, "
+        "same bytes); codebooks are M*k rows BROADCAST both "
+        "assignment passes; the argmin window partitions on "
+        "(vec_id, m) with exactly k rows per key; the update partial-"
+        f"aggregates into {PQ_M}x{PQ_K}x{SUB} cells regardless of "
+        "corpus size. Nothing wide ever shuffles."
+    ),
+)
+def pq_train_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned, _ = _pq_final(spark, sf_dir)
+    return assigned.select(
+        "vec_id",
+        F.col("m").cast("long").alias("subspace"),
+        F.col("cid").cast("long").alias("code"),
+        F.floor(F.col("d2") * _FX + F.lit(0.5)).cast("long").alias("d2_fx"),
+    )
+
+
+@register(
+    "sim_topk_pq",
+    oracle=f"""
+WITH {_DUCK_PQ_CTES},
+lut AS (
+  SELECT q.vec_id AS query_id, n.m, n.cid,
+         CAST(floor({_duck_d2n('q.sv', 'n.c', SUB)} * {_FX} + 0.5) AS BIGINT)
+           AS d2fx
+  FROM sub q JOIN newc n ON q.m = n.m
+  WHERE q.vec_id % {QUERY_MOD} = 0
+),
+score AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id,
+         CAST(sum(l.d2fx) AS BIGINT) AS adist_fx
+  FROM p2 c JOIN lut l ON c.m = l.m AND c.cid = l.cid
+  WHERE l.query_id <> c.vec_id
+  GROUP BY l.query_id, c.vec_id
+)
+SELECT query_id, neighbor_id, adist_fx, rnk FROM (
+  SELECT query_id, neighbor_id, adist_fx,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY adist_fx, neighbor_id
+         ) AS rnk
+  FROM score
+) WHERE rnk <= {TOP_K}
+""",
+    tags=("similarity", "topk", "pq", "quantization", "llm-pipeline"),
+    doc=(
+        "Asymmetric distance computation (ADC) top-k over the PQ codes — "
+        "how a PQ index actually serves queries: per query, precompute a "
+        f"lookup table of fixed-point distances from each of its {PQ_M} "
+        f"subvectors to every codeword ({PQ_M}x{PQ_K} BIGINTs, built "
+        "from the SAME shared training CTEs as pq_train_codes so trainer "
+        "and server can never drift), then score every candidate as the "
+        f"SUM OF {PQ_M} TABLE LOOKUPS on its stored tinyint codes — "
+        f"{PQ_M} integer adds replace a {DIM}-element float dot product. "
+        "All-integer scoring makes the differential exact with no float-"
+        "order caveats. Shuffle story: per-vector code arrays need one "
+        "bounded groupBy(vec_id) exchange (M rows per key); the LUT is "
+        "queries x M x k rows, collected into a per-query array-of-"
+        "arrays and BROADCAST into the candidate scan, where the score "
+        "is a pure zip_with/element-lookup projection (no explode, no "
+        "scoring exchange); per-query top-k is the window family's "
+        "single query_id exchange carrying (ids, one BIGINT). At 100 TB "
+        "this composes with the trained IVF cells exactly like "
+        "sim_topk_ivf_quantized: scan codes cell-locally, rerank "
+        "survivors in float. Calibration honesty (measured, like the "
+        "sign-bucket recall note): on the fixture's near-uniform random "
+        f"vectors, {PQ_M}x{PQ_K} codes ({PQ_M * 3} bits/vector) "
+        "concentrate ADC picks into the top ~14% of the true-L2 ranking "
+        "(mean pick rank ~68/500 vs ~250 random — pinned in pytest) but "
+        "recall@5 stays low: random high-dim points are near-equidistant,"
+        " so no fixed quantization budget separates rank 5 from rank 50. "
+        "On real clustered embeddings the same plan with k=256 is the "
+        "standard production recall/compression point."
+    ),
+)
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned, newc = _pq_final(spark, sf_dir)
+    # per-vector code array (codes[m] = cid, stored tinyint — 2 bits of
+    # information per byte here; one byte per subspace at k=256)
+    codes = assigned.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "cid"))),
+            lambda s: s["cid"].cast("tinyint"),
+        ).alias("codes")
+    )
+    # per-query LUT: d2fx[m][cid], assembled as array-of-arrays so the
+    # candidate-side lookup is a pure projection
+    qsub = _pq_sub(spark, sf_dir).filter(F.col("vec_id") % QUERY_MOD == 0)
+    lut_rows = (
+        qsub.select(F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("va"))
+        .join(
+            F.broadcast(newc.select(F.col("m").alias("m2"), "cid", "vc")),
+            F.col("m") == F.col("m2"),
+        )
+        .withColumn(
+            "d2fx", F.floor(F.expr(_SPARK_D2) * _FX + F.lit(0.5)).cast("long")
+        )
+    )
+    per_m = lut_rows.groupBy("query_id", "m").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("cid", "d2fx"))),
+            lambda s: s["d2fx"],
+        ).alias("row")
+    )
+    lut = per_m.groupBy("query_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "row"))),
+            lambda s: s["row"],
+        ).alias("lut")
+    )
+    scored = (
+        codes.join(F.broadcast(lut), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(
+                "aggregate(zip_with(codes, lut, (c, l) -> l[CAST(c AS INT)]),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("adist_fx"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("adist_fx", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "adist_fx", "rnk")
+    )

@@ -51,6 +51,13 @@ PROBE = (
     "sim_topk_ivf_trained",
     "sim_topk_quantized",
     "sim_near_dup",
+    # multimodal (media blobs derived per-row from documents, which the
+    # scaled fixture replicates): decode is the per-row stdlib
+    # PNG/WAV/MP4 parse whose linearity was previously only asserted;
+    # features is the Arrow-batched byte-histogram path. Both are
+    # shuffle-free mapInPandas — expect ~Nx or below.
+    "multimodal_decode",
+    "multimodal_features",
 )
 OFF = 100_000_000  # key offset per copy — far above any base key
 

@@ -27,12 +27,17 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from multithreaded_mapreduce_library_spark.operators.similarity import (
+    _DUCK_LLOYD_CTES,
     _FX,
     _SPARK_D2,
+    _duck_cosine,
     _duck_fold_sum,
     _dvec,
+    _lloyd_final_assignment,
     _load_embeddings,
+    exact_cosine_rerank,
     QUERY_MOD,
+    SHORTLIST_K,
     TOP_K,
 )
 from multithreaded_mapreduce_library_spark.registry import register
@@ -55,18 +60,17 @@ def _duck_d2n(a: str, b: str, n: int) -> str:
 
 
 # Shared PQ training CTE chain: slice -> seed -> assign -> fixed-point
-# update -> re-assign. Consumed by BOTH pq_train_codes and sim_topk_pq so
-# the codebooks can never drift between trainer and server (the same
-# shared-CTE discipline as similarity._DUCK_LLOYD_CTES).
-_DUCK_PQ_CTES = f"""e AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
-),
-sub AS (
+# update -> re-assign. Consumed by pq_train_codes, sim_topk_pq AND
+# sim_topk_ivfpq so the codebooks can never drift between trainer and
+# servers (the same shared-CTE discipline as similarity._DUCK_LLOYD_CTES).
+# Split into the shared `e` scan + a TAIL whose CTE names are disjoint
+# from the Lloyd chain's, so sim_topk_ivfpq can compose both behind one
+# WITH (they share the identical `e`).
+_DUCK_PQ_TAIL = f"""pqsub AS (
   SELECT vec_id, m, list_slice(v, m * {SUB} + 1, m * {SUB} + {SUB}) AS sv
   FROM e CROSS JOIN unnest([{", ".join(str(m) for m in range(PQ_M))}]) AS mm(m)
 ),
-seeds AS (SELECT m, vec_id AS cid, sv AS c FROM sub WHERE vec_id < {PQ_K}),
+pqseeds AS (SELECT m, vec_id AS cid, sv AS c FROM pqsub WHERE vec_id < {PQ_K}),
 p1 AS (
   SELECT vec_id, m, sv, cid FROM (
     SELECT s.vec_id, s.m, s.sv, d.cid,
@@ -74,20 +78,20 @@ p1 AS (
              PARTITION BY s.vec_id, s.m
              ORDER BY {_duck_d2n('s.sv', 'd.c', SUB)}, d.cid
            ) AS rn
-    FROM sub s JOIN seeds d ON s.m = d.m
+    FROM pqsub s JOIN pqseeds d ON s.m = d.m
   ) WHERE rn = 1
 ),
-comp AS (
+pqcomp AS (
   SELECT m, cid, i AS pos, sv[i] AS x
   FROM p1 CROSS JOIN unnest(generate_series(1, {SUB})) AS g(i)
 ),
-upd AS (
+pqupd AS (
   SELECT m, cid, pos,
          floor(CAST(sum(CAST(floor(x * {_FX} + 0.5) AS BIGINT)) AS DOUBLE)
                / count(*) + 0.5) / {_FX} AS cval
-  FROM comp GROUP BY m, cid, pos
+  FROM pqcomp GROUP BY m, cid, pos
 ),
-newc AS (SELECT m, cid, list(cval ORDER BY pos) AS c FROM upd GROUP BY m, cid),
+pqnewc AS (SELECT m, cid, list(cval ORDER BY pos) AS c FROM pqupd GROUP BY m, cid),
 p2 AS (
   SELECT vec_id, m, cid, d2 FROM (
     SELECT s.vec_id, s.m, n.cid, {_duck_d2n('s.sv', 'n.c', SUB)} AS d2,
@@ -95,9 +99,15 @@ p2 AS (
              PARTITION BY s.vec_id, s.m
              ORDER BY {_duck_d2n('s.sv', 'n.c', SUB)}, n.cid
            ) AS rn
-    FROM sub s JOIN newc n ON s.m = n.m
+    FROM pqsub s JOIN pqnewc n ON s.m = n.m
   ) WHERE rn = 1
 )"""
+
+_DUCK_PQ_CTES = f"""e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+{_DUCK_PQ_TAIL}"""
 
 
 def _pq_sub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -167,7 +177,7 @@ def _pq_codebooks(assigned: DataFrame) -> DataFrame:
 
 def _pq_final(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """(final assignment, trained codebooks) after one exact refinement —
-    the Spark twin of _DUCK_PQ_CTES (p2, newc)."""
+    the Spark twin of _DUCK_PQ_CTES (p2, pqnewc)."""
     sub = _pq_sub(spark, sf_dir)
     seeds = sub.filter(F.col("vec_id") < PQ_K).select(
         "m", F.col("vec_id").alias("cid"), F.col("sv").alias("vc")
@@ -175,6 +185,57 @@ def _pq_final(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     a1 = _pq_assign(sub, seeds)
     newc = _pq_codebooks(a1)
     return _pq_assign(sub, newc), newc
+
+
+def _pq_code_arrays(assigned: DataFrame) -> DataFrame:
+    """(vec_id, codes) — the per-vector tinyint code array (codes[m] =
+    codeword id; 2 bits of information per byte here, one full byte per
+    subspace at k=256). One bounded groupBy(vec_id) exchange, M rows per
+    key."""
+    return assigned.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "cid"))),
+            lambda s: s["cid"].cast("tinyint"),
+        ).alias("codes")
+    )
+
+
+def _pq_query_lut(spark: SparkSession, sf_dir: str, newc: DataFrame) -> DataFrame:
+    """(query_id, lut) — per-query ADC lookup table as an array-of-arrays
+    (lut[m][cid] = fixed-point squared-L2 from the query's m-th subvector
+    to codeword cid), so the candidate-side score is a pure projection.
+    Queries x M x k rows total — tiny, built for broadcast."""
+    qsub = _pq_sub(spark, sf_dir).filter(F.col("vec_id") % QUERY_MOD == 0)
+    lut_rows = (
+        qsub.select(F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("va"))
+        .join(
+            F.broadcast(newc.select(F.col("m").alias("m2"), "cid", "vc")),
+            F.col("m") == F.col("m2"),
+        )
+        .withColumn(
+            "d2fx", F.floor(F.expr(_SPARK_D2) * _FX + F.lit(0.5)).cast("long")
+        )
+    )
+    per_m = lut_rows.groupBy("query_id", "m").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("cid", "d2fx"))),
+            lambda s: s["d2fx"],
+        ).alias("row")
+    )
+    return per_m.groupBy("query_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "row"))),
+            lambda s: s["row"],
+        ).alias("lut")
+    )
+
+
+# ADC score: M table lookups + M integer adds (codes widened from
+# tinyint only inside the subscript).
+_ADC_SCORE = (
+    "aggregate(zip_with(codes, lut, (c, l) -> l[CAST(c AS INT)]),"
+    " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+)
 
 
 @register(
@@ -226,7 +287,7 @@ lut AS (
   SELECT q.vec_id AS query_id, n.m, n.cid,
          CAST(floor({_duck_d2n('q.sv', 'n.c', SUB)} * {_FX} + 0.5) AS BIGINT)
            AS d2fx
-  FROM sub q JOIN newc n ON q.m = n.m
+  FROM pqsub q JOIN pqnewc n ON q.m = n.m
   WHERE q.vec_id % {QUERY_MOD} = 0
 ),
 score AS (
@@ -277,49 +338,14 @@ SELECT query_id, neighbor_id, adist_fx, rnk FROM (
 )
 def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, newc = _pq_final(spark, sf_dir)
-    # per-vector code array (codes[m] = cid, stored tinyint — 2 bits of
-    # information per byte here; one byte per subspace at k=256)
-    codes = assigned.groupBy("vec_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("m", "cid"))),
-            lambda s: s["cid"].cast("tinyint"),
-        ).alias("codes")
-    )
-    # per-query LUT: d2fx[m][cid], assembled as array-of-arrays so the
-    # candidate-side lookup is a pure projection
-    qsub = _pq_sub(spark, sf_dir).filter(F.col("vec_id") % QUERY_MOD == 0)
-    lut_rows = (
-        qsub.select(F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("va"))
-        .join(
-            F.broadcast(newc.select(F.col("m").alias("m2"), "cid", "vc")),
-            F.col("m") == F.col("m2"),
-        )
-        .withColumn(
-            "d2fx", F.floor(F.expr(_SPARK_D2) * _FX + F.lit(0.5)).cast("long")
-        )
-    )
-    per_m = lut_rows.groupBy("query_id", "m").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("cid", "d2fx"))),
-            lambda s: s["d2fx"],
-        ).alias("row")
-    )
-    lut = per_m.groupBy("query_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("m", "row"))),
-            lambda s: s["row"],
-        ).alias("lut")
-    )
-    scored = (
-        codes.join(F.broadcast(lut), F.col("query_id") != F.col("vec_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.expr(
-                "aggregate(zip_with(codes, lut, (c, l) -> l[CAST(c AS INT)]),"
-                " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-            ).alias("adist_fx"),
-        )
+    codes = _pq_code_arrays(assigned)
+    lut = _pq_query_lut(spark, sf_dir, newc)
+    scored = codes.join(
+        F.broadcast(lut), F.col("query_id") != F.col("vec_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(_ADC_SCORE).alias("adist_fx"),
     )
     w = W.partitionBy("query_id").orderBy("adist_fx", "neighbor_id")
     return (
@@ -327,3 +353,100 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", "adist_fx", "rnk")
     )
+
+
+@register(
+    "sim_topk_ivfpq",
+    oracle=f"""
+WITH {_DUCK_LLOYD_CTES},
+{_DUCK_PQ_TAIL},
+lut AS (
+  SELECT q.vec_id AS query_id, n.m, n.cid,
+         CAST(floor({_duck_d2n('q.sv', 'n.c', SUB)} * {_FX} + 0.5) AS BIGINT)
+           AS d2fx
+  FROM pqsub q JOIN pqnewc n ON q.m = n.m
+  WHERE q.vec_id % {QUERY_MOD} = 0
+),
+score AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id,
+         CAST(sum(l.d2fx) AS BIGINT) AS adist_fx
+  FROM p2 c
+  JOIN lut l ON c.m = l.m AND c.cid = l.cid
+  JOIN a2 cc ON cc.vec_id = c.vec_id
+  JOIN a2 qc ON qc.vec_id = l.query_id
+  WHERE l.query_id <> c.vec_id AND cc.cid = qc.cid
+  GROUP BY l.query_id, c.vec_id
+),
+shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY adist_fx, neighbor_id
+           ) AS crnk
+    FROM score
+  ) WHERE crnk <= {SHORTLIST_K}
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM (
+  SELECT s.query_id, s.neighbor_id,
+         round({_duck_cosine('eq.v', 'en.v')}, 6) AS cosine,
+         row_number() OVER (
+           PARTITION BY s.query_id
+           ORDER BY {_duck_cosine('eq.v', 'en.v')} DESC, s.neighbor_id
+         ) AS rnk
+  FROM shortlist s
+  JOIN e eq ON eq.vec_id = s.query_id
+  JOIN e en ON en.vec_id = s.neighbor_id
+) WHERE rnk <= 3
+""",
+    tags=("similarity", "topk", "ivf", "pq", "kmeans", "quantization",
+          "llm-pipeline"),
+    doc=(
+        "IVF-PQ — the full FAISS-style production index in one "
+        "oracle-gated query: Lloyd-trained coarse cells "
+        "(ivf_train_centroids' exact pipeline and shared oracle CTEs) "
+        "route each query to its cell; candidates inside the cell are "
+        f"scored by PQ ADC ({PQ_M} integer table lookups on the stored "
+        "tinyint codes — pq_train_codes' exact codebooks, shared CTEs); "
+        f"the {SHORTLIST_K}-deep integer shortlist is then reranked with "
+        "exact float cosine via the shared broadcast rerank "
+        "(similarity.exact_cosine_rerank) to top-3. Both quantizers in "
+        "one plan is precisely the 100 TB serving layout: the index "
+        "stores cell id + M bytes per vector, a query touches one "
+        "cell's codes, and floats are read for K rows only. Shuffle "
+        "story: both trainings broadcast their k-row codebooks "
+        "(plan-asserted elsewhere); candidate generation is ONE "
+        "equi-join of the codes table against the BROADCAST "
+        "(query LUT x query cell) frame keyed on the trained cell id — "
+        "the candidate side carries (ids, tinyint codes) only, no "
+        "float column; ADC is a pure projection; shortlist is one "
+        "query_id window carrying a single BIGINT; the rerank "
+        "broadcasts the tiny id list against the scan, so the corpus "
+        "never shuffles anywhere in the serving path."
+    ),
+)
+def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = _lloyd_final_assignment(spark, sf_dir).select("vec_id", "cid")
+    assigned, newc = _pq_final(spark, sf_dir)
+    codes = _pq_code_arrays(assigned).join(cells, "vec_id")
+    qlut = _pq_query_lut(spark, sf_dir, newc).join(
+        cells.select(
+            F.col("vec_id").alias("query_id"), F.col("cid").alias("qcid")
+        ),
+        "query_id",
+    )
+    cand = codes.join(
+        F.broadcast(qlut),
+        (F.col("cid") == F.col("qcid")) & (F.col("query_id") != F.col("vec_id")),
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(_ADC_SCORE).alias("adist_fx"),
+    )
+    w = W.partitionBy("query_id").orderBy("adist_fx", "neighbor_id")
+    short_ids = (
+        scored.withColumn("crnk", F.row_number().over(w))
+        .filter(F.col("crnk") <= SHORTLIST_K)
+        .select("query_id", "neighbor_id")
+    )
+    return exact_cosine_rerank(spark, sf_dir, short_ids, 3)

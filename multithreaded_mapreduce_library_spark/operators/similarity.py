@@ -921,6 +921,46 @@ def _ivfq_shortlist_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def exact_cosine_rerank(
+    spark: SparkSession, sf_dir: str, short_ids: DataFrame, top_n: int
+) -> DataFrame:
+    """Exact float-cosine rerank of a tiny (query_id, neighbor_id)
+    shortlist — the shared final stage of every quantized serving
+    capstone (sim_topk_ivf_quantized, sim_topk_ivfpq). Re-acquires the
+    float vectors by BROADCASTING the shortlist against the embeddings
+    scan twice (query side, then neighbor side), so the corpus never
+    shuffles and the exact math touches only the shortlisted rows."""
+    vec = _load_embeddings(spark, sf_dir).select(
+        "vec_id", _dvec("embedding").alias("v")
+    ).withColumn("norm", F.expr(_SPARK_NORM))
+    a = vec.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("va"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = vec.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("vb"),
+        F.col("norm").alias("norm_b"),
+    )
+    withq = a.join(F.broadcast(short_ids), "query_id")
+    short = b.join(F.broadcast(withq), "neighbor_id").withColumn(
+        "cos_exact", F.expr(_SPARK_COSINE)
+    )
+    w_rank = W.partitionBy("query_id").orderBy(F.col("cos_exact").desc(), "neighbor_id")
+    return (
+        short.select("query_id", "neighbor_id", "cos_exact")
+        .withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= top_n)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_exact", 6).alias("cosine"),
+            "rnk",
+        )
+    )
+
+
 @register(
     "sim_topk_ivf_quantized",
     oracle=f"""
@@ -1015,37 +1055,8 @@ SELECT query_id, neighbor_id, cosine, rnk FROM (
     ),
 )
 def sim_topk_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    short_ids = _ivfq_shortlist_ids(spark, sf_dir)
-    # exact rerank: re-acquire float vectors for the K survivors per query
-    # by joining the tiny shortlist back to the embeddings scan (broadcast
-    # the shortlist side both times — the corpus never shuffles, and the
-    # candidate exchange above never carried a float array)
-    vec = _load_embeddings(spark, sf_dir).select(
-        "vec_id", _dvec("embedding").alias("v")
-    ).withColumn("norm", F.expr(_SPARK_NORM))
-    a = vec.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("va"),
-        F.col("norm").alias("norm_a"),
-    )
-    b = vec.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("v").alias("vb"),
-        F.col("norm").alias("norm_b"),
-    )
-    withq = a.join(F.broadcast(short_ids), "query_id")
-    short = b.join(F.broadcast(withq), "neighbor_id").withColumn(
-        "cos_exact", F.expr(_SPARK_COSINE)
-    )
-    w_rank = W.partitionBy("query_id").orderBy(F.col("cos_exact").desc(), "neighbor_id")
-    return (
-        short.select("query_id", "neighbor_id", "cos_exact")
-        .withColumn("rnk", F.row_number().over(w_rank))
-        .filter(F.col("rnk") <= 3)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("cos_exact", 6).alias("cosine"),
-            "rnk",
-        )
+    # codes-only shortlist, then the shared broadcast rerank (the
+    # candidate exchange never carries a float array — plan-asserted)
+    return exact_cosine_rerank(
+        spark, sf_dir, _ivfq_shortlist_ids(spark, sf_dir), 3
     )

@@ -91,6 +91,48 @@ def test_pq_adc_concentrates_true_rank(spark, sf_dir):
     )
 
 
+def test_ivfpq_serving_is_cell_local_and_float_free(spark, sf_dir):
+    """IVF-PQ structural contract: every returned neighbor shares its
+    query's TRAINED Lloyd cell, ranks are dense from 1, and — the plan
+    half — no shuffle exchange keyed on the serving keys (cell id /
+    query id) carries a float-vector column: candidates travel as
+    (ids, tinyint codes), ADC scores as one BIGINT, floats reappear only
+    through the broadcast rerank. Training exchanges (keyed vec_id/m)
+    legitimately carry vectors and are exempt."""
+    import re
+
+    cells = {
+        r["vec_id"]: r["cell_id"]
+        for r in SPECS["ivf_train_centroids"].builder(spark, sf_dir).collect()
+    }
+    rows = SPECS["sim_topk_ivfpq"].builder(spark, sf_dir).collect()
+    assert rows, "ivfpq returned nothing"
+    by_q: dict[int, list[int]] = {}
+    for r in rows:
+        assert cells[r["query_id"]] == cells[r["neighbor_id"]], (
+            f"neighbor {r['neighbor_id']} outside query {r['query_id']}'s cell"
+        )
+        by_q.setdefault(r["query_id"], []).append(r["rnk"])
+    for q, rnks in by_q.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1)), (q, rnks)
+
+    plan = formatted_plan(SPECS["sim_topk_ivfpq"].builder(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    float_cols = re.compile(r"\b(v|uv|va|vb|sv|norm)#")
+    blocks = re.findall(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\n"
+        r"Arguments: hashpartitioning\((\w+)#",
+        plan,
+    )
+    assert blocks
+    for cols, key in blocks:
+        if key in ("cid", "qcid", "query_id", "neighbor_id"):
+            assert not float_cols.search(cols), (
+                f"float-vector column crosses the {key}-keyed serving "
+                f"exchange: [{cols}]"
+            )
+
+
 def test_pq_plan_broadcasts_and_partial_aggregates(spark, sf_dir):
     """Training must broadcast the M*k codebooks into both assignment
     passes (equi-join on the subspace id — BroadcastHashJoin, bounded

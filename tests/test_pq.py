@@ -144,3 +144,29 @@ def test_pq_plan_broadcasts_and_partial_aggregates(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, "codebook joins must broadcast"
     assert "BroadcastNestedLoopJoin" in plan, "query LUT must broadcast"
     assert plan.count("HashAggregate") >= 2, "codebook update must partial-aggregate"
+
+
+def test_zorder_buckets_are_prunable_envelopes(spark, sf_dir):
+    """The layout claim, pinned: z-bucket min/max envelopes must be
+    SMALL rectangles — mean partkey span per bucket well under the
+    global span (measured 0.06-0.07; bound 0.25) — because that envelope
+    IS the file-statistic a scan prunes against after the z-order write.
+    (The suppkey dimension's range is single-digit at small SF, so its
+    envelopes are necessarily wide — the high-order interleaved
+    dimension carries the pruning power there.) Plus conservation: the
+    buckets partition the table."""
+    from multithreaded_mapreduce_library_spark.operators.pipeline import N_Z_BUCKETS
+    from multithreaded_mapreduce_library_spark.sources import load_table
+
+    rows = SPECS["layout_zorder"].builder(spark, sf_dir).collect()
+    assert 4 < len(rows) <= N_Z_BUCKETS + 1
+    assert all(0 <= r["bucket"] <= N_Z_BUCKETS for r in rows)
+    total = load_table(spark, sf_dir, "lineitem").count()
+    assert sum(r["n_rows"] for r in rows) == total
+
+    gp = max(r["p_max"] for r in rows) - min(r["p_min"] for r in rows)
+    mean_span = sum((r["p_max"] - r["p_min"]) / max(gp, 1) for r in rows) / len(rows)
+    assert mean_span < 0.25, (
+        f"z-buckets' partkey envelopes average {mean_span:.2f} of the global "
+        "span — no pruning power"
+    )

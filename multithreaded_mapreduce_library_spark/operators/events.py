@@ -438,3 +438,104 @@ def quarantine_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("malformed"), F.lit(1))).alias("n_quarantined"),
         F.sum("k").alias("sum_valid_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# time-series linear interpolation (gap fill with values, not zeros)
+# ---------------------------------------------------------------------------
+
+@register(
+    "interpolate_linear",
+    oracle="""
+WITH per AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v_c
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT event_type, min(h) AS mn, max(h) AS mx FROM per GROUP BY 1
+), spine AS (
+  SELECT b.event_type, t.h
+  FROM b, LATERAL (SELECT unnest(generate_series(b.mn, b.mx, INTERVAL 1 HOUR)) AS h) t
+), j AS (
+  SELECT s.event_type, s.h, p.v_c FROM spine s LEFT JOIN per p USING (event_type, h)
+), f AS (
+  SELECT event_type, h, v_c,
+    last_value(v_c IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_c,
+    last_value(CASE WHEN v_c IS NOT NULL THEN h END IGNORE NULLS)
+      OVER (PARTITION BY event_type ORDER BY h
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_h,
+    first_value(v_c IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_c,
+    first_value(CASE WHEN v_c IS NOT NULL THEN h END IGNORE NULLS)
+      OVER (PARTITION BY event_type ORDER BY h
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h
+  FROM j
+)
+SELECT event_type,
+       strftime(h, '%Y-%m-%d %H:00') AS hour,
+       (CASE WHEN v_c IS NOT NULL THEN v_c
+             ELSE prev_c + CAST(floor(((next_c - prev_c)
+                    * date_diff('hour', prev_h, h))
+                    / date_diff('hour', prev_h, next_h) + 0.5) AS BIGINT)
+        END) / 100 AS value,
+       CASE WHEN v_c IS NOT NULL THEN 1 ELSE 0 END AS is_observed
+FROM f
+""",
+    tags=("events", "timeseries", "interpolation"),
+    doc=(
+        "Hourly per-type value series with LINEAR interpolation across "
+        "missing hours (contrast calendar_fill's zero-fill): the spine is "
+        "generated inline per type from observed min/max, previous/next "
+        "observed points come from two ignore-nulls window passes, and "
+        "the interpolated value is computed in fixed-point cents with "
+        "half-up rounding — bit-identical across engines (no float "
+        "accumulation drift). Shuffle story: ONE wide exchange (the "
+        "hourly partial agg); bounds/spine are per-type aggregates on "
+        "the already-reduced frame, and both windows reuse the same "
+        "(event_type, h) sort — at 100 TB the raw events reduce to "
+        "|types|x|hours| rows before anything wide happens."
+    ),
+)
+def interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum(fixed_point("value")).cast("long").alias("v_c"))
+    bounds = per.groupBy("event_type").agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias("h"),
+    )
+    j = spine.join(per, ["event_type", "h"], "left")
+    back = W.partitionBy("event_type").orderBy("h").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    fwd = W.partitionBy("event_type").orderBy("h").rowsBetween(
+        0, W.unboundedFollowing
+    )
+    observed_h = F.when(F.col("v_c").isNotNull(), F.col("h"))
+    f = (
+        j.withColumn("prev_c", F.last("v_c", ignorenulls=True).over(back))
+        .withColumn("prev_h", F.last(observed_h, ignorenulls=True).over(back))
+        .withColumn("next_c", F.first("v_c", ignorenulls=True).over(fwd))
+        .withColumn("next_h", F.first(observed_h, ignorenulls=True).over(fwd))
+    )
+    hours = lambda a, b: (  # noqa: E731 — whole hours, exact integer
+        (F.col(b).cast("long") - F.col(a).cast("long")) / 3600
+    ).cast("long")
+    interp = F.col("prev_c") + F.floor(
+        ((F.col("next_c") - F.col("prev_c")) * hours("prev_h", "h"))
+        / hours("prev_h", "next_h")
+        + F.lit(0.5)
+    ).cast("long")
+    return f.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+        (
+            F.when(F.col("v_c").isNotNull(), F.col("v_c")).otherwise(interp) / 100
+        ).alias("value"),
+        F.when(F.col("v_c").isNotNull(), 1).otherwise(0).alias("is_observed"),
+    )

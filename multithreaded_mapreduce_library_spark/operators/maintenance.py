@@ -1,0 +1,210 @@
+"""Table-maintenance operators: snapshot diff (CDC) and incremental
+aggregate maintenance (SURVEY.md §2.3 extension surface; the reference has
+no notion of mutable tables — its closest primitive is re-running the whole
+job, which is exactly what these operators exist to avoid at 100 TB).
+
+Both are exactness-by-construction: the snapshot pair is derived from
+``orders`` by the cross-engine md5 bucket (functions.h31), so the two
+engines see bit-identical "old" and "new" tables; row equality is decided
+by a canonical fixed-point row hash, never by float comparison.
+
+Scale notes (100 TB story):
+- snapshot_diff: ONE co-partitioned full-outer sort-merge join on the
+  snapshot key; each side carries (key, row_hash, price_cents) only —
+  wide rows never shuffle, the diff decision is a 60-bit hash compare.
+  Output is the aggregated change summary, not a row explosion.
+- incremental_agg: the merge algebra (count/sum/min/max are commutative
+  monoids; avg derived at the end) means the 100 TB base table is
+  aggregated ONCE into per-key states and every later batch only
+  aggregates its delta and merges — the oracle recomputes from scratch,
+  so the driver's hash equality IS the proof that merge == recompute.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multithreaded_mapreduce_library_spark.functions import (
+    duck_fixed_point,
+    duck_h31,
+    duck_md5_long60,
+    fixed_point,
+    h31,
+    md5_long60,
+)
+from multithreaded_mapreduce_library_spark.registry import register
+from multithreaded_mapreduce_library_spark.sources import load_table
+
+# Snapshot construction: hash bucket of the order key in [0, 100).
+#   old snapshot A: buckets [0, 97), with the pre-update price on [90, 97)
+#   new snapshot B: buckets [3, 100)
+# => deletes [0,3), updates [90,97), inserts [97,100), unchanged [3,90).
+DEL_CUT = 3
+UPD_LO = 90
+A_CUT = 97
+
+
+def _bucket(col):
+    return F.pmod(h31(F.col(col).cast("string")), F.lit(100))
+
+
+_DUCK_BUCKET = f"({duck_h31('CAST(o_orderkey AS VARCHAR)')} % 100)"
+
+
+def _row_sig(price_col: str):
+    """Canonical 60-bit row signature over the value columns (price in
+    fixed-point cents so the hash input is integer text, not float repr)."""
+    return md5_long60(
+        F.concat_ws(
+            "|",
+            F.col("o_orderstatus"),
+            fixed_point(F.col(price_col)).cast("long").cast("string"),
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+        )
+    )
+
+
+def _duck_row_sig(price_expr: str) -> str:
+    return duck_md5_long60(
+        "concat_ws('|', o_orderstatus, "
+        f"CAST({duck_fixed_point(price_expr)} AS VARCHAR), "
+        "strftime(o_orderdate, '%Y-%m-%d'))"
+    )
+
+
+@register(
+    "snapshot_diff",
+    oracle=f"""
+WITH a AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN {_DUCK_BUCKET} >= {UPD_LO} THEN o_totalprice - 1.0
+              ELSE o_totalprice END AS price,
+         {_duck_row_sig(f'CASE WHEN {_DUCK_BUCKET} >= {UPD_LO} THEN o_totalprice - 1.0 ELSE o_totalprice END')} AS sig
+  FROM orders WHERE {_DUCK_BUCKET} < {A_CUT}
+), b AS (
+  SELECT o_orderkey AS k, o_totalprice AS price, {_duck_row_sig('o_totalprice')} AS sig
+  FROM orders WHERE {_DUCK_BUCKET} >= {DEL_CUT}
+), d AS (
+  SELECT CASE WHEN a.k IS NULL THEN 'insert'
+              WHEN b.k IS NULL THEN 'delete'
+              WHEN a.sig <> b.sig THEN 'update'
+              ELSE 'unchanged' END AS change_type,
+         coalesce(b.price, a.price) AS price
+  FROM a FULL OUTER JOIN b ON a.k = b.k
+)
+SELECT change_type,
+       count(*) AS n_rows,
+       (sum({duck_fixed_point('price')}) / 100) AS total_price
+FROM d GROUP BY change_type
+""",
+    tags=("maintenance", "cdc", "diff"),
+    doc=(
+        "Change-data-capture diff between two keyed snapshots (derived "
+        "deterministically from orders by md5 bucket: ~3% deletes, ~7% "
+        "updates, ~3% inserts): full-outer join on the key, row change "
+        "detected by comparing a canonical fixed-point row signature "
+        "(one 60-bit compare instead of N column compares — at 100 TB "
+        "the shuffle carries (key, sig, price_cents), never the wide "
+        "row), classified insert/delete/update/unchanged and aggregated. "
+        "Shuffle story: two scans of the same source, one co-partitioned "
+        "full-outer SMJ exchange pair on the key, then a tiny 4-group "
+        "agg with map-side partials."
+    ),
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bucket = _bucket("o_orderkey")
+    old_price = F.when(
+        bucket >= UPD_LO, F.col("o_totalprice") - 1.0
+    ).otherwise(F.col("o_totalprice"))
+    a = (
+        o.filter(bucket < A_CUT)
+        .withColumn("price", old_price)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            "price",
+            _row_sig("price").alias("sig"),
+        )
+    )
+    b = o.filter(bucket >= DEL_CUT).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        _row_sig("o_totalprice").alias("sig"),
+    )
+    d = a.alias("a").join(b.alias("b"), F.col("a.k") == F.col("b.k"), "full_outer")
+    change = (
+        F.when(F.col("a.k").isNull(), "insert")
+        .when(F.col("b.k").isNull(), "delete")
+        .when(F.col("a.sig") != F.col("b.sig"), "update")
+        .otherwise("unchanged")
+    )
+    return (
+        d.select(
+            change.alias("change_type"),
+            F.coalesce(F.col("b.price"), F.col("a.price")).alias("price"),
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            (F.sum(fixed_point("price")) / 100).alias("total_price"),
+        )
+    )
+
+
+CUTOFF = "1996-01-01"  # base/delta boundary for the maintained aggregate
+
+
+@register(
+    "incremental_agg",
+    oracle=f"""
+SELECT o_custkey AS custkey,
+       count(*) AS n_orders,
+       (CAST(sum({duck_fixed_point('o_totalprice')}) AS BIGINT) / 100) AS total_price,
+       max(o_totalprice) AS max_price,
+       strftime(min(o_orderdate), '%Y-%m-%d') AS first_order_date
+FROM orders
+GROUP BY o_custkey
+""",
+    tags=("maintenance", "incremental", "materialized-view"),
+    doc=(
+        "Incremental materialized-view maintenance: the per-customer "
+        "order aggregate is computed as BASE-state (orders before "
+        f"{CUTOFF}) merged with DELTA-state (orders after) — count/"
+        "fixed-point-sum/min/max are commutative monoids, so "
+        "merge(agg(base), agg(delta)) == agg(base ∪ delta); the oracle "
+        "recomputes from the full table, so the driver's value-hash "
+        "equality is a machine-checked proof of the merge algebra. At "
+        "100 TB this is THE maintenance pattern: the base state is "
+        "materialized once and each arriving batch aggregates only "
+        "itself (map-side partials) before a merge keyed like the "
+        "state. Shuffle story: two partial-aggregated exchanges on "
+        "o_custkey (base, delta — in production the base one is "
+        "amortized to zero); both states come out hash-partitioned on "
+        "the merge key, so the merge agg rides that partitioning with "
+        "NO third exchange (plan-asserted)."
+    ),
+)
+def incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("o_custkey").alias("custkey")).agg(
+            F.count("*").alias("cnt"),
+            F.sum(fixed_point("o_totalprice")).cast("long").alias("sum_c"),
+            F.max("o_totalprice").alias("mx"),
+            F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("mn_d"),
+        )
+
+    base = state(o.filter(F.col("o_orderdate") < CUTOFF))
+    delta = state(o.filter(F.col("o_orderdate") >= CUTOFF))
+    return (
+        base.unionByName(delta)
+        .groupBy("custkey")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_orders"),
+            (F.sum("sum_c").cast("long") / 100).alias("total_price"),
+            F.max("mx").alias("max_price"),
+            F.min("mn_d").alias("first_order_date"),
+        )
+    )

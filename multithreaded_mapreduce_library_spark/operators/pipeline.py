@@ -511,3 +511,47 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_suppkey").alias("s_max"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted (probability-proportional-to-size) sampling
+# ---------------------------------------------------------------------------
+
+W_CAP = 400  # chars at which inclusion probability saturates at 1.0
+
+
+@register(
+    "sample_weighted",
+    oracle=f"""
+SELECT doc_id, lang, n_chars,
+       CAST({W_CAP} AS DOUBLE) / least(n_chars, {W_CAP}) AS ht_weight
+FROM documents
+WHERE ({duck_h31('CAST(doc_id AS VARCHAR)')} % 1000) * {W_CAP}
+      < least(n_chars, {W_CAP}) * 1000
+""",
+    tags=("pipeline", "sampling", "weighted", "llm-pipeline"),
+    doc=(
+        "Deterministic probability-proportional-to-size sample: each doc "
+        f"is kept with probability min(n_chars/{W_CAP}, 1) — the "
+        "mixture-building primitive that up-weights long documents "
+        "without a per-stratum pass. The keep decision is a pure integer "
+        "comparison on the cross-engine md5 bucket (no float thresholds, "
+        "no RNG state), so membership is identical on any cluster, any "
+        "partitioning, and in the DuckDB oracle. ht_weight is the "
+        "Horvitz-Thompson inverse inclusion probability (a single IEEE "
+        "division — correctly rounded, hence bit-identical across "
+        "engines) for unbiased downstream estimates. Pure narrow filter "
+        "+ projection — zero shuffles; at 100 TB the predicate rides the "
+        "scan."
+    ),
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pr = F.least(F.col("n_chars"), F.lit(W_CAP))
+    bucket = F.pmod(h31(F.col("doc_id").cast("string")), F.lit(1000))
+    return d.filter(bucket * W_CAP < pr * 1000).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (F.lit(float(W_CAP)) / pr).alias("ht_weight"),
+    )

@@ -33,7 +33,7 @@ shapes in tests/test_plans.py):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from multithreaded_mapreduce_library_spark.functions import (
@@ -1338,4 +1338,52 @@ def dist_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m2, 6).alias("var_pop_qty"),
         F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness_qty"),
         F.round(m4 / (m2 * m2) - F.lit(3.0), 6).alias("excess_kurtosis_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# skyline / pareto frontier
+# ---------------------------------------------------------------------------
+
+@register(
+    "pareto_frontier",
+    oracle="""
+SELECT a.p_partkey, a.p_retailprice, a.p_size
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+)
+""",
+    tags=("relational", "skyline", "pareto"),
+    doc=(
+        "2-D skyline (pareto frontier): parts not dominated on (minimize "
+        "p_retailprice, maximize p_size). The oracle states the O(n^2) "
+        "NOT-EXISTS definition; the Spark plan is the linear rewrite — a "
+        "2-D skyline is a prefix-max scan: reduce to one row per distinct "
+        "price (partial-aggregated exchange, max size per price), running "
+        "max over strictly-cheaper prices on that REDUCED frame, keep "
+        "price levels whose max size strictly beats it, then broadcast "
+        "the (tiny) frontier back onto the base table to recover the "
+        "winning rows (equal-price equal-size ties all kept, strict "
+        "dominance). Shuffle story: ONE wide exchange (the price-level "
+        "agg); the ordered prefix-max runs on |distinct prices| rows — "
+        "if that were ever too large for one task, the scan splits into "
+        "per-range-partition maxima + a broadcast prefix of partition "
+        "offsets, same algebra. Dominated rows never reach a sort or a "
+        "join; the naive per-pair formulation is unrunnable at 100 TB."
+    ),
+)
+def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    lvl = p.groupBy("p_retailprice").agg(F.max("p_size").alias("m2"))
+    prefix = W.orderBy("p_retailprice").rowsBetween(W.unboundedPreceding, -1)
+    sky = lvl.withColumn("m1", F.max("m2").over(prefix)).filter(
+        F.col("m1").isNull() | (F.col("m1") < F.col("m2"))
+    )
+    return (
+        p.join(F.broadcast(sky), "p_retailprice")
+        .filter(F.col("p_size") == F.col("m2"))
+        .select("p_partkey", "p_retailprice", "p_size")
     )

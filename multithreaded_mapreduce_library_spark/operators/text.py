@@ -495,3 +495,91 @@ def repetition_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_bigram_ratio"),
         F.max("c").cast("long").alias("max_bigram_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact heavy hitters (two-phase Misra-Gries)
+# ---------------------------------------------------------------------------
+
+# Misra-Gries counter capacity per partition. The final (exact) support
+# threshold is count(token) * HH_CAPACITY > N_total — i.e. frequency
+# strictly above N/HH_CAPACITY.
+HH_CAPACITY = 200
+
+
+def _mg_candidate_batches(batches):
+    """Per-partition Misra-Gries summary over the token stream.
+
+    Classic MG with HH_CAPACITY counters: hits increment; a miss with a
+    full table decrements EVERY counter by one and drops zeros (one
+    "round"). Each round consumes HH_CAPACITY+1 units of total count, so
+    across a partition of n_p tokens there are at most n_p/(C+1) rounds
+    — amortized O(1) per token, O(C) memory. Guarantee: any token with
+    partition count > n_p/(C+1) still holds a counter at the end.
+    """
+    import pandas as pd
+
+    counters: dict[str, int] = {}
+    for pdf in batches:
+        for toks in pdf["toks"]:
+            for t in toks:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < HH_CAPACITY:
+                    counters[t] = 1
+                else:
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+    yield pd.DataFrame({"word": list(counters.keys())})
+
+
+@register(
+    "heavy_hitters",
+    oracle=f"""
+WITH tok AS (SELECT unnest({duck_tokens('text')}) AS word FROM documents),
+     tot AS (SELECT count(*) AS n_total FROM tok)
+SELECT word,
+       count(*) AS cnt,
+       (SELECT n_total FROM tot) AS n_total
+FROM tok
+GROUP BY word
+HAVING count(*) * {HH_CAPACITY} > (SELECT n_total FROM tot)
+""",
+    tags=("text", "heavy-hitters", "sketch", "llm-pipeline"),
+    doc=(
+        "EXACT frequent tokens (count strictly above N/"
+        f"{HH_CAPACITY}) via two-phase distributed Misra-Gries — the "
+        "scale-out alternative to shuffling every distinct token: "
+        "phase 1 streams each partition once through a "
+        f"{HH_CAPACITY}-counter MG summary (mapInPandas, zero exchanges) "
+        "and emits a tiny candidate set; phase 2 broadcast-semi-joins the "
+        "candidates into the exploded token stream and counts ONLY them "
+        "— the single agg exchange carries candidate occurrences, not "
+        "the full vocabulary. Correct by the MG pigeonhole: if "
+        "count(t) > N/C then some partition has count_p(t) > n_p/C > "
+        "n_p/(C+1), so t survives phase 1 in that partition; phase 2 "
+        "counts are exact, so no false positives either. At 100 TB the "
+        "vocabulary (URLs, ids, long-tail tokens) is the scale-killer in "
+        "a naive wordcount-then-filter — this plan never shuffles it."
+    ),
+)
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(tokens("text").alias("toks"))
+    cand = docs.mapInPandas(_mg_candidate_batches, "word string").distinct()
+    words = docs.select(F.explode("toks").alias("word"))
+    counts = (
+        words.join(F.broadcast(cand), "word")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = docs.select(F.size("toks").alias("n")).agg(
+        F.sum("n").cast("long").alias("n_total")
+    )
+    return counts.crossJoin(F.broadcast(tot)).filter(
+        F.col("cnt") * HH_CAPACITY > F.col("n_total")
+    )

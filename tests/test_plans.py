@@ -469,3 +469,77 @@ def test_asof_window_has_no_join(spark, sf_dir):
     assert "Join" not in plan, "as-of window variant grew a join"
     assert "Window" in plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_heavy_hitters_counts_only_candidates(spark, sf_dir):
+    """The exact-count phase must broadcast the MG candidate set into the
+    exploded token stream BEFORE the agg exchange — the full vocabulary
+    never shuffles (the whole point of the two-phase plan)."""
+    df = SPECS["heavy_hitters"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, "candidate semi-join must broadcast"
+    assert "CartesianProduct" not in plan
+    # candidate filter sits below the count's partial aggregate: the join
+    # appears in the same plan as >=2 HashAggregates (partial + final)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_pareto_frontier_linear_rewrite(spark, sf_dir):
+    """The skyline must be the prefix-max rewrite (agg + window on the
+    reduced price-level frame + broadcast join back), never a quadratic
+    per-pair plan."""
+    df = SPECS["pareto_frontier"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan, "frontier join-back must broadcast"
+    assert "Window" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final price-level max
+
+
+def test_sample_weighted_is_narrow(spark, sf_dir):
+    """PPS sampling is a pure filter+projection — zero exchanges."""
+    df = SPECS["sample_weighted"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan, "weighted sample must not shuffle"
+
+
+def test_interpolate_linear_reduces_before_wide(spark, sf_dir):
+    """Raw events reduce to (type, hour) rows via a partial-aggregated
+    exchange before any window/join; both window passes share the
+    (event_type, h) ordering."""
+    df = SPECS["interpolate_linear"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2  # partial + final hourly agg
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_snapshot_diff_joins_narrow_payloads(spark, sf_dir):
+    """The full-outer diff join must be keyed (SMJ/shuffled-hash, never a
+    nested loop), and the scans must prune to the key + sig inputs —
+    wide rows never reach the shuffle."""
+    df = SPECS["snapshot_diff"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "FullOuter" in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    schemas = read_schemas(df)
+    assert schemas and all("o_custkey" not in s for s in schemas), (
+        "diff scan must prune to key/value columns"
+    )
+
+
+def test_incremental_agg_is_pure_aggregation(spark, sf_dir):
+    """Base and delta states partial-aggregate map-side; the merge is an
+    agg over already-reduced states — no join anywhere."""
+    df = SPECS["incremental_agg"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    # string-min forces sort-based aggregation; count partial+final pairs
+    # for base, delta and the merge (6 aggregate nodes total)
+    aggs = plan.count("HashAggregate") + plan.count("SortAggregate")
+    assert aggs >= 6
+    assert "Join" not in plan
+    # both states hash-partition on the merge key, so the merge agg rides
+    # the existing partitioning: exactly the two state exchanges, no third
+    # formatted plans list every node twice (tree + detail section)
+    assert plan.count("Exchange") <= 4

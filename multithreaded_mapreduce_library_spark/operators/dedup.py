@@ -32,8 +32,10 @@ from pyspark.sql import functions as F
 
 from multithreaded_mapreduce_library_spark.functions import (
     MOD_P,
+    duck_md5_long60,
     duck_tokens,
     h31,
+    md5_long60,
     tokens,
 )
 from multithreaded_mapreduce_library_spark.registry import register
@@ -760,4 +762,124 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.join(F.broadcast(drops), "doc_id", "left_anti").select(
         "doc_id", "lang", "n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact substring-level duplication (shared token spans)
+# ---------------------------------------------------------------------------
+
+SUB_L = 8  # gram length in tokens (the match seed)
+SUB_MIN_SPAN = 12  # report doc pairs sharing a span of at least this many tokens
+SUB_DF_CUTOFF = 20  # drop grams appearing in more docs than this (boilerplate)
+
+
+@register(
+    "dedup_substring",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {duck_tokens('text')} AS toks FROM documents),
+gr AS (
+  SELECT doc_id, t.i AS pos,
+         {duck_md5_long60(f"array_to_string(toks[t.i:t.i+{SUB_L}-1], ' ')")} AS g
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - {SUB_L} + 1)) AS i) t
+  WHERE len(toks) >= {SUB_L}
+),
+rare AS (
+  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM gr GROUP BY g)
+  WHERE df BETWEEN 2 AND {SUB_DF_CUTOFF}
+),
+p AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+  FROM gr a JOIN gr b ON a.g = b.g AND a.doc_id < b.doc_id
+  JOIN rare r ON a.g = r.g
+),
+i AS (
+  SELECT da, db, pa - pb AS diag, pa,
+         pa - row_number() OVER (PARTITION BY da, db, pa - pb ORDER BY pa) AS isl
+  FROM p
+),
+runs AS (
+  SELECT da, db, count(*) + {SUB_L} - 1 AS span
+  FROM i GROUP BY da, db, diag, isl
+)
+SELECT da AS doc_a, db AS doc_b,
+       max(span) AS max_shared_tokens,
+       count(*) AS n_spans
+FROM runs WHERE span >= {SUB_MIN_SPAN}
+GROUP BY 1, 2
+""",
+    tags=("dedup", "substring", "llm-pipeline"),
+    doc=(
+        "EXACT substring-level duplication (the 'deduplicating training "
+        "data' span-match): for every doc pair, the length of the longest "
+        f"shared token span of at least {SUB_MIN_SPAN} tokens, plus how "
+        "many such spans they share. A shared span of length s is exactly "
+        f"a maximal run of consecutive matching {SUB_L}-token-gram seeds "
+        "on one alignment diagonal (pos_a - pos_b), so the operator is: "
+        "positional gram hashes (60-bit md5, narrow explode) -> "
+        "document-frequency cutoff (grams in >"
+        f"{SUB_DF_CUTOFF} docs are boilerplate and are dropped BEFORE the "
+        "pair join, capping per-gram fanout at df^2 — the same bound "
+        "contamination_check rides) -> equi-join on the gram hash -> "
+        "per-(pair, diagonal) run stitching via the islands trick (pos - "
+        "row_number), a window on keys the join already shuffled by -> "
+        "span length = run + L - 1. Shuffle story: gram-hash exchange "
+        "for df + the pair equi-join exchange + one window exchange on "
+        "(da, db) — full text never shuffles, only (doc_id, pos, hash) "
+        "triples; no all-pairs anything at any stage."
+    ),
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = rebalance_scan(load_table(spark, sf_dir, "documents"), spark)
+    toks = d.select("doc_id", tokens("text").alias("toks"))
+    gr = (
+        toks.filter(F.size("toks") >= SUB_L)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - SUB_L + 1),
+                    lambda i: md5_long60(
+                        F.array_join(F.slice("toks", i, SUB_L), " ")
+                    ),
+                )
+            ).alias("pos0", "g"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    )
+    rare = (
+        gr.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= SUB_DF_CUTOFF))
+        .select(F.col("g").alias("rg"))
+    )
+    a = gr.alias("a")
+    b = gr.alias("b")
+    p = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .join(rare, F.col("a.g") == F.col("rg"))
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.col("a.pos").alias("pa"),
+            F.col("b.pos").alias("pb"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    diag = (F.col("pa") - F.col("pb")).alias("diag")
+    win = W.partitionBy("da", "db", "diag").orderBy("pa")
+    i = p.select("da", "db", diag, "pa").withColumn(
+        "isl", F.col("pa") - F.row_number().over(win)
+    )
+    runs = i.groupBy("da", "db", "diag", "isl").agg(
+        (F.count("*") + SUB_L - 1).alias("span")
+    )
+    return (
+        runs.filter(F.col("span") >= SUB_MIN_SPAN)
+        .groupBy(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"))
+        .agg(
+            F.max("span").alias("max_shared_tokens"),
+            F.count("*").alias("n_spans"),
+        )
     )

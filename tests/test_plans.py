@@ -543,3 +543,14 @@ def test_incremental_agg_is_pure_aggregation(spark, sf_dir):
     # the existing partitioning: exactly the two state exchanges, no third
     # formatted plans list every node twice (tree + detail section)
     assert plan.count("Exchange") <= 4
+
+
+def test_dedup_substring_joins_are_df_bounded_equi(spark, sf_dir):
+    """Span matching must be seeded by an equi-join on the gram hash with
+    the df-cutoff applied — never an all-pairs plan; run stitching is a
+    window on the keys the join already shuffled."""
+    df = SPECS["dedup_substring"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" in plan

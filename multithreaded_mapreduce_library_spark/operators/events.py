@@ -539,3 +539,75 @@ def interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value"),
         F.when(F.col("v_c").isNotNull(), 1).otherwise(0).alias("is_observed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# robust anomaly detection (median / MAD)
+# ---------------------------------------------------------------------------
+
+MAD_K = 2.5  # flag days whose |value - median| exceeds K * MAD
+
+
+@register(
+    "anomaly_mad",
+    oracle=f"""
+WITH per AS (
+  SELECT event_type, date_trunc('day', ts) AS d,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v_c
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT event_type, median(v_c) AS med FROM per GROUP BY 1
+), dev AS (
+  SELECT per.event_type, per.d, per.v_c, m.med, abs(per.v_c - m.med) AS dv
+  FROM per JOIN m USING (event_type)
+), md AS (
+  SELECT event_type, median(dv) AS mad FROM dev GROUP BY 1
+)
+SELECT dev.event_type,
+       strftime(dev.d, '%Y-%m-%d') AS day,
+       dev.v_c / 100 AS value,
+       dev.med / 100 AS med_value,
+       md.mad / 100 AS mad_value
+FROM dev JOIN md USING (event_type)
+WHERE dev.dv > {MAD_K} * md.mad
+""",
+    tags=("events", "anomaly", "robust-stats"),
+    doc=(
+        "Robust per-type daily anomaly detection: flag days whose daily "
+        f"total deviates from the type's MEDIAN by more than {MAD_K}x the "
+        "median absolute deviation — the estimator a mean/stddev z-score "
+        "cannot be at 100 TB, where the anomalies themselves corrupt the "
+        "mean. Exactness: daily totals are fixed-point cents; both "
+        "engines compute the identical interpolated median ((a+b)/2 on "
+        "integers — exactly representable halves), so med/MAD/threshold "
+        "agree bit-for-bit. Shuffle story: ONE wide partial-aggregated "
+        "exchange (events -> (type, day) totals); the two median passes "
+        "run per type on the already-reduced day frame and join back "
+        "broadcast (|types| rows) — raw events never feed a sort."
+    ),
+)
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.sum(fixed_point("value")).cast("long").alias("v_c"))
+    m = per.groupBy("event_type").agg(
+        F.expr("percentile(v_c, 0.5)").alias("med")
+    )
+    dev = per.join(F.broadcast(m), "event_type").withColumn(
+        "dv", F.abs(F.col("v_c") - F.col("med"))
+    )
+    md = dev.groupBy("event_type").agg(
+        F.expr("percentile(dv, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(md), "event_type")
+        .filter(F.col("dv") > MAD_K * F.col("mad"))
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            (F.col("v_c") / 100).alias("value"),
+            (F.col("med") / 100).alias("med_value"),
+            (F.col("mad") / 100).alias("mad_value"),
+        )
+    )

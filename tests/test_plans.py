@@ -554,3 +554,14 @@ def test_dedup_substring_joins_are_df_bounded_equi(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
     assert "Window" in plan
+
+
+def test_anomaly_mad_reduces_then_broadcasts(spark, sf_dir):
+    """Events reduce to (type, day) via one partial-aggregated exchange;
+    both median joins come back broadcast on the tiny per-type frames."""
+    df = SPECS["anomaly_mad"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2  # partial + final daily agg
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -555,3 +555,59 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         (F.lit(float(W_CAP)) / pr).alias("ht_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mixture balancing (downsample every group to the smallest group's rate)
+# ---------------------------------------------------------------------------
+
+MIX_BUCKETS = 1_000_000  # hash-bucket resolution for per-group keep rates
+
+
+@register(
+    "mixture_sample",
+    oracle=f"""
+WITH c AS (SELECT lang, count(*) AS n_before FROM documents GROUP BY lang),
+m AS (SELECT min(n_before) AS m FROM c),
+kept AS (
+  SELECT d.lang
+  FROM documents d JOIN c USING (lang)
+  WHERE ({duck_h31('CAST(d.doc_id AS VARCHAR)')} % {MIX_BUCKETS}) * c.n_before
+        < (SELECT m FROM m) * {MIX_BUCKETS}
+)
+SELECT c.lang, c.n_before, CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM c LEFT JOIN (SELECT lang, count(*) AS n_kept FROM kept GROUP BY lang) k
+USING (lang)
+""",
+    tags=("pipeline", "sampling", "mixture", "llm-pipeline"),
+    doc=(
+        "Data-mixture balancing: every language group is downsampled to "
+        "the SMALLEST group's size (keep probability m/n_g), the uniform-"
+        "mixture primitive for multilingual training sets. The per-doc "
+        "keep decision is a pure integer comparison — hash bucket * "
+        "group count < min count * resolution — so membership is "
+        "engine-, partitioning- and cluster-independent, and within "
+        "each group the hash is uniform, so realized rates concentrate "
+        "at m/n_g without any per-group second pass over the data. "
+        "Shuffle story: one tiny per-group count agg (|langs| rows, "
+        "broadcast back with the 1-row min), then the keep filter rides "
+        "the scan; the only other exchange carries per-group counters."
+    ),
+)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count("*").alias("n_before"))
+    m = c.agg(F.min("n_before").alias("m"))
+    bucket = F.pmod(h31(F.col("doc_id").cast("string")), F.lit(MIX_BUCKETS))
+    kept = (
+        d.join(F.broadcast(c), "lang")
+        .crossJoin(F.broadcast(m))
+        .filter(bucket * F.col("n_before") < F.col("m") * MIX_BUCKETS)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return c.join(F.broadcast(kept), "lang", "left").select(
+        "lang",
+        "n_before",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+    )

@@ -565,3 +565,26 @@ def test_anomaly_mad_reduces_then_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_graph_pagerank_iterations_are_copartitioned(spark, sf_dir):
+    """Every iteration must be the keyed join-agg pair — no nested-loop
+    or cartesian anywhere, with map-side partial aggregation feeding
+    each dst exchange."""
+    df = SPECS["graph_pagerank"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 6  # edge agg + wout + 3x contrib
+
+
+def test_mixture_sample_filter_rides_scan(spark, sf_dir):
+    """Group counts and the 1-row min broadcast into the keep filter;
+    document rows are never shuffled (only per-group counters are)."""
+    df = SPECS["mixture_sample"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    schemas = read_schemas(df)
+    assert schemas and all("text" not in s for s in schemas), (
+        "mixture sampling must not read the text column"
+    )

@@ -1387,3 +1387,156 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_size") == F.col("m2"))
         .select("p_partkey", "p_retailprice", "p_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# data profiling / skew diagnostics
+# ---------------------------------------------------------------------------
+
+# (column, kind) pairs profiled on lineitem; kind picks the cross-engine
+# exact string rendering for min/max (no raw double->string casts, whose
+# formatting differs between engines).
+_PROFILE_COLS = (
+    ("l_orderkey", "int"),
+    ("l_quantity", "double"),
+    ("l_extendedprice", "double"),
+    ("l_returnflag", "string"),
+    ("l_shipdate", "ts"),
+)
+
+
+def _fmt(col, kind: str):
+    c = F.col(col)
+    if kind == "int":
+        return c.cast("string")
+    if kind == "double":
+        return F.format_string("%.2f", c)
+    if kind == "ts":
+        return F.date_format(c, "yyyy-MM-dd")
+    return c
+
+
+def _duck_fmt(expr: str, kind: str) -> str:
+    if kind == "int":
+        return f"CAST({expr} AS VARCHAR)"
+    if kind == "double":
+        return f"printf('%.2f', {expr})"
+    if kind == "ts":
+        return f"strftime({expr}, '%Y-%m-%d')"
+    return expr
+
+
+@register(
+    "profile_table",
+    oracle=f"""
+WITH a AS (
+  SELECT
+    {", ".join(
+        f"CAST(count(*) - count({c}) AS BIGINT) AS nn_{c},"
+        f" CAST(count(DISTINCT {c}) AS BIGINT) AS nd_{c},"
+        f" {_duck_fmt(f'min({c})', k)} AS mn_{c},"
+        f" {_duck_fmt(f'max({c})', k)} AS mx_{c}"
+        for c, k in _PROFILE_COLS
+    )}
+  FROM lineitem
+)
+{" UNION ALL ".join(
+    f"SELECT '{c}' AS col_name, nn_{c} AS n_nulls, nd_{c} AS n_distinct,"
+    f" mn_{c} AS min_value, mx_{c} AS max_value FROM a"
+    for c, _ in _PROFILE_COLS
+)}
+""",
+    tags=("relational", "profiling", "llm-pipeline"),
+    doc=(
+        "Single-pass table profiling: null count, EXACT distinct count "
+        "and min/max for five lineitem columns, one output row per "
+        "column. All per-column aggregates ride ONE scan (the "
+        "multi-distinct plans through Expand, so each distinct gets its "
+        "map-side partial dedup before the exchange); the 1-row result "
+        "unpivots driver-free via an inline struct array. min/max "
+        "render through engine-agreeing formatters (printf-style for "
+        "doubles, ISO dates) — never a raw double->string cast. At "
+        "100 TB this is the profile you run BEFORE choosing join "
+        "strategies; everything reduces map-side, nothing wide."
+    ),
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # min/max aggregate typed; the cross-engine formatter applies on the
+    # 1-row result, not per input row
+    typed = li.groupBy().agg(
+        *(
+            a
+            for c, k in _PROFILE_COLS
+            for a in (F.min(c).alias(f"mn0_{c}"), F.max(c).alias(f"mx0_{c}"))
+        ),
+        *(
+            a
+            for c, _ in _PROFILE_COLS
+            for a in (
+                (F.count("*") - F.count(c)).cast("long").alias(f"nn_{c}"),
+                F.countDistinct(c).cast("long").alias(f"nd_{c}"),
+            )
+        ),
+    )
+    rows = F.array(
+        *(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"nn_{c}").alias("n_nulls"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                _fmt(f"mn0_{c}", k).alias("min_value"),
+                _fmt(f"mx0_{c}", k).alias("max_value"),
+            )
+            for c, k in _PROFILE_COLS
+        )
+    )
+    return typed.select(F.explode(rows).alias("p")).select("p.*")
+
+
+SKEW_TOP_K = 10
+
+
+@register(
+    "skew_diagnose",
+    oracle=f"""
+WITH c AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1),
+t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM orders),
+r AS (
+  SELECT o_custkey, n_orders,
+         row_number() OVER (ORDER BY n_orders DESC, o_custkey) AS rank
+  FROM c
+)
+SELECT r.rank, r.o_custkey, r.n_orders,
+       (r.n_orders * 1000000) // t.total AS share_ppm
+FROM r, t WHERE r.rank <= {SKEW_TOP_K}
+""",
+    tags=("relational", "skew", "diagnostics"),
+    doc=(
+        f"Join-key skew report: the {SKEW_TOP_K} heaviest o_custkey "
+        "values with their exact counts and integer parts-per-million "
+        "share of the table — the diagnostic you run BEFORE deciding "
+        "between a plain shuffle join, salting (join_skew_salted) or an "
+        "AQE skew split. Shuffle story: one partial-aggregated exchange "
+        "to per-key counts, then TakeOrderedAndProject for the top-K "
+        "(rank materialized over the K-row frame only — the full key "
+        "frame is never globally sorted) and a broadcast 1-row total. "
+        "Deterministic: ties broken on the key; share is integer ppm."
+    ),
+)
+def skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    top = c.orderBy(F.col("n_orders").desc(), F.col("o_custkey")).limit(SKEW_TOP_K)
+    t = o.agg(F.count("*").cast("long").alias("total"))
+    w = W.orderBy(F.col("n_orders").desc(), F.col("o_custkey"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "rank",
+            "o_custkey",
+            "n_orders",
+            F.expr("(n_orders * 1000000) div total").alias("share_ppm"),
+        )
+    )

@@ -58,6 +58,21 @@ PROBE = (
     # shuffle-free mapInPandas — expect ~Nx or below.
     "multimodal_decode",
     "multimodal_features",
+    # round-7 additions: heavy_hitters is two linear passes (MG summary +
+    # broadcast-candidate count) — expect ~Nx; graph_pagerank's edge agg
+    # scales Nx while the iteration frames (same node/pair set, weights
+    # xN) stay constant-size — expect sub-Nx; snapshot_diff is a keyed
+    # full-outer SMJ — expect ~Nx. dedup_substring is the honest outlier:
+    # VERBATIM replication makes every copy a true full-length duplicate
+    # of its source, so the CORRECT answer itself grows ~N^2 (C(N,2)
+    # pairs per source doc) — the df-cutoff caps per-gram join fanout at
+    # df^2 <= 400 regardless of N, so the measured ratio should land far
+    # below the naive N^2 all-pairs blowup; reported against that bound,
+    # not against Nx.
+    "heavy_hitters",
+    "graph_pagerank",
+    "snapshot_diff",
+    "dedup_substring",
 )
 OFF = 100_000_000  # key offset per copy — far above any base key
 

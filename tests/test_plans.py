@@ -588,3 +588,24 @@ def test_mixture_sample_filter_rides_scan(spark, sf_dir):
     assert schemas and all("text" not in s for s in schemas), (
         "mixture sampling must not read the text column"
     )
+
+
+def test_profile_table_single_scan_expand(spark, sf_dir):
+    """All per-column aggregates (incl. the multi-distinct) ride one scan
+    through an Expand plan; the unpivot is an inline struct explode, no
+    join or union of per-column scans."""
+    df = SPECS["profile_table"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("Scan parquet") <= 2  # tree + detail listing of ONE scan
+    assert "Expand" in plan  # multi-distinct rewrite
+    assert "Join" not in plan and "Union" not in plan
+
+
+def test_skew_diagnose_topk_not_global_sort(spark, sf_dir):
+    """Top-K heavy keys come from TakeOrderedAndProject over the per-key
+    counts; the full key frame is never globally sorted."""
+    df = SPECS["skew_diagnose"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final key counts
+    assert "SortMergeJoin" not in plan

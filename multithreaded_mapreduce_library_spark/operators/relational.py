@@ -1540,3 +1540,66 @@ def skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_orders * 1000000) div total").alias("share_ppm"),
         )
     )
+
+
+HIST_NB = 10  # equi-width buckets per group
+
+
+@register(
+    "histogram_fixed",
+    oracle=f"""
+WITH x AS (
+  SELECT l_returnflag AS flag,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v_c
+  FROM lineitem
+),
+b AS (SELECT flag, min(v_c) AS mn, max(v_c) AS mx FROM x GROUP BY flag),
+k AS (
+  SELECT x.flag,
+         CAST(least(((x.v_c - b.mn) * {HIST_NB}) // (b.mx - b.mn + 1),
+                    {HIST_NB} - 1) AS BIGINT) AS bucket,
+         x.v_c
+  FROM x JOIN b USING (flag)
+)
+SELECT flag, bucket,
+       count(*) AS n_rows,
+       min(v_c) / 100 AS lo_value,
+       max(v_c) / 100 AS hi_value
+FROM k GROUP BY flag, bucket
+""",
+    tags=("relational", "profiling", "histogram"),
+    doc=(
+        f"Per-group equi-width histogram ({HIST_NB} buckets of "
+        "l_extendedprice per return flag): bucket assignment is pure "
+        "integer arithmetic over fixed-point cents — ((v - min) * NB) "
+        "div (range + 1), capped — so both engines bin identically with "
+        "no float-boundary ambiguity; bucket edges are reported as the "
+        "ACTUAL min/max in each bucket (exact). Shuffle story: one tiny "
+        "per-group min/max agg broadcast back onto the scan, then ONE "
+        "partial-aggregated exchange on (flag, bucket) — the histogram "
+        "frame is |groups| x NB rows regardless of table size, the "
+        "right shape for 100 TB profiling."
+    ),
+)
+def histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.col("l_returnflag").alias("flag"),
+        fixed_point("l_extendedprice").cast("long").alias("v_c"),
+    )
+    b = x.groupBy("flag").agg(F.min("v_c").alias("mn"), F.max("v_c").alias("mx"))
+    k = x.join(F.broadcast(b), "flag").select(
+        "flag",
+        F.least(
+            F.expr(f"((v_c - mn) * {HIST_NB}) div (mx - mn + 1)"),
+            F.lit(HIST_NB - 1),
+        )
+        .cast("long")
+        .alias("bucket"),
+        "v_c",
+    )
+    return k.groupBy("flag", "bucket").agg(
+        F.count("*").alias("n_rows"),
+        (F.min("v_c") / 100).alias("lo_value"),
+        (F.max("v_c") / 100).alias("hi_value"),
+    )

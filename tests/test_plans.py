@@ -609,3 +609,13 @@ def test_skew_diagnose_topk_not_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert plan.count("HashAggregate") >= 2  # partial + final key counts
     assert "SortMergeJoin" not in plan
+
+
+def test_histogram_fixed_shape(spark, sf_dir):
+    """Per-group min/max broadcast back onto the scan; one partial-
+    aggregated exchange on (flag, bucket); histogram frame is tiny."""
+    df = SPECS["histogram_fixed"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 4  # min/max agg + bucket counts

@@ -98,7 +98,12 @@ SELECT node, r AS rank_scaled FROM r{PR_ITERS}
         "iteration exchanges only (node, rank) pairs into the "
         "co-partitioned join and partial-aggregates contributions "
         "map-side before the dst exchange — the classic scale shape "
-        "for iterative graph dataflow."
+        "for iterative graph dataflow. Fully declarative: the node "
+        "count is a 1-row broadcast (no driver action, no second job "
+        "rebuilding the edge frame), and no per-round join back to the "
+        "node frame (every node of the bidirectional graph has an "
+        "in-edge — its own reverse edge), so one job runs end-to-end "
+        "with reused edge exchanges."
     ),
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,13 +122,20 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wout = edges.groupBy("src").agg(F.sum("w").cast("long").alias("wt"))
     nodes = wout.select(F.col("src").alias("node"))
-    # O(1)-row action: the node count feeding the exact initial mass split
-    n = nodes.count()
-    init = PR_SCALE // n
-    base = (PR_DAMP_DEN - PR_DAMP_NUM) * init // PR_DAMP_DEN
     ew = edges.join(wout, "src").select("src", "dst", "w", "wt")
-    r = nodes.withColumn("r", F.lit(init).cast("long"))
+    # fully declarative: the node count is a 1-row broadcast, NOT a driver
+    # action — no separate job ever rebuilds the edge frame, and the
+    # whole computation is one Spark job whose edge exchanges are reused
+    # across iterations
+    nn = nodes.agg(F.count("*").alias("n"))
+    base = F.expr(f"({PR_DAMP_DEN - PR_DAMP_NUM} * ({PR_SCALE} div n)) div {PR_DAMP_DEN}")
+    r = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", F.expr(f"{PR_SCALE} div n").alias("r")
+    )
     for _ in range(PR_ITERS):
+        # every node of the bidirectional graph has an in-edge (its own
+        # reverse edge), so the contribution agg covers ALL nodes — no
+        # per-round left join back to the node frame is needed
         contrib = (
             ew.join(r, ew["src"] == r["node"])
             .select(
@@ -133,11 +145,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.sum("c").cast("long").alias("m"))
         )
-        r = nodes.join(contrib, "node", "left").select(
+        r = contrib.crossJoin(F.broadcast(nn)).select(
             "node",
-            (
-                F.lit(base).cast("long")
-                + F.expr(f"({PR_DAMP_NUM} * coalesce(m, 0L)) div {PR_DAMP_DEN}")
-            ).alias("r"),
+            (base + F.expr(f"({PR_DAMP_NUM} * m) div {PR_DAMP_DEN}")).alias("r"),
         )
     return r.select("node", F.col("r").alias("rank_scaled"))

@@ -790,3 +790,93 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return rebalance_scan(docs, spark).mapInPandas(_decode_stat_batches, DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# audio frame features (real WAV round-trip -> per-frame signal stats)
+# ---------------------------------------------------------------------------
+
+AUDIO_FRAME = 16  # samples per analysis frame (DECODE_WAV_N / 4 frames/doc)
+
+AUDIO_FRAME_SCHEMA = (
+    "doc_id long, frame long, energy long, peak long, zero_crossings long"
+)
+
+
+def _audio_frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            samples = (
+                (d * 31 + np.arange(DECODE_WAV_N) * 17) % 65536 - 32768
+            ).astype(np.int16)
+            v = decode_media(wav_encode(samples), AUDIO_MIME).astype(np.int64)
+            for f in range(DECODE_WAV_N // AUDIO_FRAME):
+                s = v[f * AUDIO_FRAME : (f + 1) * AUDIO_FRAME]
+                neg = s < 0
+                rows.append(
+                    (
+                        d,
+                        f,
+                        int((s * s).sum()),
+                        int(np.abs(s).max()),
+                        int(np.count_nonzero(neg[1:] != neg[:-1])),
+                    )
+                )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "frame", "energy", "peak", "zero_crossings"]
+        )
+
+
+@register(
+    "audio_frame_features",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, t.i AS i, ((doc_id * 31 + t.i * 17) % 65536 - 32768) AS v
+  FROM documents, LATERAL (SELECT unnest(generate_series(0, {DECODE_WAV_N - 1})) AS i) t
+  WHERE doc_id % 3 = 1
+), w AS (
+  SELECT doc_id, i // {AUDIO_FRAME} AS frame, i, v,
+         lag(v) OVER (PARTITION BY doc_id, i // {AUDIO_FRAME} ORDER BY i) AS pv
+  FROM s
+)
+SELECT doc_id, frame,
+       CAST(sum(v * v) AS BIGINT) AS energy,
+       max(abs(v)) AS peak,
+       CAST(count(*) FILTER (WHERE pv IS NOT NULL AND ((pv < 0) <> (v < 0)))
+            AS BIGINT) AS zero_crossings
+FROM w GROUP BY doc_id, frame
+""",
+    tags=("multimodal", "audio", "features", "pandas-udf", "llm-pipeline"),
+    doc=(
+        f"Per-frame audio signal features over the REAL WAV path: each "
+        f"audio doc's {DECODE_WAV_N}-sample PCM is encoded and decoded "
+        "through the stdlib wave codec, then framed into "
+        f"{AUDIO_FRAME}-sample windows with integer energy (sum of "
+        "squares), peak amplitude and zero-crossing count — the "
+        "filtering primitives an audio curation pipeline gates on "
+        "(silence/clipping detection). All-integer math (int16 samples, "
+        "int64 sums) so the oracle — which recomputes the statistics "
+        "symbolically from the sample arithmetic WITHOUT the codec — is "
+        "exact: any codec bug (byte order, sample width, truncation) is "
+        "a driver hash mismatch. Shuffle story: zero exchanges — the "
+        "audio-doc filter rides the scan (JVM-side pmod, non-audio rows "
+        "never reach Python), and each blob is built, decoded, framed "
+        "and reduced inside one task; at 100 TB no payload byte crosses "
+        "the wire."
+    ),
+)
+def audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from multithreaded_mapreduce_library_spark.sources.tables import rebalance_scan
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.pmod("doc_id", F.lit(3)) == 1)
+    )
+    return rebalance_scan(docs, spark).mapInPandas(
+        _audio_frame_batches, AUDIO_FRAME_SCHEMA
+    )

@@ -628,3 +628,17 @@ def test_histogram_fixed_shape(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("HashAggregate") >= 4  # min/max agg + bucket counts
+
+
+def test_audio_frame_features_is_narrow(spark, sf_dir):
+    """Audio-doc filter rides the scan JVM-side; the WAV build/decode/
+    frame pass is mapInPandas with no exchange beyond the optional
+    round-robin rebalance of bare doc_ids."""
+    df = SPECS["audio_frame_features"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    schemas = read_schemas(df)
+    assert schemas and all("text" not in s for s in schemas), (
+        "audio features must not read the text column"
+    )

@@ -611,3 +611,96 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("mad") / 100).alias("mad_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# product analytics: cohort retention + event transitions
+# ---------------------------------------------------------------------------
+
+@register(
+    "retention_cohorts",
+    oracle="""
+WITH f AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), j AS (
+  SELECT e.user_id, f.cohort_week,
+         date_diff('day', f.cohort_week, date_trunc('week', e.ts)) // 7 AS week_offset
+  FROM events e JOIN f USING (user_id)
+)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort,
+       CAST(week_offset AS BIGINT) AS week_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM j GROUP BY cohort_week, week_offset
+""",
+    tags=("events", "analytics", "cohort"),
+    doc=(
+        "Classic cohort retention matrix: users grouped by first-seen "
+        "ISO week, activity counted by whole-week offset — the "
+        "product-analytics staple. Both engines truncate weeks to the "
+        "same ISO Monday and the offset is pure integer day arithmetic, "
+        "so the matrix is exact. Shuffle story: one partial-aggregated "
+        "exchange for first-seen (user_id), then the events<->cohort "
+        "join rides the SAME user_id hash partitioning (co-partitioned "
+        "SMJ, no extra exchange on the probe side), and the final "
+        "count-distinct exchanges the already-deduped (cohort, offset, "
+        "user) triples. At 100 TB nothing wider than (user, week) pairs "
+        "ever moves."
+    ),
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", "ts").alias("w")
+    )
+    f = e.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
+    j = e.join(f, "user_id").select(
+        "user_id",
+        "cohort_week",
+        (
+            (F.col("w").cast("long") - F.col("cohort_week").cast("long"))
+            / (7 * 86400)
+        )
+        .cast("long")
+        .alias("week_offset"),
+    )
+    return j.groupBy(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort"), "week_offset"
+    ).agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+
+
+@register(
+    "event_transitions",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type,
+       count(*) AS n_transitions
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+""",
+    tags=("events", "analytics", "markov"),
+    doc=(
+        "First-order event-transition counts (the empirical Markov "
+        "matrix over per-user event streams): lag over (user_id, ts) "
+        "with the unique event_id as the total-order tiebreak — the "
+        "ranking convention the repo pins for cross-engine determinism "
+        "— then a count per (prev, next) pair. Shuffle story: ONE "
+        "window exchange on user_id (per-user streams sort locally "
+        "within their partition), then a tiny 25-cell partial-aggregated "
+        "count. At 100 TB the window state is one row per event scan-"
+        "local to its user partition; no joins anywhere."
+    ),
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    return s.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n_transitions")
+    )

@@ -642,3 +642,26 @@ def test_audio_frame_features_is_narrow(spark, sf_dir):
     assert schemas and all("text" not in s for s in schemas), (
         "audio features must not read the text column"
     )
+
+
+def test_retention_cohorts_copartitioned_join(spark, sf_dir):
+    """The events<->first-seen join must ride the user_id partitioning
+    (keyed join, no nested loop); count-distinct exchanges deduped
+    triples only."""
+    df = SPECS["retention_cohorts"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_event_transitions_single_window_exchange(spark, sf_dir):
+    """One window exchange on user_id, then a tiny partial-aggregated
+    count — no joins anywhere."""
+    import re
+
+    df = SPECS["event_transitions"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2  # window + count

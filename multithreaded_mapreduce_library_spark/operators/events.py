@@ -704,3 +704,116 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
         F.count("*").alias("n_transitions")
     )
+
+
+# ---------------------------------------------------------------------------
+# gaps-and-islands: consecutive-day activity streaks
+# ---------------------------------------------------------------------------
+
+@register(
+    "gaps_islands",
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+), i AS (
+  SELECT user_id, day,
+         date_diff('day', DATE '2024-01-01', day)
+           - row_number() OVER (PARTITION BY user_id ORDER BY day) AS isl
+  FROM d
+), runs AS (
+  SELECT user_id, isl, count(*) AS len FROM i GROUP BY user_id, isl
+)
+SELECT user_id,
+       CAST(sum(len) AS BIGINT) AS n_active_days,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(max(len) AS BIGINT) AS max_streak
+FROM runs GROUP BY user_id
+""",
+    tags=("events", "analytics", "gaps-islands"),
+    doc=(
+        "Gaps-and-islands: per-user consecutive-day activity streaks "
+        "(active days, streak count, longest streak) via the islands "
+        "trick — day ordinal minus row_number is constant exactly on a "
+        "run of consecutive days; pure integer arithmetic, exact in "
+        "both engines. Shuffle story: one exchange to distinct (user, "
+        "day) — map-side partial dedup collapses same-day events before "
+        "the wire — then the window and BOTH aggregations ride that "
+        "same user_id partitioning with no further exchange. At 100 TB "
+        "the wide step moves one row per user-day, never per event."
+    ),
+)
+def gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    d = e.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    i = d.select(
+        "user_id",
+        (
+            F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("isl"),
+    )
+    runs = i.groupBy("user_id", "isl").agg(F.count("*").alias("len"))
+    return runs.groupBy("user_id").agg(
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.count("*").cast("long").alias("n_streaks"),
+        F.max("len").cast("long").alias("max_streak"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# time-weighted average (irregular series)
+# ---------------------------------------------------------------------------
+
+@register(
+    "time_weighted_avg",
+    oracle="""
+WITH s AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c,
+         epoch(date_trunc('second', ts)) AS sec,
+         lead(epoch(date_trunc('second', ts)))
+           OVER (PARTITION BY event_type ORDER BY ts, event_id) AS next_sec
+  FROM events
+), h AS (
+  SELECT event_type, v_c, next_sec - sec AS dt
+  FROM s WHERE next_sec IS NOT NULL
+)
+SELECT event_type,
+       CAST(sum(v_c * dt) AS BIGINT) / CAST(sum(dt) AS BIGINT) / 100 AS twa_value,
+       CAST(sum(dt) AS BIGINT) AS span_sec
+FROM h GROUP BY event_type
+""",
+    tags=("events", "timeseries", "twa"),
+    doc=(
+        "Time-weighted average over the irregular per-type event series "
+        "— each observation holds until the next one, so its weight is "
+        "the gap to its successor (the financial/sensor-data estimator "
+        "a plain AVG gets wrong when sampling is uneven). All-integer "
+        "core: fixed-point cents x whole-second gaps summed as BIGINT "
+        "(order-independent), one double division at the end — exact in "
+        "both engines; the unique event_id breaks same-timestamp order. "
+        "Shuffle story: ONE window exchange on event_type (the lead() "
+        "pass), then the weighted sums partial-aggregate on the same "
+        "partitioning — no join, nothing wider than (type, value, gap)."
+    ),
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("long")
+    s = e.select(
+        "event_type",
+        fixed_point("value").cast("long").alias("v_c"),
+        sec.alias("sec"),
+        F.lead(sec).over(w).alias("next_sec"),
+    ).filter(F.col("next_sec").isNotNull())
+    h = s.withColumn("dt", F.col("next_sec") - F.col("sec"))
+    return h.groupBy("event_type").agg(
+        (
+            F.sum(F.col("v_c") * F.col("dt")).cast("long")
+            / F.sum("dt").cast("long")
+            / 100
+        ).alias("twa_value"),
+        F.sum("dt").cast("long").alias("span_sec"),
+    )

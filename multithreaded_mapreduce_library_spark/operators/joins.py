@@ -564,3 +564,96 @@ def join_asof_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_prior_clicks",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# nearest-event as-of join (both directions, bounded tolerance)
+# ---------------------------------------------------------------------------
+
+ASOF_NEAREST_TOL_US = 3_600_000_000  # 1 hour
+
+
+@register(
+    "join_asof_nearest",
+    oracle=f"""
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+c AS (SELECT * FROM events WHERE event_type = 'click'),
+j AS (
+  SELECT p.event_id, p.user_id, p.ts AS pts, c.ts AS cts,
+         abs(date_diff('microsecond', c.ts, p.ts)) AS adt,
+         row_number() OVER (
+           PARTITION BY p.event_id
+           ORDER BY abs(date_diff('microsecond', c.ts, p.ts)), c.ts, c.event_id
+         ) AS rn
+  FROM p JOIN c ON p.user_id = c.user_id
+  WHERE abs(date_diff('microsecond', c.ts, p.ts)) <= {ASOF_NEAREST_TOL_US}
+)
+SELECT event_id, user_id,
+       strftime(pts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       strftime(cts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       CAST(adt AS BIGINT) AS dt_us
+FROM j WHERE rn = 1
+""",
+    tags=("join", "asof", "nearest", "window"),
+    doc=(
+        "Nearest-neighbor-in-time join: each purchase matches its "
+        "closest click in EITHER direction within a 1-hour tolerance "
+        "(ties prefer the earlier click — the oracle's (|dt|, ts, id) "
+        "ranking). The oracle states the quadratic per-user join + "
+        "rank; the Spark plan is the linear two-window rewrite that "
+        "completes the as-of family (backward: join_asof_window): "
+        "carry the last click backward AND the first click forward "
+        "over one (user, ts) ordering, then pick the nearer side with "
+        "integer-microsecond arithmetic. Shuffle story: ONE window "
+        "exchange on user_id (both frames share the sort), NO join "
+        "node, O(events) work — per-user click x purchase fanout never "
+        "materializes (plan-asserted)."
+    ),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    # clicks sort before purchases at equal ts ('click' < 'purchase'), so
+    # the backward frame sees a same-ts click (dt 0) — matching the
+    # oracle's <= tolerance semantics; event_id keeps the order total.
+    back = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_type", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fwd = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_type", "event_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    carried = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.last(click_ts, ignorenulls=True).over(back).alias("prev_ts"),
+        F.first(click_ts, ignorenulls=True).over(fwd).alias("next_ts"),
+    ).filter(F.col("event_type") == "purchase")
+    us = lambda c: F.unix_micros(F.col(c))  # noqa: E731
+    prev_dt = us("ts") - us("prev_ts")  # >= 0 (frame is backward)
+    next_dt = us("next_ts") - us("ts")  # >= 0 (frame is forward)
+    # nearer side wins; exact tie prefers the earlier (backward) click
+    pick_prev = F.col("prev_ts").isNotNull() & (
+        F.col("next_ts").isNull() | (prev_dt <= next_dt)
+    )
+    chosen = carried.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(pick_prev, F.col("prev_ts")).otherwise(F.col("next_ts")).alias("cts"),
+        F.when(pick_prev, prev_dt).otherwise(next_dt).alias("dt_us"),
+    ).filter(F.col("cts").isNotNull() & (F.col("dt_us") <= ASOF_NEAREST_TOL_US))
+    return chosen.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.date_format("cts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        "dt_us",
+    )

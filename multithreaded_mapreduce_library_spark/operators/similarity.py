@@ -1060,3 +1060,53 @@ def sim_topk_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_cosine_rerank(
         spark, sf_dir, _ivfq_shortlist_ids(spark, sf_dir), 3
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding hygiene: per-label squared-norm statistics
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_stats",
+    oracle=f"""
+WITH s AS (
+  SELECT label,
+         {_duck_fold_sum("list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x * x)")} AS sq
+  FROM embeddings
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(min(sq), 6) AS min_sqnorm,
+       round(max(sq), 6) AS max_sqnorm,
+       (CAST(sum(CAST(floor(sq * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+        / 1000000.0) / count(*) AS avg_sqnorm
+FROM s GROUP BY label
+""",
+    tags=("similarity", "embedding", "profiling", "llm-pipeline"),
+    doc=(
+        "Embedding hygiene profile: per-label vector counts and squared-"
+        "norm min/max/mean — the sanity gate before any ANN indexing "
+        "(zero or exploding norms poison IVF training and cosine "
+        "ranking). Exactness: each vector's squared norm is the shared "
+        "sequential left fold (bit-identical across engines), the mean "
+        "accumulates through fixed-point micro-units (order-independent "
+        "integer sum — a naive double SUM would depend on partition "
+        "merge order), min/max are order-free. Shuffle story: the fold "
+        "is a narrow map riding the scan; ONE partial-aggregated "
+        "exchange on label carrying 4 scalars per group — at 100 TB "
+        "the vectors themselves never shuffle."
+    ),
+)
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _load_embeddings(spark, sf_dir)
+    sq = F.expr(_fold_sum("transform(transform(embedding, x -> CAST(x AS DOUBLE)), x -> x * x)"))
+    s = e.select("label", sq.alias("sq"))
+    return s.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.round(F.min("sq"), 6).alias("min_sqnorm"),
+        F.round(F.max("sq"), 6).alias("max_sqnorm"),
+        (
+            (F.sum(F.floor(F.col("sq") * 1000000 + F.lit(0.5))).cast("long") / 1000000.0)
+            / F.count("*")
+        ).alias("avg_sqnorm"),
+    )

@@ -665,3 +665,46 @@ def test_event_transitions_single_window_exchange(spark, sf_dir):
     assert "Join" not in plan
     assert "Window" in plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2  # window + count
+
+
+def test_gaps_islands_rides_user_partitioning(spark, sf_dir):
+    """Distinct (user, day) is the only wide step; window + both aggs
+    reuse that user_id partitioning."""
+    df = SPECS["gaps_islands"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_time_weighted_avg_one_window_exchange(spark, sf_dir):
+    """One window exchange on event_type; weighted sums partial-aggregate
+    on the same partitioning — no join."""
+    import re
+
+    df = SPECS["time_weighted_avg"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+def test_asof_nearest_has_no_join(spark, sf_dir):
+    """The nearest-in-time match must be the two-window rewrite: one
+    user_id exchange, no join node (the oracle runs the quadratic
+    per-user join; the engine never does)."""
+    import re
+
+    df = SPECS["join_asof_nearest"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, "nearest as-of grew a join"
+    assert "Window" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_embedding_stats_narrow_fold(spark, sf_dir):
+    """The squared-norm fold rides the scan; one partial-aggregated label
+    exchange carries 4 scalars per group — vectors never shuffle."""
+    df = SPECS["embedding_stats"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") + plan.count("SortAggregate") >= 2

@@ -7,7 +7,7 @@ transform → writeStream pipeline; the registry builders execute with
 ``trigger(availableNow=True)`` into a memory sink and return the settled
 result.
 
-Oracle coverage: ALL EIGHT streaming queries carry real DuckDB oracles —
+Oracle coverage: ALL NINE streaming queries carry real DuckDB oracles —
 their settled availableNow replays are deterministic. Complete-mode aggs
 (tumbling, static join) settle to the exact batch answer; append-mode
 windows/sessions settle to the batch set cut at the final watermark
@@ -594,3 +594,97 @@ GROUP BY user_id
 )
 def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(funnel_transform(events_stream(spark, sf_dir)), "update")
+
+
+def transitions_transform(s: DataFrame) -> DataFrame:
+    """Per-user event-transition DELTA counts via applyInPandasWithState:
+    GroupState carries the user's last event (ts, event_id, type), each
+    batch sorts its rows on the pinned (ts, event_id) total order, counts
+    the in-batch (prev, next) pairs PLUS the boundary pair from the
+    carried state to the batch's first row, emits the deltas, and stores
+    the new last event. Deltas make multi-batch semantics additive: the
+    settled totals are the per-(user, pair) SUMS across batches (shared
+    with the multi-batch test, which proves the boundary pairs really
+    cross batches)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    s = s.select("user_id", "event_id", "event_type", "ts")
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            yield pd.DataFrame(
+                {"user_id": [], "prev_type": [], "next_type": [], "n_transitions": []}
+            )
+            return
+        batch = pd.concat(chunks).sort_values(["ts", "event_id"], kind="mergesort")
+        types = list(batch["event_type"])
+        if state.exists:
+            _, _, last_type = state.get
+            prevs = [last_type] + types[:-1]
+        else:
+            prevs = [None] + types[:-1]
+        counts: dict[tuple[str, str], int] = {}
+        for p, n in zip(prevs, types):
+            if p is not None:
+                counts[(p, n)] = counts.get((p, n), 0) + 1
+        last = batch.iloc[-1]
+        state.update(
+            (int(last["ts"].value), int(last["event_id"]), str(last["event_type"]))
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(counts),
+                "prev_type": [p for p, _ in counts],
+                "next_type": [n for _, n in counts],
+                "n_transitions": list(counts.values()),
+            }
+        )
+
+    return s.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, prev_type string, next_type string, n_transitions long"
+        ),
+        stateStructType="last_ts long, last_event_id long, last_type string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "stream_transitions",
+    # Delta emission + the single-file fixture's ONE availableNow data
+    # batch (hard-asserted in events_stream) => the settled sink holds
+    # each (user, prev, next) pair exactly once with its total count —
+    # the batch answer. A multi-file source would append per-batch
+    # deltas; the multi-batch suite verifies those SUM to this same
+    # total (the additive-semantics design point).
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)
+SELECT user_id, prev_type, event_type AS next_type,
+       count(*) AS n_transitions
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY user_id, prev_type, next_type
+""",
+    tags=("streaming", "stateful", "markov", "pandas-udf"),
+    doc=(
+        "Streaming twin of event_transitions: per-user first-order "
+        "transition counts with the last event carried in GroupState, so "
+        "pairs that straddle a batch boundary are counted exactly once — "
+        "the state is 3 scalars per user regardless of stream length, "
+        "and emissions are additive deltas (update mode). Same (ts, "
+        "event_id) total order as the batch twin; oracle-gated via the "
+        "single-batch settled replay, cross-batch boundary pairs pinned "
+        "by the multi-batch suite."
+    ),
+)
+def stream_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_memory(transitions_transform(events_stream(spark, sf_dir)), "update")

@@ -936,3 +936,31 @@ def test_multibatch_funnel_click_side_disorder_within_lateness(spark, tmp_path):
     assert (r["n_clicks"], r["n_converted"]) == (2, 1), (
         f"watermark expiry lost a click a within-allowance purchase needed: {r}"
     )
+
+
+def test_multibatch_transitions_deltas_sum_to_batch(spark, sf_dir, events_multi_dir):
+    """stream_transitions emits per-batch DELTA counts; across the
+    time-split multi-file replay the per-(user, pair) SUMS must equal the
+    single-batch settle (== the batch oracle). The time-ordered split
+    guarantees boundary pairs — a user's last event in batch k and first
+    event in batch k+1 — which only the GroupState carry can count, so
+    equality here proves the state really crosses batches."""
+    from pyspark.sql import functions as F
+
+    from multithreaded_mapreduce_library_spark.streaming.queries import (
+        transitions_transform,
+    )
+
+    got, n_batches = _run_multi(
+        transitions_transform(_multi_batch_stream(spark, sf_dir, events_multi_dir)),
+        "update",
+    )
+    assert n_batches >= 2
+    summed = got.groupBy("user_id", "prev_type", "next_type").agg(
+        F.sum("n_transitions").cast("long").alias("n_transitions")
+    )
+    single = SPECS["stream_transitions"].builder(spark, sf_dir)
+    assert _rows(summed) == _rows(single)
+    # at least one user's pairs were split across batches (more emitted
+    # rows than settled pairs) — otherwise the carry was never exercised
+    assert got.count() > single.count()

@@ -66,3 +66,26 @@ def read_back(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame
     if fmt == "csv":
         r = r.option("header", "true").option("inferSchema", "true")
     return r.load(path)
+
+
+def write_clustered_table(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    num_files: int = 8,
+    fmt: str = "parquet",
+) -> None:
+    """Layout-clustered write: range-partition rows on ``cluster_by`` into
+    ``num_files`` outputs and sort within each, so every file carries a
+    TIGHT min/max footer envelope on the cluster key — the layout that
+    makes downstream scan pruning effective (a filtered read touches only
+    the files whose envelope intersects the predicate; the OPTIMIZE ...
+    ZORDER write-side companion to layout_zorder's bucket statistics).
+    One range exchange + a per-partition sort; no global sort."""
+    (
+        df.repartitionByRange(num_files, *cluster_by)
+        .sortWithinPartitions(*cluster_by)
+        .write.mode("overwrite")
+        .format(fmt)
+        .save(path)
+    )

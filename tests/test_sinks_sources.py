@@ -172,3 +172,55 @@ def test_events_loader_handles_both_ts_layouts(spark, sf_dir, tmp_path):
     a, b = load(us_dir), load(ns_dir)
     assert a == b and len(a) == 2
     assert dict(load_table(spark, str(ns_dir), "events").dtypes)["ts"] == "timestamp"
+
+
+def test_write_clustered_table_envelopes_and_pruned_read(spark, sf_dir, tmp_path):
+    """Clustered layout: per-file footer envelopes on the cluster key must
+    tile the key range (near-disjoint), and a narrow filter must read
+    rows from only a small subset of files — the pruning the layout
+    exists to enable."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from multithreaded_mapreduce_library_spark.sources import load_table
+    from multithreaded_mapreduce_library_spark.sources.sinks import (
+        write_clustered_table,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    path = str(tmp_path / "clustered")
+    write_clustered_table(li, path, ["l_shipdate"], num_files=8)
+
+    files = sorted(glob.glob(path + "/part-*.parquet"))
+    assert len(files) >= 4
+    envs = []
+    for f in files:
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(1)  # l_shipdate
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        envs.append((min(mins), max(maxs)))
+    envs.sort()
+    full_span = (
+        max(e[1] for e in envs) - min(e[0] for e in envs)
+    ).total_seconds()
+    covered = sum((hi - lo).total_seconds() for lo, hi in envs)
+    # range clustering => the per-file envelopes tile the range instead of
+    # each spanning it (an unclustered write would give ~n_files * span)
+    assert covered <= full_span * 1.25, (covered, full_span)
+
+    # a filter covering ONE file's envelope must touch only the files
+    # whose envelope intersects it (allow boundary-sharing neighbors)
+    lo, hi = envs[len(envs) // 2]
+    touched = (
+        spark.read.parquet(path)
+        .filter((F.col("l_shipdate") >= F.lit(lo)) & (F.col("l_shipdate") <= F.lit(hi)))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    assert 0 < touched <= 3, touched

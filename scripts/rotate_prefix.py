@@ -16,7 +16,13 @@ arithmetic) plus a staleness forecast for the round after next. Purely
 advisory: registry.py stays the single source of truth, and the pinned
 tests still validate whatever is committed.
 
-Usage: python scripts/rotate_prefix.py changed_query [changed_query ...]
+Usage: python scripts/rotate_prefix.py [--apply] changed_query [...]
+
+With ``--apply``, the name region of registry._PRIORITY (everything from
+the ``# (1) new/changed`` marker to the tuple's closing paren) is patched
+in place with the computed blocks — no hand-wrapping, no drift; the
+prose arithmetic comment above the marker stays hand-maintained (the
+script prints a reminder). Without it, prints the blocks for review.
 """
 
 from __future__ import annotations
@@ -97,8 +103,45 @@ def fmt(names: list[str], indent: str = "    ") -> str:
     return "\n".join(lines)
 
 
+def build_blocks(changed, prefix, tail, last_green, this_round):
+    """Canonical _PRIORITY name-region text (comments + wrapped names)."""
+    out = [f"    # (1) new/changed in r{this_round} ({len(changed)}):", fmt(changed)]
+    by_round: dict[int, list[str]] = {}
+    for n in prefix[len(changed):]:
+        by_round.setdefault(last_green[n], []).append(n)
+    for rnd in sorted(by_round):
+        out.append(f"    # (2) last green in r{rnd} ({len(by_round[rnd])}):")
+        out.append(fmt(by_round[rnd]))
+    out.append(
+        "    # --- end of gate prefix (50) "
+        "----------------------------------------"
+    )
+    tail_by_round: dict[int, list[str]] = {}
+    for n in tail:
+        tail_by_round.setdefault(last_green[n], []).append(n)
+    for rnd in sorted(tail_by_round):
+        out.append(
+            f"    # rotated out, last green r{rnd} ({len(tail_by_round[rnd])}):"
+        )
+        out.append(fmt(tail_by_round[rnd]))
+    return "\n".join(out)
+
+
+def apply_blocks(repo: str, blocks: str) -> None:
+    path = os.path.join(repo, "multithreaded_mapreduce_library_spark", "registry.py")
+    src = open(path).read()
+    m = re.search(r"(    # \(1\) new/changed in r\d+ \(\d+\):\n)(.*?)(\n\)\n)", src, re.S)
+    if not m:
+        raise SystemExit("registry.py: '# (1) new/changed' marker not found")
+    src = src[: m.start(1)] + blocks + src[m.end(2):]
+    open(path, "w").write(src)
+    print(f"# applied to {path} — update the prose arithmetic comment above")
+
+
 def main() -> None:
-    changed = sys.argv[1:]
+    args = sys.argv[1:]
+    apply = "--apply" in args
+    changed = [a for a in args if a != "--apply"]
     if not changed:
         raise SystemExit(__doc__)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -117,6 +160,9 @@ def main() -> None:
     prefix, tail, last_green = rotate(gated, changed, rounds)
 
     this_round = max(rounds) + 1
+    if apply:
+        apply_blocks(repo, build_blocks(changed, prefix, tail, last_green, this_round))
+        return
     by_round: dict[int, list[str]] = {}
     for n in prefix[len(changed):]:
         by_round.setdefault(last_green[n], []).append(n)

@@ -817,3 +817,98 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("twa_value"),
         F.sum("dt").cast("long").alias("span_sec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# interval-overlap join (bin-bucketed)
+# ---------------------------------------------------------------------------
+
+N_CAMPAIGNS = 10  # 36h windows every 3 days from 2024-01-01
+
+
+@register(
+    "join_interval_bins",
+    oracle=f"""
+WITH {SESSION_ISLANDS_CTES},
+sessions AS (
+  SELECT user_id, sid, min(ts) AS s_start, max(ts) AS s_end
+  FROM numbered GROUP BY user_id, sid
+), camps AS (
+  SELECT i AS campaign_id,
+         TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 3 DAY AS c_start,
+         TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 3 DAY
+           + INTERVAL 36 HOUR AS c_end
+  FROM (SELECT unnest(generate_series(0, {N_CAMPAIGNS - 1})) AS i)
+)
+SELECT s.user_id,
+       strftime(s.s_start, '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       c.campaign_id,
+       epoch_us(least(s.s_end, c.c_end))
+         - epoch_us(greatest(s.s_start, c.c_start)) AS overlap_us
+FROM sessions s JOIN camps c
+  ON s.s_start <= c.c_end AND c.c_start <= s.s_end
+""",
+    tags=("events", "join", "interval", "range"),
+    doc=(
+        "Interval-overlap join: user sessions (15-min-gap islands) "
+        "matched to every 36-hour campaign window they overlap, with the "
+        "exact overlap in integer microseconds. The oracle states the "
+        "quadratic overlap-predicate join; the Spark plan is the "
+        "BIN-BUCKETED rewrite — both interval sets explode into the DAY "
+        "bins they span (sessions span 1-2 bins, campaigns 2-3), the "
+        "join is a pure equi-join on the bin, pairs sharing several bins "
+        "dedupe in a keyed agg, and the true overlap predicate filters "
+        "bin-coincidences. Shuffle story: the session build is one "
+        "window + one agg exchange on user_id; campaigns are 10 "
+        "generated rows, BROADCAST after their bin explode — so the "
+        "interval join adds ZERO wide exchanges, and per-bin fanout is "
+        "|sessions that day| x |campaigns that day|, never |S| x |C|. "
+        "At 100 TB this is the standard scalable interval join: bin "
+        "granularity trades fanout against bin-pair duplicates."
+    ),
+)
+def join_interval_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    brk = F.when(gap_us < 15 * 60 * 1_000_000, 0).otherwise(1)
+    numbered = e.withColumn("brk", brk).withColumn(
+        "sid",
+        F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    sessions = numbered.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    camps = spark.range(N_CAMPAIGNS).select(
+        F.col("id").alias("campaign_id"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0, CAST(id*3 AS INT), 0,0,0)"
+        ).alias("c_start"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0, CAST(id*3 AS INT), 36,0,0)"
+        ).alias("c_end"),
+    )
+    sbins = sessions.withColumn(
+        "bin", F.explode(F.sequence(F.to_date("s_start"), F.to_date("s_end")))
+    )
+    cbins = camps.withColumn(
+        "bin", F.explode(F.sequence(F.to_date("c_start"), F.to_date("c_end")))
+    )
+    j = sbins.join(F.broadcast(cbins), "bin").filter(
+        (F.col("s_start") <= F.col("c_end")) & (F.col("c_start") <= F.col("s_end"))
+    )
+    pairs = j.groupBy("user_id", "sid", "campaign_id").agg(
+        F.max("s_start").alias("s_start"),
+        F.max("s_end").alias("s_end"),
+        F.max("c_start").alias("c_start"),
+        F.max("c_end").alias("c_end"),
+    )
+    return pairs.select(
+        "user_id",
+        F.date_format("s_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        "campaign_id",
+        (
+            F.unix_micros(F.least("s_end", "c_end"))
+            - F.unix_micros(F.greatest("s_start", "c_start"))
+        ).alias("overlap_us"),
+    )

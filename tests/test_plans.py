@@ -708,3 +708,14 @@ def test_embedding_stats_narrow_fold(spark, sf_dir):
     plan = formatted_plan(df)
     assert "Join" not in plan
     assert plan.count("HashAggregate") + plan.count("SortAggregate") >= 2
+
+
+def test_join_interval_bins_is_broadcast_equi(spark, sf_dir):
+    """The interval join must be the bin-bucketed rewrite: equi-join on
+    the day bin with the exploded campaign side broadcast — never the
+    quadratic overlap-predicate nested loop the oracle runs."""
+    df = SPECS["join_interval_bins"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan  # the session islands build

@@ -640,12 +640,12 @@ FROM j GROUP BY cohort_week, week_offset
         "product-analytics staple. Both engines truncate weeks to the "
         "same ISO Monday and the offset is pure integer day arithmetic, "
         "so the matrix is exact. Shuffle story: one partial-aggregated "
-        "exchange for first-seen (user_id), then the events<->cohort "
-        "join rides the SAME user_id hash partitioning (co-partitioned "
-        "SMJ, no extra exchange on the probe side), and the final "
-        "count-distinct exchanges the already-deduped (cohort, offset, "
-        "user) triples. At 100 TB nothing wider than (user, week) pairs "
-        "ever moves."
+        "exchange builds per-user first-seen; the join back broadcasts "
+        "that reduced side while it fits (AQE picks broadcast at the "
+        "test SFs) and falls back to one keyed SMJ exchange pair on "
+        "user_id at scale; the count-distinct then exchanges deduped "
+        "(cohort, offset, user) triples. At 100 TB nothing wider than "
+        "(user, week) pairs ever moves."
     ),
 )
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -735,11 +735,11 @@ FROM runs GROUP BY user_id
         "(active days, streak count, longest streak) via the islands "
         "trick — day ordinal minus row_number is constant exactly on a "
         "run of consecutive days; pure integer arithmetic, exact in "
-        "both engines. Shuffle story: one exchange to distinct (user, "
-        "day) — map-side partial dedup collapses same-day events before "
-        "the wire — then the window and BOTH aggregations ride that "
-        "same user_id partitioning with no further exchange. At 100 TB "
-        "the wide step moves one row per user-day, never per event."
+        "both engines. Shuffle story: TWO exchanges — the (user, day) "
+        "distinct (map-side partial dedup collapses same-day events "
+        "before the wire), then one user_id exchange shared by the "
+        "window and both aggregations. At 100 TB the wide steps move "
+        "one row per user-day, never per event."
     ),
 )
 def gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -73,6 +73,17 @@ PROBE = (
     "graph_pagerank",
     "snapshot_diff",
     "dedup_substring",
+    # round-7 second wave: windowed/joined event analytics (expect ~Nx
+    # or below — events replicate with distinct event_ids but the SAME
+    # user set, so per-user frames deepen rather than multiply) and the
+    # bin-bucketed interval join (campaign side is constant — fanout
+    # grows with sessions per day, linear in events).
+    "retention_cohorts",
+    "event_transitions",
+    "gaps_islands",
+    "time_weighted_avg",
+    "join_asof_nearest",
+    "join_interval_bins",
 )
 OFF = 100_000_000  # key offset per copy — far above any base key
 

@@ -583,3 +583,74 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.crossJoin(F.broadcast(tot)).filter(
         F.col("cnt") * HH_CAPACITY > F.col("n_total")
     )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage curve (tokenizer budget planning)
+# ---------------------------------------------------------------------------
+
+VOCAB_KS = (5, 10, 20)  # vocabulary budgets to evaluate
+
+
+@register(
+    "vocab_coverage",
+    oracle=f"""
+WITH tok AS (SELECT unnest({duck_tokens('text')}) AS word FROM documents),
+cnts AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cnts),
+ranked AS (
+  SELECT word, cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rn
+  FROM cnts
+)
+SELECT k,
+       CAST(count(*) AS BIGINT) AS n_vocab,
+       (CAST(sum(r.cnt) AS BIGINT) * 1000000) // (SELECT total FROM tot)
+         AS coverage_ppm
+FROM (SELECT unnest(ARRAY{list(VOCAB_KS)}) AS k) ks
+JOIN ranked r ON r.rn <= ks.k
+GROUP BY k
+""",
+    tags=("text", "vocabulary", "llm-pipeline"),
+    doc=(
+        "Vocabulary-budget coverage curve: for each candidate vocab size "
+        f"K in {VOCAB_KS}, the integer-ppm share of all token "
+        "occurrences covered by the K most frequent tokens (ties broken "
+        "on the token — the repo's unique-key ranking convention). The "
+        "tokenizer-planning primitive: where this curve flattens is "
+        "where a bigger vocab stops paying. Shuffle story: ONE "
+        "partial-aggregated exchange for token counts; the top-K cut is "
+        "TakeOrderedAndProject over the reduced vocab frame (never a "
+        "global sort of the vocabulary), and the budget expansion "
+        "cross-joins max(K) rows with a 3-row broadcast — at 100 TB "
+        "only (word, count) pairs move, and only K of them reach the "
+        "driver side of the plan."
+    ),
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cnts = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = cnts.agg(F.sum("cnt").cast("long").alias("total"))
+    top = cnts.orderBy(F.col("cnt").desc(), F.col("word")).limit(max(VOCAB_KS))
+    rn = F.row_number().over(W.orderBy(F.col("cnt").desc(), F.col("word")))
+    ranked = top.withColumn("rn", rn)
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in VOCAB_KS])).alias("k")
+    )
+    return (
+        ranked.join(F.broadcast(ks), ranked["rn"] <= ks["k"])
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("n_vocab"),
+            F.sum("cnt").cast("long").alias("cov"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "n_vocab",
+            F.expr("(cov * 1000000) div total").alias("coverage_ppm"),
+        )
+    )

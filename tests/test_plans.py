@@ -719,3 +719,14 @@ def test_join_interval_bins_is_broadcast_equi(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan  # the session islands build
+
+
+def test_vocab_coverage_topk_not_global_sort(spark, sf_dir):
+    """The budget curve must cut the vocabulary with TakeOrderedAndProject
+    (the row_number window then runs on <= max(K) rows) — never sort the
+    full vocab frame globally."""
+    df = SPECS["vocab_coverage"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final token counts

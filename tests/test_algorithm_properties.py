@@ -1,0 +1,166 @@
+"""Property tests for the round-7 algorithmic rewrites, independent of
+the parquet fixtures and of Spark: each checks the OPERATOR'S algorithm
+against a brute-force definition on adversarial random inputs. The
+oracle-differential suite proves cross-engine agreement; these prove the
+shared algorithm is the right one in the first place (a bug present in
+both the builder and its hand-matched oracle would pass the hash gate —
+this is the independent anchor, same role tests/test_approx.py plays for
+the sketches).
+
+All pure Python — no SparkSession, runs in milliseconds per example.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from multithreaded_mapreduce_library_spark.operators.text import (
+    HH_CAPACITY,
+    _mg_candidate_batches,
+)
+
+# ---------------------------------------------------------------------------
+# Misra-Gries: the per-partition summary must never lose a heavy hitter
+# ---------------------------------------------------------------------------
+
+# small alphabet + skewed repeats => real decrement rounds
+_tokens = st.lists(
+    st.sampled_from([f"t{i}" for i in range(HH_CAPACITY * 3)]),
+    min_size=0,
+    max_size=2000,
+)
+
+
+@given(_tokens, st.integers(min_value=1, max_value=4))
+@settings(max_examples=60, deadline=None)
+def test_mg_summary_retains_every_partition_heavy_hitter(toks, n_chunks):
+    """Any token with count > n/(C+1) must survive the MG summary — the
+    pigeonhole the two-phase heavy_hitters plan is correct by. Chunking
+    must not matter (the summary is stream-order- and batch-agnostic for
+    this guarantee)."""
+    chunks = [
+        pd.DataFrame({"toks": [toks[i :: n_chunks]]}) for i in range(n_chunks)
+    ]
+    # _mg_candidate_batches consumes an iterator of batches, each row a
+    # token list — feed the same multiset split into n_chunks rows
+    (out,) = list(_mg_candidate_batches(iter(chunks)))
+    survivors = set(out["word"])
+    n = len(toks)
+    from collections import Counter
+
+    for tok, cnt in Counter(toks).items():
+        if cnt * (HH_CAPACITY + 1) > n:
+            assert tok in survivors, (
+                f"{tok} has count {cnt} > n/(C+1) = {n}/{HH_CAPACITY + 1} "
+                "but was evicted"
+            )
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline: prefix-max rewrite == quadratic dominance definition
+# ---------------------------------------------------------------------------
+
+_points = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),  # price (minimize)
+        st.integers(min_value=0, max_value=20),  # size (maximize)
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+def _skyline_quadratic(pts):
+    """The oracle's NOT-EXISTS definition verbatim: a point survives iff
+    no point weakly dominates it with strict improvement somewhere
+    (exact duplicates never dominate each other)."""
+    return {
+        (pa, sa)
+        for (pa, sa) in pts
+        if not any(
+            (pb <= pa and sb >= sa and (pb < pa or sb > sa))
+            for (pb, sb) in pts
+        )
+    }
+
+
+def _skyline_prefix_max(pts):
+    """The pareto_frontier plan's algebra: per-price max size, running
+    max over strictly-cheaper prices, keep levels that strictly beat it,
+    then recover rows with size == their level max."""
+    if not pts:
+        return set()
+    lvl: dict[int, int] = {}
+    for p, s in pts:
+        lvl[p] = max(lvl.get(p, -1), s)
+    m1 = None
+    keep_prices = {}
+    for p in sorted(lvl):
+        if m1 is None or m1 < lvl[p]:
+            keep_prices[p] = lvl[p]
+        m1 = lvl[p] if m1 is None else max(m1, lvl[p])
+    return {(p, s) for (p, s) in pts if p in keep_prices and s == keep_prices[p]}
+
+
+@given(_points)
+@settings(max_examples=120, deadline=None)
+def test_skyline_prefix_max_equals_quadratic(pts):
+    assert _skyline_prefix_max(pts) == _skyline_quadratic(pts)
+
+
+# ---------------------------------------------------------------------------
+# substring spans: gram-diagonal islands == true longest common substring
+# ---------------------------------------------------------------------------
+
+_doc = st.lists(st.sampled_from(list("abc")), min_size=0, max_size=40)
+
+
+def _lcs_tokens(a, b):
+    """True longest common (contiguous) token run, O(n*m) DP."""
+    best = 0
+    dp = [0] * (len(b) + 1)
+    for i in range(1, len(a) + 1):
+        prev = 0
+        for j in range(1, len(b) + 1):
+            cur = dp[j]
+            dp[j] = prev + 1 if a[i - 1] == b[j - 1] else 0
+            best = max(best, dp[j])
+            prev = cur
+    return best
+
+
+def _max_span_islands(a, b, L):
+    """dedup_substring's algebra (no df-cutoff): L-gram seeds, equi-match
+    on the gram, max run of consecutive matches per diagonal + L - 1."""
+    grams_a = {}
+    for i in range(len(a) - L + 1):
+        grams_a.setdefault(tuple(a[i : i + L]), []).append(i)
+    runs: dict[int, set[int]] = {}
+    for j in range(len(b) - L + 1):
+        for i in grams_a.get(tuple(b[j : j + L]), ()):
+            runs.setdefault(i - j, set()).add(i)
+    best = 0
+    for positions in runs.values():
+        for i in positions:
+            if i - 1 not in positions:
+                k = i
+                while k + 1 in positions:
+                    k += 1
+                best = max(best, k - i + 1 + L - 1)
+    return best
+
+
+@given(_doc, _doc, st.integers(min_value=2, max_value=4))
+@settings(max_examples=120, deadline=None)
+def test_substring_span_equals_true_lcs(a, b, L):
+    """Whenever the true longest shared run is >= L tokens, the
+    gram-diagonal islands formula recovers it EXACTLY (shorter overlaps
+    are below the seed length by design and report 0)."""
+    truth = _lcs_tokens(a, b)
+    got = _max_span_islands(a, b, L)
+    if truth >= L:
+        assert got == truth
+    else:
+        assert got == 0

@@ -29,9 +29,11 @@ from multithreaded_mapreduce_library_spark.functions import (
     duck_fixed_point,
     duck_h31,
     duck_md5_long60,
+    duck_money_sum,
     fixed_point,
     h31,
     md5_long60,
+    money_sum,
 )
 from multithreaded_mapreduce_library_spark.registry import register
 from multithreaded_mapreduce_library_spark.sources import load_table
@@ -95,7 +97,7 @@ WITH a AS (
 )
 SELECT change_type,
        count(*) AS n_rows,
-       (sum({duck_fixed_point('price')}) / 100) AS total_price
+       {duck_money_sum('price', 'total_price')}
 FROM d GROUP BY change_type
 """,
     tags=("maintenance", "cdc", "diff"),
@@ -145,10 +147,7 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("b.price"), F.col("a.price")).alias("price"),
         )
         .groupBy("change_type")
-        .agg(
-            F.count("*").alias("n_rows"),
-            (F.sum(fixed_point("price")) / 100).alias("total_price"),
-        )
+        .agg(F.count("*").alias("n_rows"), money_sum("price", "total_price"))
     )
 
 

@@ -425,7 +425,12 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Z-order layout clustering --------------------------------------------
 
-_Z_BITS = 16  # bits interleaved per dimension (covers every SF's key range)
+# Bits interleaved per dimension. 21 bits covers keys to ~2M (l_partkey
+# reaches 200k at TPC-H sf1 and ~2M at sf10); keys above 2^21 would have
+# their high bits silently truncated and collapse distant keys into one
+# z-bucket, so the width must grow with the keyspace (2 x 21 = 42 bits,
+# comfortably inside BIGINT).
+_Z_BITS = 21
 
 
 def _z_spark(a: str, b: str) -> str:

@@ -189,9 +189,9 @@ def _pq_final(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
 
 def _pq_code_arrays(assigned: DataFrame) -> DataFrame:
     """(vec_id, codes) — the per-vector tinyint code array (codes[m] =
-    codeword id; 2 bits of information per byte here, one full byte per
-    subspace at k=256). One bounded groupBy(vec_id) exchange, M rows per
-    key."""
+    codeword id; 3 bits of information per byte at PQ_K=8, one full byte
+    per subspace at k=256). One bounded groupBy(vec_id) exchange, M rows
+    per key."""
     return assigned.groupBy("vec_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("m", "cid"))),
@@ -201,10 +201,11 @@ def _pq_code_arrays(assigned: DataFrame) -> DataFrame:
 
 
 def _pq_query_lut(spark: SparkSession, sf_dir: str, newc: DataFrame) -> DataFrame:
-    """(query_id, lut) — per-query ADC lookup table as an array-of-arrays
-    (lut[m][cid] = fixed-point squared-L2 from the query's m-th subvector
-    to codeword cid), so the candidate-side score is a pure projection.
-    Queries x M x k rows total — tiny, built for broadcast."""
+    """(query_id, lut) — per-query ADC lookup table as an array of
+    cid-keyed maps (lut[m][cid] = fixed-point squared-L2 from the
+    query's m-th subvector to codeword cid), so the candidate-side score
+    is a pure projection. Queries x M x k rows total — tiny, built for
+    broadcast."""
     qsub = _pq_sub(spark, sf_dir).filter(F.col("vec_id") % QUERY_MOD == 0)
     lut_rows = (
         qsub.select(F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("va"))
@@ -216,17 +217,28 @@ def _pq_query_lut(spark: SparkSession, sf_dir: str, newc: DataFrame) -> DataFram
             "d2fx", F.floor(F.expr(_SPARK_D2) * _FX + F.lit(0.5)).cast("long")
         )
     )
+    # cid-KEYED map, not a positional array: a codeword that ends up
+    # with zero members after the first assignment is absent from newc,
+    # and a positionally-indexed row would silently shift every higher
+    # cid's distance (and overflow the last one). Codes can only hold
+    # cids present in newc, so the map lookup is always defined.
     per_m = lut_rows.groupBy("query_id", "m").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("cid", "d2fx"))),
-            lambda s: s["d2fx"],
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("cid").cast("int").alias("cid"), "d2fx"))
+            )
         ).alias("row")
     )
-    return per_m.groupBy("query_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("m", "row"))),
-            lambda s: s["row"],
-        ).alias("lut")
+    # the outer array is assembled by the m index (dense 0..PQ_M-1 by
+    # construction — every subspace exists for every query), because
+    # structs containing maps cannot be array_sort'ed
+    return (
+        per_m.groupBy("query_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("m", "row"))).alias("mp"))
+        .select(
+            "query_id",
+            F.expr(f"transform(sequence(0, {PQ_M - 1}), i -> mp[i])").alias("lut"),
+        )
     )
 
 

@@ -523,6 +523,18 @@ def funnel_transform(s: DataFrame) -> DataFrame:
                             keep.append(c)
                         elif t - c <= WINDOW_US:
                             n_converted += 1  # every in-window click converts
+                        else:
+                            # Too old for THIS purchase — but a disordered
+                            # purchase with a SMALLER ts (arriving within
+                            # the lateness allowance in a later batch) may
+                            # still own it; dropping here would break the
+                            # watermark contract stated above. In an
+                            # ordered replay no later purchase can reach
+                            # it either (t' >= t => t' - c > WINDOW), so
+                            # keeping it only defers removal to the
+                            # batch-end watermark expiry — counts are
+                            # unchanged.
+                            keep.append(c)
                     pending = keep
             # expire clicks no allowed-lateness purchase could still reach
             # — once per batch, against the monotone watermark (see

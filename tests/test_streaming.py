@@ -964,3 +964,65 @@ def test_multibatch_transitions_deltas_sum_to_batch(spark, sf_dir, events_multi_
     # at least one user's pairs were split across batches (more emitted
     # rows than settled pairs) — otherwise the carry was never exercised
     assert got.count() > single.count()
+
+
+def test_multibatch_funnel_purchase_disorder_rescues_old_click(spark, tmp_path):
+    """Regression for the purchase-loop drop path: a click made stale by
+    an out-of-window purchase in batch 1 must STAY pending (not be
+    dropped with the conversion scan), because a disordered purchase
+    with a smaller event time — arriving in batch 2 inside the lateness
+    allowance — may still own it. Before the fix the click was discarded
+    the moment the out-of-window purchase scanned it, and the rescue
+    purchase found nothing."""
+    import datetime as dt
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from multithreaded_mapreduce_library_spark.sources.tables import (
+        normalize_events_ts,
+    )
+    from multithreaded_mapreduce_library_spark.streaming.queries import (
+        funnel_transform,
+    )
+
+    src = tmp_path / "rescue"
+    src.mkdir()
+    T = dt.datetime(2024, 6, 1, 12, 0, 0)
+    schema = (
+        "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double, props string"
+    )
+    # batch 1: click at T, then a purchase 70min later — outside the
+    # 60-min window, so it converts nothing; watermark advances to T+70m
+    spark.createDataFrame(
+        [
+            (1, 1, "click", T, 1.0, "{}"),
+            (2, 1, "purchase", T + dt.timedelta(minutes=70), 1.0, "{}"),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    _time.sleep(1.1)
+    # batch 2: disordered purchase at T+15min — only 55min behind the
+    # watermark (inside the 60-min lateness allowance) and in-window of
+    # the click: it must find the click still pending and convert it
+    spark.createDataFrame(
+        [(3, 1, "purchase", T + dt.timedelta(minutes=15), 1.0, "{}")], schema
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    got, n_batches = _run_multi(funnel_transform(normalize_events_ts(stream)), "update")
+    assert n_batches >= 2
+    final = got.groupBy("user_id").agg(
+        F.max("n_clicks").alias("n_clicks"),
+        F.max("n_converted").alias("n_converted"),
+    ).collect()
+    assert len(final) == 1
+    r = final[0]
+    assert (r["n_clicks"], r["n_converted"]) == (1, 1), (
+        f"within-allowance disordered purchase failed to rescue the click: {r}"
+    )

@@ -616,3 +616,79 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_before",
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact AUC (Mann-Whitney with average ranks)
+# ---------------------------------------------------------------------------
+
+@register(
+    "eval_auc",
+    oracle="""
+WITH x AS (
+  SELECT source, n_chars, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+), r AS (
+  SELECT source, pos,
+         2 * rank() OVER (PARTITION BY source ORDER BY n_chars)
+           + count(*) OVER (PARTITION BY source, n_chars) - 1 AS avg2
+  FROM x
+)
+SELECT source,
+       CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST(count(*) - sum(pos) AS BIGINT) AS n_neg,
+       CAST(sum(CASE WHEN pos = 1 THEN avg2 ELSE 0 END)
+              - sum(pos) * (sum(pos) + 1) AS BIGINT)
+         / CAST(2 * sum(pos) * (count(*) - sum(pos)) AS BIGINT) AS auc
+FROM r GROUP BY source
+HAVING sum(pos) > 0 AND count(*) - sum(pos) > 0
+""",
+    tags=("pipeline", "evaluation", "auc", "llm-pipeline"),
+    doc=(
+        "EXACT ROC-AUC per source (does document length separate English "
+        "from non-English docs?) via the Mann-Whitney rank-sum identity "
+        "with midrank tie handling — the evaluation primitive for any "
+        "scored classifier over a big corpus, computed without "
+        "thresholds or sampling. Exactness: average ranks are carried "
+        "DOUBLED (2r + k - 1, pure integers — a tie group's midrank is "
+        "a half-integer), summed as BIGINT (order-independent), and the "
+        "AUC is a single integer-ratio division — bit-identical across "
+        "engines, no float rank accumulation. Shuffle story: ONE window "
+        "exchange on source (both window passes share it), then the "
+        "rank sums partial-aggregate on the same key. Degenerate "
+        "single-class groups are excluded (AUC undefined)."
+    ),
+)
+def eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    x = d.select(
+        "source",
+        "n_chars",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    wr = W.partitionBy("source").orderBy("n_chars")
+    wt = W.partitionBy("source", "n_chars")
+    r = x.select(
+        "source",
+        "pos",
+        (2 * F.rank().over(wr) + F.count("*").over(wt) - 1).alias("avg2"),
+    )
+    agg = r.groupBy("source").agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        (F.count("*") - F.sum("pos")).cast("long").alias("n_neg"),
+        F.sum(F.when(F.col("pos") == 1, F.col("avg2")).otherwise(0))
+        .cast("long")
+        .alias("r2sum"),
+    )
+    return (
+        agg.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .select(
+            "source",
+            "n_pos",
+            "n_neg",
+            (
+                (F.col("r2sum") - F.col("n_pos") * (F.col("n_pos") + 1))
+                / (2 * F.col("n_pos") * F.col("n_neg"))
+            ).alias("auc"),
+        )
+    )

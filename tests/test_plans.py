@@ -730,3 +730,15 @@ def test_vocab_coverage_topk_not_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2  # partial + final token counts
+
+
+def test_eval_auc_single_window_exchange(spark, sf_dir):
+    """Both rank windows share the source partitioning; the rank sums
+    partial-aggregate on the same key — no join, one wide exchange."""
+    import re
+
+    df = SPECS["eval_auc"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2

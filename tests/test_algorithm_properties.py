@@ -164,3 +164,90 @@ def test_substring_span_equals_true_lcs(a, b, L):
         assert got == truth
     else:
         assert got == 0
+
+
+# ---------------------------------------------------------------------------
+# interval-overlap join: bin-bucketed rewrite == quadratic overlap scan
+# ---------------------------------------------------------------------------
+
+_intervals = st.lists(
+    st.tuples(st.integers(0, 200), st.integers(0, 60)).map(
+        lambda t: (t[0], t[0] + t[1])
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+def _overlaps_quadratic(aset, bset):
+    return {
+        (i, j)
+        for i, (s0, s1) in enumerate(aset)
+        for j, (c0, c1) in enumerate(bset)
+        if s0 <= c1 and c0 <= s1
+    }
+
+
+def _overlaps_binned(aset, bset, bin_w):
+    """join_interval_bins' algebra: explode each interval into the bins
+    it spans, equi-match on the bin, dedupe pairs, keep true overlaps."""
+    cand = set()
+    bins_b: dict[int, list[int]] = {}
+    for j, (c0, c1) in enumerate(bset):
+        for bn in range(c0 // bin_w, c1 // bin_w + 1):
+            bins_b.setdefault(bn, []).append(j)
+    for i, (s0, s1) in enumerate(aset):
+        for bn in range(s0 // bin_w, s1 // bin_w + 1):
+            for j in bins_b.get(bn, ()):
+                cand.add((i, j))
+    return {
+        (i, j)
+        for (i, j) in cand
+        if aset[i][0] <= bset[j][1] and bset[j][0] <= aset[i][1]
+    }
+
+
+@given(_intervals, _intervals, st.integers(min_value=1, max_value=50))
+@settings(max_examples=120, deadline=None)
+def test_interval_bins_equals_quadratic(aset, bset, bin_w):
+    """The bin rewrite finds EXACTLY the overlapping pairs for any bin
+    width: an overlapping pair always shares at least one bin (their
+    intersection lies in some bin), and the explicit overlap filter
+    removes bin-coincidences."""
+    assert _overlaps_binned(aset, bset, bin_w) == _overlaps_quadratic(aset, bset)
+
+
+# ---------------------------------------------------------------------------
+# AUC: doubled-midrank Mann-Whitney identity == brute-force pair counting
+# ---------------------------------------------------------------------------
+
+_scored = st.lists(
+    st.tuples(st.integers(0, 10), st.booleans()), min_size=2, max_size=60
+)
+
+
+@given(_scored)
+@settings(max_examples=120, deadline=None)
+def test_auc_ranksum_equals_pair_counting(rows):
+    """eval_auc's integer algebra — avg2 = 2*rank + tiecount - 1 summed
+    over positives, AUC = (sum - n1(n1+1)) / (2 n1 n0) — must equal the
+    probabilistic definition: P(score_pos > score_neg) + 0.5 *
+    P(tie), counted over all positive x negative pairs."""
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    if not pos or not neg:
+        return
+    # brute force in integer halves: 2 per win, 1 per tie
+    num2 = sum(2 if p > n else 1 if p == n else 0 for p in pos for n in neg)
+    # the operator's rank-sum form (ranks over the combined sample)
+    allv = sorted(s for s, _ in rows)
+    import bisect
+
+    r2sum = 0
+    for s in pos:
+        rank = bisect.bisect_left(allv, s) + 1  # SQL rank(): ties share min
+        k = bisect.bisect_right(allv, s) - bisect.bisect_left(allv, s)
+        r2sum += 2 * rank + k - 1
+    n1 = len(pos)
+    lhs = r2sum - n1 * (n1 + 1)
+    assert lhs == num2, (lhs, num2)

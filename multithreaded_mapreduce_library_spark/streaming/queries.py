@@ -608,16 +608,36 @@ def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(funnel_transform(events_stream(spark, sf_dir)), "update")
 
 
+# Event-time disorder allowance for stream_transitions: events stay
+# PENDING (re-stitchable) until the monotone watermark passes this far
+# beyond them, mirroring funnel_transform's stated lateness contract.
+TRANSITIONS_LATENESS_US = 60 * 60 * 1_000_000
+
+
 def transitions_transform(s: DataFrame) -> DataFrame:
-    """Per-user event-transition DELTA counts via applyInPandasWithState:
-    GroupState carries the user's last event (ts, event_id, type), each
-    batch sorts its rows on the pinned (ts, event_id) total order, counts
-    the in-batch (prev, next) pairs PLUS the boundary pair from the
-    carried state to the batch's first row, emits the deltas, and stores
-    the new last event. Deltas make multi-batch semantics additive: the
-    settled totals are the per-(user, pair) SUMS across batches (shared
-    with the multi-batch test, which proves the boundary pairs really
-    cross batches)."""
+    """Per-user event-transition DELTA counts via applyInPandasWithState,
+    with the same explicit event-time disorder contract stream_funnel
+    carries (r7 ADVICE: the previous one-scalar carry silently assumed
+    every later batch sorted entirely after the stored last event).
+
+    GroupState per user: the last SETTLED event (ts, event_id, type —
+    the newest event no within-allowance late row can still precede), a
+    PENDING buffer of events younger than the monotone event-time
+    watermark (max ts seen, carried) minus TRANSITIONS_LATENESS_US, and
+    the watermark itself. Each batch merges its rows into the pending
+    buffer on the pinned (ts, event_id) total order, recomputes the pair
+    counts over (settled last + merged pending), and emits the SIGNED
+    difference against the same recomputation from before the merge — a
+    late row landing between two previously-adjacent events retracts
+    their old pair (-1) and asserts the two new ones (+1 each), so the
+    per-(user, pair) SUMS across batches equal the batch answer on the
+    rows seen, for ANY arrival order within the allowance. Rows sorting
+    at or before the settled event are late-beyond-allowance and dropped
+    (the stated watermark contract, as in stream_funnel). State stays
+    bounded by events per user per lateness window; settling advances
+    once per batch against the monotone watermark. In an ordered replay
+    (the gated single-batch run, the time-split multi-batch suite) every
+    delta is positive and the semantics reduce to the old carry."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     s = s.select("user_id", "event_id", "event_type", "ts")
@@ -625,33 +645,74 @@ def transitions_transform(s: DataFrame) -> DataFrame:
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
+        def pair_counts(seq):
+            counts: dict[tuple[str, str], int] = {}
+            for a, b in zip(seq, seq[1:]):
+                k = (a[2], b[2])
+                counts[k] = counts.get(k, 0) + 1
+            return counts
+
+        if state.exists:
+            st_ts, st_eid, st_type, p_ts, p_eid, p_type, max_ts = state.get
+            # ts/eid ride in doubles as exact integer MICROSECONDS
+            # (< 2^53 — same exactness argument as funnel_transform)
+            settled = (int(st_ts), int(st_eid), st_type) if st_ts >= 0 else None
+            pend = [(int(t), int(e), y) for t, e, y in zip(p_ts, p_eid, p_type)]
+            max_ts = int(max_ts)
+        else:
+            settled, pend, max_ts = None, [], 0
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if not chunks:
             yield pd.DataFrame(
                 {"user_id": [], "prev_type": [], "next_type": [], "n_transitions": []}
             )
             return
-        batch = pd.concat(chunks).sort_values(["ts", "event_id"], kind="mergesort")
-        types = list(batch["event_type"])
-        if state.exists:
-            _, _, last_type = state.get
-            prevs = [last_type] + types[:-1]
-        else:
-            prevs = [None] + types[:-1]
-        counts: dict[tuple[str, str], int] = {}
-        for p, n in zip(prevs, types):
-            if p is not None:
-                counts[(p, n)] = counts.get((p, n), 0) + 1
-        last = batch.iloc[-1]
+        rows = []
+        for r in pd.concat(chunks, ignore_index=True).itertuples(index=False):
+            t = r.ts.value // 1000  # ns -> us, exact integer
+            if t > max_ts:
+                max_ts = t
+            rows.append((t, int(r.event_id), str(r.event_type)))
+        if settled is not None:
+            # late-beyond-allowance: pairs at or before the settled event
+            # are final (their neighbours may already be settled away) —
+            # dropped by contract, like funnel clicks behind the watermark
+            horizon = (settled[0], settled[1])
+            rows = [r for r in rows if (r[0], r[1]) > horizon]
+        head = [settled] if settled is not None else []
+        old = pair_counts(head + pend)
+        merged = sorted(pend + rows, key=lambda r: (r[0], r[1]))
+        new = pair_counts(head + merged)
+        delta = {
+            k: new.get(k, 0) - old.get(k, 0)
+            for k in new.keys() | old.keys()
+            if new.get(k, 0) != old.get(k, 0)
+        }
+        # settle events the allowance guarantees no future row precedes
+        cutoff = max_ts - TRANSITIONS_LATENESS_US
+        n_settled = 0
+        while n_settled < len(merged) and merged[n_settled][0] <= cutoff:
+            n_settled += 1
+        if n_settled:
+            settled = merged[n_settled - 1]
+        pend = merged[n_settled:]
         state.update(
-            (int(last["ts"].value), int(last["event_id"]), str(last["event_type"]))
+            (
+                float(settled[0]) if settled is not None else -1.0,
+                float(settled[1]) if settled is not None else -1.0,
+                settled[2] if settled is not None else "",
+                tuple(float(r[0]) for r in pend),
+                tuple(float(r[1]) for r in pend),
+                tuple(r[2] for r in pend),
+                float(max_ts),
+            )
         )
         yield pd.DataFrame(
             {
-                "user_id": [key[0]] * len(counts),
-                "prev_type": [p for p, _ in counts],
-                "next_type": [n for _, n in counts],
-                "n_transitions": list(counts.values()),
+                "user_id": [key[0]] * len(delta),
+                "prev_type": [p for p, _ in delta],
+                "next_type": [n for _, n in delta],
+                "n_transitions": list(delta.values()),
             }
         )
 
@@ -660,7 +721,11 @@ def transitions_transform(s: DataFrame) -> DataFrame:
         outputStructType=(
             "user_id long, prev_type string, next_type string, n_transitions long"
         ),
-        stateStructType="last_ts long, last_event_id long, last_type string",
+        stateStructType=(
+            "settled_ts double, settled_eid double, settled_type string,"
+            " pend_ts array<double>, pend_eid array<double>,"
+            " pend_type array<string>, max_ts double"
+        ),
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -689,13 +754,16 @@ GROUP BY user_id, prev_type, next_type
     tags=("streaming", "stateful", "markov", "pandas-udf"),
     doc=(
         "Streaming twin of event_transitions: per-user first-order "
-        "transition counts with the last event carried in GroupState, so "
-        "pairs that straddle a batch boundary are counted exactly once — "
-        "the state is 3 scalars per user regardless of stream length, "
-        "and emissions are additive deltas (update mode). Same (ts, "
-        "event_id) total order as the batch twin; oracle-gated via the "
-        "single-batch settled replay, cross-batch boundary pairs pinned "
-        "by the multi-batch suite."
+        "transition counts with GroupState carrying the last SETTLED "
+        "event plus a pending buffer bounded by an explicit event-time "
+        "lateness allowance (monotone watermark, as stream_funnel), so "
+        "pairs that straddle a batch boundary are counted exactly once "
+        "and a within-allowance late row RETRACTS the pair it splits "
+        "(signed deltas, update mode) — per-(user, pair) sums equal the "
+        "batch answer under any arrival order within the allowance. "
+        "Same (ts, event_id) total order as the batch twin; oracle-gated "
+        "via the single-batch settled replay, cross-batch boundary pairs "
+        "and disorder retraction pinned by the multi-batch suite."
     ),
 )
 def stream_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -112,10 +112,10 @@ def build_blocks(changed, prefix, tail, last_green, this_round):
     for rnd in sorted(by_round):
         out.append(f"    # (2) last green in r{rnd} ({len(by_round[rnd])}):")
         out.append(fmt(by_round[rnd]))
-    out.append(
-        "    # --- end of gate prefix (50) "
-        "----------------------------------------"
-    )
+    # derive the marker count from the actual prefix width — a hardcoded
+    # 50 would silently go stale if the gate ever widened (ADVICE r7)
+    head = f"    # --- end of gate prefix ({len(prefix)}) "
+    out.append(head + "-" * max(1, 74 - len(head)))
     tail_by_round: dict[int, list[str]] = {}
     for n in tail:
         tail_by_round.setdefault(last_green[n], []).append(n)

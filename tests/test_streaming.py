@@ -1026,3 +1026,125 @@ def test_multibatch_funnel_purchase_disorder_rescues_old_click(spark, tmp_path):
     assert (r["n_clicks"], r["n_converted"]) == (1, 1), (
         f"within-allowance disordered purchase failed to rescue the click: {r}"
     )
+
+
+def test_multibatch_transitions_disorder_retracts_split_pair(spark, tmp_path):
+    """Cross-batch event-time disorder for stream_transitions (the r7
+    ADVICE case): batch 1 carries view@T -> purchase@T+10m (pair
+    view->purchase emitted), batch 2 delivers click@T+5m — late but well
+    inside the 1-hour allowance, so the transform must RETRACT
+    view->purchase (-1) and assert view->click and click->purchase (+1
+    each). The old one-scalar carry instead appended purchase->click
+    (boundary pair against the carried last event) and left the split
+    pair standing. Summed deltas must equal the batch answer over the
+    union of rows."""
+    import datetime as dt
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from multithreaded_mapreduce_library_spark.sources.tables import (
+        normalize_events_ts,
+    )
+    from multithreaded_mapreduce_library_spark.streaming.queries import (
+        transitions_transform,
+    )
+
+    src = tmp_path / "trans_disorder"
+    src.mkdir()
+    T = dt.datetime(2024, 6, 1, 12, 0, 0)
+    schema = (
+        "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double, props string"
+    )
+    spark.createDataFrame(
+        [
+            (1, 1, "view", T, 1.0, "{}"),
+            (2, 1, "purchase", T + dt.timedelta(minutes=10), 1.0, "{}"),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    _time.sleep(1.1)  # file source orders same-mtime files arbitrarily
+    spark.createDataFrame(
+        [(3, 1, "click", T + dt.timedelta(minutes=5), 1.0, "{}")], schema
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    got, n_batches = _run_multi(
+        transitions_transform(normalize_events_ts(stream)), "update"
+    )
+    assert n_batches >= 2, "disorder scenario requires the late click in its own batch"
+    summed = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in got.groupBy("prev_type", "next_type")
+        .agg(F.sum("n_transitions").cast("long").alias("n"))
+        .collect()
+    }
+    # net totals == batch answer on the union; the split pair nets to 0
+    assert summed.get(("view", "click")) == 1, summed
+    assert summed.get(("click", "purchase")) == 1, summed
+    assert summed.get(("view", "purchase"), 0) == 0, summed
+    assert summed.get(("purchase", "click"), 0) == 0, (
+        f"old boundary-pair miscount resurfaced: {summed}"
+    )
+
+
+def test_multibatch_transitions_beyond_allowance_row_is_dropped(spark, tmp_path):
+    """The other side of the lateness contract: a row sorting at or
+    before the SETTLED last event (watermark - allowance) is
+    late-beyond-allowance and must be dropped without corrupting state
+    or totals — batch 1 spans 3h so its first event settles, batch 2's
+    row at T-10m precedes it. Totals must remain exactly batch 1's."""
+    import datetime as dt
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from multithreaded_mapreduce_library_spark.sources.tables import (
+        normalize_events_ts,
+    )
+    from multithreaded_mapreduce_library_spark.streaming.queries import (
+        transitions_transform,
+    )
+
+    src = tmp_path / "trans_late"
+    src.mkdir()
+    T = dt.datetime(2024, 6, 1, 12, 0, 0)
+    schema = (
+        "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double, props string"
+    )
+    spark.createDataFrame(
+        [
+            (1, 1, "view", T, 1.0, "{}"),
+            (2, 1, "click", T + dt.timedelta(hours=3), 1.0, "{}"),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    _time.sleep(1.1)
+    spark.createDataFrame(
+        [(3, 1, "search", T - dt.timedelta(minutes=10), 1.0, "{}")], schema
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    got, n_batches = _run_multi(
+        transitions_transform(normalize_events_ts(stream)), "update"
+    )
+    assert n_batches >= 2
+    summed = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in got.groupBy("prev_type", "next_type")
+        .agg(F.sum("n_transitions").cast("long").alias("n"))
+        .collect()
+    }
+    assert summed == {("view", "click"): 1}, (
+        f"late-beyond-allowance row leaked into the totals: {summed}"
+    )

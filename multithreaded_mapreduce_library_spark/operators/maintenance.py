@@ -207,3 +207,105 @@ def incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("mn_d").alias("first_order_date"),
         )
     )
+
+
+# merge_upsert change feed, derived from the same deterministic md5
+# bucketing as snapshot_diff: deletes [0, DEL_CUT), updates [UPD_LO,
+# A_CUT) (restoring the true price over the target's stale price-1.0),
+# inserts [A_CUT, 100). Applying the feed to the stale target must
+# reconstruct exactly `orders WHERE bucket >= DEL_CUT` with current
+# prices — which is what the oracle computes DIRECTLY from the base
+# table, so the driver's hash equality is an end-to-end proof of the
+# MERGE semantics (wrong delete scope, a lost carried row, or an
+# unapplied update all land in a different checksum), the same
+# merge==recompute proof style as incremental_agg.
+KEY_CHECKSUM_MOD = 1_000_003
+
+
+@register(
+    "merge_upsert",
+    oracle=f"""
+SELECT o_orderstatus,
+       count(*) AS n_rows,
+       {duck_money_sum('o_totalprice', 'total_price')},
+       CAST(sum(o_orderkey % {KEY_CHECKSUM_MOD}) AS BIGINT) AS key_checksum
+FROM orders
+WHERE {_DUCK_BUCKET} >= {DEL_CUT}
+GROUP BY o_orderstatus
+""",
+    tags=("maintenance", "merge", "upsert", "cdc"),
+    doc=(
+        "MERGE INTO-style keyed upsert (the lakehouse MERGE statement the "
+        "reference cannot express — its only mutation primitive is a full "
+        "re-run, mapreduce.c:176): a typed change feed (op I/U/D) is "
+        "applied to a stale target in ONE full-outer join on the key — "
+        "WHEN MATCHED AND op='U' THEN UPDATE, WHEN MATCHED AND op='D' "
+        "THEN DELETE, WHEN NOT MATCHED AND op='I' THEN INSERT, unmatched "
+        "target rows carried. The output aggregates the APPLIED table "
+        "(per-status row counts, fixed-point money sum, and a modular "
+        "key checksum that pins the exact surviving key set); the oracle "
+        "reconstructs the expected table directly from the base data, so "
+        "hash equality proves merge(stale, feed) == truth end-to-end. "
+        "Shuffle story: two scans of orders (target, feed — both narrow "
+        "projections with pushed filters), ONE co-partitioned full-outer "
+        "SMJ exchange pair on the merge key carrying (key, status, "
+        "price_cents, op) only, then a 3-group agg with map-side "
+        "partials. At 100 TB the feed side is the arriving CDC batch — "
+        "small enough that AQE turns the same plan into a broadcast or "
+        "skew-split join without a code change."
+    ),
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bucket = _bucket("o_orderkey")
+    stale_price = F.when(
+        bucket >= UPD_LO, F.col("o_totalprice") - 1.0
+    ).otherwise(F.col("o_totalprice"))
+    target = o.filter(bucket < A_CUT).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        stale_price.alias("price"),
+    )
+    feed_op = (
+        F.when(bucket < DEL_CUT, "D").when(bucket < A_CUT, "U").otherwise("I")
+    )
+    changes = o.filter((bucket < DEL_CUT) | (bucket >= UPD_LO)).select(
+        F.col("o_orderkey").alias("k"),
+        feed_op.alias("op"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("new_price"),
+    )
+    j = target.alias("t").join(
+        changes.alias("c"), F.col("t.k") == F.col("c.k"), "full_outer"
+    )
+    action = (
+        F.when(F.col("c.k").isNull(), "carried")
+        .when(
+            F.col("t.k").isNull(),
+            # change on an absent key: only an insert applies; U/D no-op
+            F.when(F.col("c.op") == "I", "inserted"),
+        )
+        .when(F.col("c.op") == "U", "updated")
+        .when(F.col("c.op") == "D", "deleted")
+        .otherwise("carried")
+    )
+    applied = (
+        j.withColumn("action", action)
+        .filter(F.col("action").isin("carried", "updated", "inserted"))
+        .select(
+            F.coalesce(F.col("t.k"), F.col("c.k")).alias("o_orderkey"),
+            F.coalesce(F.col("t.status"), F.col("c.status")).alias("o_orderstatus"),
+            F.when(
+                F.col("action").isin("updated", "inserted"), F.col("c.new_price")
+            )
+            .otherwise(F.col("t.price"))
+            .alias("o_totalprice"),
+        )
+    )
+    return applied.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        money_sum("o_totalprice", "total_price"),
+        F.sum(F.col("o_orderkey") % KEY_CHECKSUM_MOD)
+        .cast("long")
+        .alias("key_checksum"),
+    )

@@ -254,6 +254,87 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "split_contamination_gate",
+    oracle=f"""
+WITH {_DUCK_SHINGLES},
+hsb AS (
+  SELECT doc_id, h FROM hs
+  WHERE h IN (
+    SELECT h FROM hs GROUP BY h HAVING count(*) <= {SHINGLE_DF_CUTOFF}
+  )
+),
+contaminated AS (
+  SELECT DISTINCT t.doc_id
+  FROM hsb t JOIN hsb tr ON t.h = tr.h
+  WHERE {_duck_split_bucket('t.doc_id')} >= {VAL_CUT}
+    AND {_duck_split_bucket('tr.doc_id')} < {TRAIN_CUT}
+),
+test AS (
+  SELECT doc_id, lang, len({duck_tokens('text')}) AS n_tok
+  FROM documents WHERE {_duck_split_bucket('doc_id')} >= {VAL_CUT}
+)
+SELECT lang,
+       count(*) AS n_test_docs,
+       CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated_docs,
+       CAST(sum(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clean_docs,
+       CAST(sum(CASE WHEN c.doc_id IS NULL THEN n_tok ELSE 0 END) AS BIGINT)
+         AS clean_tokens
+FROM test LEFT JOIN contaminated c ON test.doc_id = c.doc_id
+GROUP BY lang
+""",
+    tags=("pipeline", "contamination", "split", "gate", "llm-pipeline"),
+    doc=(
+        "The eval-release gate that composes dataset_split with "
+        "contamination_check: per language, how much of the TEST split "
+        "(the same bucket >= VAL_CUT membership dataset_split assigns) "
+        "survives decontamination — test docs sharing any df-bounded "
+        "3-word shingle with a TRAIN doc are flagged, and the report "
+        "carries per-lang test-doc counts, contaminated/clean splits, "
+        "and the clean-token budget left for evaluation. This is the "
+        "number a 100 TB pretraining pipeline actually gates a release "
+        "on: 'after decontamination, is there enough held-out eval data "
+        "per language?'. Shuffle story: the shingle df-cutoff agg and "
+        "both membership semi-joins all key on the shingle hash h (one "
+        "partitioning reused, exactly as contamination_check), the "
+        "flagged-id set reduces to DISTINCT doc ids before touching the "
+        "test frame, and the final flag join keys on doc_id with the "
+        "tiny id side broadcast by AQE; docs' text never shuffles — "
+        "token counts reduce at the scan."
+    ),
+)
+def split_contamination_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hs = _shingles_df(spark, sf_dir, distinct=True).select("doc_id", "h")
+    rare = (
+        hs.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= SHINGLE_DF_CUTOFF)
+        .select("h")
+    )
+    bounded = hs.join(rare, "h", "left_semi")
+    test_sh = bounded.filter(_split_bucket("doc_id") >= VAL_CUT)
+    train_sh = bounded.filter(_split_bucket("doc_id") < TRAIN_CUT).select("h")
+    contaminated = (
+        test_sh.join(train_sh, "h", "left_semi").select("doc_id").distinct()
+    )
+    d = load_table(spark, sf_dir, "documents")
+    test = d.filter(_split_bucket("doc_id") >= VAL_CUT).select(
+        "doc_id", "lang", F.size(tokens("text")).alias("n_tok")
+    )
+    flagged = test.join(
+        contaminated.withColumn("bad", F.lit(1)), "doc_id", "left"
+    )
+    clean = F.col("bad").isNull()
+    return flagged.groupBy("lang").agg(
+        F.count("*").alias("n_test_docs"),
+        F.sum(F.when(~clean, 1).otherwise(0)).cast("long").alias("n_contaminated_docs"),
+        F.sum(F.when(clean, 1).otherwise(0)).cast("long").alias("n_clean_docs"),
+        F.sum(F.when(clean, F.col("n_tok")).otherwise(0)).cast("long").alias("clean_tokens"),
+    )
+
+
 # Curation gates (C4/Gopher-style cheap filters; exact-int ratio math).
 CURATE_MIN_TOKENS = 15
 CURATE_MAX_TOKENS = 100_000

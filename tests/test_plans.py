@@ -742,3 +742,62 @@ def test_eval_auc_single_window_exchange(spark, sf_dir):
     assert "Join" not in plan
     assert "Window" in plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+def test_merge_upsert_single_keyed_join(spark, sf_dir):
+    """MERGE applies through ONE keyed full-outer join (SMJ/shuffled-hash,
+    never a nested loop) over narrow projections — the shuffle carries
+    (key, status, price, op) only, and scans prune everything else."""
+    import re
+
+    df = SPECS["merge_upsert"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "FullOuter" in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # two join-side exchanges + the 3-group agg exchange, nothing more
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
+    schemas = read_schemas(df)
+    assert schemas and all("o_comment" not in s and "o_custkey" not in s for s in schemas), (
+        "merge scans must prune to key/status/price"
+    )
+
+
+def test_graph_pagerank_builds_without_driver_actions(spark, sf_dir):
+    """Pin the r7 declarative rewrite: constructing the pagerank plan —
+    per-iteration rank frames and the 1-row node-count broadcast
+    included — must launch NO Spark job beyond the two parquet
+    schema-inference reads its load_table calls share with every other
+    builder (the old version ran a driver-side count per build, one
+    extra job). Job groups bracket a bare load_table baseline and the
+    build; explain must execute nothing."""
+    from multithreaded_mapreduce_library_spark.sources import load_table
+
+    sc = spark.sparkContext
+    sc.setJobGroup("pagerank-scan-baseline", "bare source reads")
+    try:
+        load_table(spark, sf_dir, "lineitem")
+        load_table(spark, sf_dir, "orders")
+        baseline = len(sc.statusTracker().getJobIdsForGroup("pagerank-scan-baseline"))
+        sc.setJobGroup("pagerank-build-audit", "plan construction")
+        df = SPECS["graph_pagerank"].builder(spark, sf_dir)
+        _ = formatted_plan(df)  # explain must not execute either
+        built = len(sc.statusTracker().getJobIdsForGroup("pagerank-build-audit"))
+    finally:
+        sc.setJobGroup("", "")
+    assert built <= baseline, (
+        f"plan construction launched {built - baseline} driver action(s) "
+        f"beyond the {baseline} scan-metadata jobs"
+    )
+
+
+def test_split_contamination_gate_joins_stay_keyed(spark, sf_dir):
+    """Every join in the gate is keyed (shingle hash h, then doc_id) — no
+    cartesian/NLJ fallback — and the flagged-id side reduces to DISTINCT
+    doc ids (an aggregate) before it meets the test frame."""
+    df = SPECS["split_contamination_gate"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan  # df-cutoff + train-overlap membership joins
+    assert plan.count("HashAggregate") >= 4  # df agg, distinct ids, lang agg

@@ -45,6 +45,47 @@ HEADLINE = (
 )
 
 
+def bench_ann_serving(spark, sf_dir: str, iters: int) -> dict[str, float]:
+    """Train-vs-serve split for the trained-ANN capstone (VERDICT r7 #2):
+    the end-to-end sim_topk_ivf_quantized number in `queries` is ~80%
+    in-query Lloyd training recomputed per run, which misrepresents the
+    steady-state serving cost a 100 TB deployment pays — there the index
+    (trained cell assignment + int8 codes) is built ONCE and amortized
+    across every query batch. Here the index materializes to parquet
+    once (`index_build`), then probe→shortlist→rerank runs against the
+    materialized index alone (`serve`, best-of-iters). The headline
+    total still carries the END-TO-END number; this block is reported
+    alongside it. Equivalence of the two paths is pinned by
+    tests/test_pq.py::test_ivfq_serving_over_materialized_index_matches_end_to_end.
+    """
+    import shutil
+    import tempfile
+
+    from multithreaded_mapreduce_library_spark.operators.similarity import (
+        _ivfq_coded,
+        _ivfq_shortlist_ids,
+        exact_cosine_rerank,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="ivfq_index_")
+    try:
+        t0 = time.perf_counter()
+        _ivfq_coded(spark, sf_dir).write.mode("overwrite").parquet(tmp)
+        index_build = time.perf_counter() - t0
+        idx = spark.read.parquet(tmp)
+        best = float("inf")
+        for _ in range(iters):
+            df = exact_cosine_rerank(
+                spark, sf_dir, _ivfq_shortlist_ids(spark, sf_dir, coded=idx), 3
+            )
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {"index_build": round(index_build, 3), "serve": round(best, 3)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -81,6 +122,8 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    ann_serving = bench_ann_serving(spark, sf_dir, iters)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -89,6 +132,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # steady-state serving cost of the trained-ANN capstone
+                # over a once-materialized index; the headline total
+                # carries the END-TO-END (train-in-query) number above
+                "ann_serving": ann_serving,
                 "sf": sf,
                 "load_avg_start": [round(x, 2) for x in load_start],
                 "load_avg_end": [round(x, 2) for x in os.getloadavg()],

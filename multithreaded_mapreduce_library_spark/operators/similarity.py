@@ -885,14 +885,22 @@ def _ivfq_coded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfq_shortlist_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivfq_shortlist_ids(
+    spark: SparkSession, sf_dir: str, coded: DataFrame | None = None
+) -> DataFrame:
     """(query_id, neighbor_id) — the per-query int8 shortlist, computed
     entirely on the tinyint codes: cell-local candidate join, widened
     integer dot product, top-SHORTLIST_K window. No float-array column
     exists anywhere in this subplan past the code projection — the
     candidate exchange carries ids + 1-byte codes only (plan-asserted by
-    tests/test_plans.py::test_ivf_quantized_shortlist_carries_no_floats)."""
-    coded = _ivfq_coded(spark, sf_dir)
+    tests/test_plans.py::test_ivf_quantized_shortlist_carries_no_floats).
+
+    ``coded`` lets a caller supply an already-MATERIALIZED (vec_id, cid,
+    codes) index table (bench.py's serving-only measurement; a 100 TB
+    deployment trains once and serves many) — by default the index is
+    built in-query, which is what the oracle-gated capstone times."""
+    if coded is None:
+        coded = _ivfq_coded(spark, sf_dir)
     q = coded.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("cid").alias("qcid"),

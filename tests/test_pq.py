@@ -170,3 +170,27 @@ def test_zorder_buckets_are_prunable_envelopes(spark, sf_dir):
         f"z-buckets' partkey envelopes average {mean_span:.2f} of the global "
         "span — no pruning power"
     )
+
+
+def test_ivfq_serving_over_materialized_index_matches_end_to_end(
+    spark, sf_dir, tmp_path
+):
+    """The bench.py serving-only measurement is honest only if
+    probe→shortlist→rerank over a MATERIALIZED (vec_id, cid, codes)
+    index table returns exactly what the end-to-end capstone (which
+    trains in-query) returns — pin that equivalence."""
+    from multithreaded_mapreduce_library_spark.operators.similarity import (
+        _ivfq_coded,
+        _ivfq_shortlist_ids,
+        exact_cosine_rerank,
+    )
+
+    idx_path = str(tmp_path / "ivfq_index")
+    _ivfq_coded(spark, sf_dir).write.mode("overwrite").parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+    served = exact_cosine_rerank(
+        spark, sf_dir, _ivfq_shortlist_ids(spark, sf_dir, coded=idx), 3
+    )
+    e2e = SPECS["sim_topk_ivf_quantized"].builder(spark, sf_dir)
+    canon = lambda df: sorted(tuple(map(str, r)) for r in df.collect())
+    assert canon(served) == canon(e2e)

@@ -84,6 +84,14 @@ PROBE = (
     "time_weighted_avg",
     "join_asof_nearest",
     "join_interval_bins",
+    # round-8 additions: merge_upsert is ONE keyed full-outer SMJ over
+    # narrow (key, status, price, op) payloads — expect ~Nx;
+    # split_contamination_gate follows contamination_check's df-bounded
+    # inverted-index shape (verbatim replication multiplies every
+    # shingle's df, so the df-cutoff drops MORE shingles at Nx and the
+    # candidate join can land below Nx — reported against Nx).
+    "merge_upsert",
+    "split_contamination_gate",
 )
 OFF = 100_000_000  # key offset per copy — far above any base key
 

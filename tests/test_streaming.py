@@ -1148,3 +1148,148 @@ def test_multibatch_transitions_beyond_allowance_row_is_dropped(spark, tmp_path)
     assert summed == {("view", "click"): 1}, (
         f"late-beyond-allowance row leaked into the totals: {summed}"
     )
+
+
+def test_checkpoint_restart_restores_transitions_pending_buffer(spark, tmp_path):
+    """Kill-and-restart durability for the r8 transitions state schema
+    (settled scalars + three PENDING arrays + watermark): run 1 commits
+    view@T -> purchase@T+10m (pair emitted, both pending — inside the
+    1-hour allowance), the query stops, and run 2 — a fresh query from
+    the same checkpoint — processes ONLY the late click@T+5m file. The
+    correct output (retract view->purchase, assert view->click and
+    click->purchase) is constructible only if the pending buffer
+    round-tripped the state store: run 2 never re-reads f1."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from multithreaded_mapreduce_library_spark.sources.tables import (
+        normalize_events_ts,
+    )
+    from multithreaded_mapreduce_library_spark.streaming.queries import (
+        transitions_transform,
+    )
+
+    src = tmp_path / "ckpt_trans_src"
+    ckpt = tmp_path / "ckpt_trans_state"
+    src.mkdir()
+    T = dt.datetime(2024, 6, 1, 12, 0, 0)
+    schema = (
+        "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double, props string"
+    )
+
+    def run_once(sink_rows):
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        q = (
+            transitions_transform(normalize_events_ts(stream))
+            .writeStream.foreachBatch(
+                lambda df, _epoch: sink_rows.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(
+        [
+            (1, 1, "view", T, 1.0, "{}"),
+            (2, 1, "purchase", T + dt.timedelta(minutes=10), 1.0, "{}"),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    first: list = []
+    run_once(first)
+    assert {
+        (r["prev_type"], r["next_type"]): r["n_transitions"] for r in first
+    } == {("view", "purchase"): 1}, first
+
+    spark.createDataFrame(
+        [(3, 1, "click", T + dt.timedelta(minutes=5), 1.0, "{}")], schema
+    ).coalesce(1).write.parquet(str(src / "f2"))
+    second: list = []
+    run_once(second)
+    got = {(r["prev_type"], r["next_type"]): r["n_transitions"] for r in second}
+    assert got == {
+        ("view", "purchase"): -1,
+        ("view", "click"): 1,
+        ("click", "purchase"): 1,
+    }, f"pending buffer not restored across restart: {got}"
+
+
+def test_multibatch_transitions_random_disorder_sums_to_batch(spark, tmp_path):
+    """Property anchor for the retraction algebra: a synthetic 3-user
+    event set spanning 30 minutes (strictly inside the 1-hour allowance,
+    so nothing settles and nothing may drop) is shuffled by a SEEDED
+    permutation into 3 arbitrary-order batch files; the per-(user, pair)
+    delta sums must equal the batch transition counts over the union —
+    for an arrival order with no relation to event time."""
+    import datetime as dt
+    import random
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from multithreaded_mapreduce_library_spark.sources.tables import (
+        normalize_events_ts,
+    )
+    from multithreaded_mapreduce_library_spark.streaming.queries import (
+        transitions_transform,
+    )
+
+    T = dt.datetime(2024, 6, 1, 12, 0, 0)
+    types = ["view", "click", "search", "purchase"]
+    rng = random.Random(20260814)
+    rows = [
+        (
+            100 * u + i,
+            u,
+            rng.choice(types),
+            T + dt.timedelta(seconds=rng.randrange(1800)),
+            1.0,
+            "{}",
+        )
+        for u in (1, 2, 3)
+        for i in range(10)
+    ]
+    schema = (
+        "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double, props string"
+    )
+    # expected: batch pair counts over the pinned (ts, event_id) order
+    expected: dict = {}
+    for u in (1, 2, 3):
+        seq = sorted((r for r in rows if r[1] == u), key=lambda r: (r[3], r[0]))
+        for a, b in zip(seq, seq[1:]):
+            k = (u, a[2], b[2])
+            expected[k] = expected.get(k, 0) + 1
+
+    src = tmp_path / "rand_disorder"
+    src.mkdir()
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    for i in range(3):
+        spark.createDataFrame(shuffled[i::3], schema).coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+        _time.sleep(1.1)  # file source orders same-mtime files arbitrarily
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    got_df, n_batches = _run_multi(
+        transitions_transform(normalize_events_ts(stream)), "update"
+    )
+    assert n_batches >= 2
+    got = {
+        (r["user_id"], r["prev_type"], r["next_type"]): r["n"]
+        for r in got_df.groupBy("user_id", "prev_type", "next_type")
+        .agg(F.sum("n_transitions").cast("long").alias("n"))
+        .collect()
+        if r["n"] != 0
+    }
+    assert got == expected, f"disorder sums diverged from batch: {got} != {expected}"

@@ -1118,3 +1118,81 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("avg_sqnorm"),
     )
+
+
+SEMANTIC_TAU = 0.3  # within-cell cosine at/above which the later doc drops
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+WITH {_DUCK_LLOYD_CTES},
+asn AS (
+  SELECT a2.vec_id, a2.cid, e.v FROM a2 JOIN e ON a2.vec_id = e.vec_id
+),
+drops AS (
+  SELECT b.vec_id AS dup_id, min(a.vec_id) AS rep
+  FROM asn a JOIN asn b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {_duck_cosine('a.v', 'b.v')} >= {SEMANTIC_TAU}
+  GROUP BY b.vec_id
+)
+SELECT asn.vec_id,
+       CAST(asn.cid AS BIGINT) AS cell_id,
+       (d.dup_id IS NULL) AS kept,
+       CAST(coalesce(d.rep, -1) AS BIGINT) AS dup_of
+FROM asn LEFT JOIN drops d ON asn.vec_id = d.dup_id
+""",
+    tags=("dedup", "similarity", "kmeans", "llm-pipeline"),
+    doc=(
+        "Semantic (embedding-space) corpus dedup, SemDeDup-style (Abbas "
+        "et al. 2023, arXiv:2303.09540 — method only, no code consulted): "
+        "cluster the corpus with the exact Lloyd pipeline shared with "
+        "ivf_train_centroids (same code, same oracle CTEs — the cells "
+        "cannot drift from the ANN index), then inside each cell drop "
+        f"every document that has an earlier-id neighbor at cosine >= "
+        f"{SEMANTIC_TAU}, recording the smallest such earlier id as "
+        "dup_of (-1 sentinel for kept docs; EXISTS-any-earlier "
+        "semantics, not survivor-chained — deterministic without "
+        "iteration). Emits the full per-document decision table "
+        "(vec_id, cell_id, kept, dup_of) — the curation artifact a "
+        "training pipeline joins against, not just the pair list "
+        "sim_near_dup produces. Exactness: cosine is the shared "
+        "sequential left fold (bit-identical across engines), so the "
+        "threshold compare agrees bit-for-bit; the representative is a "
+        "min over ids. Shuffle story: training as in ivf_train_centroids "
+        "(broadcast k centroids, k-row-bounded argmin window, k x dim "
+        "partial-agg update); the pair join is ONE exchange on the cell "
+        "id with cell-local pairs — sum(cell^2), never n^2; the drop "
+        "agg and the final left join are both keyed on vec_id. At 100 "
+        "TB the cell count k scales up to bound cell^2 (the SemDeDup "
+        "contract); vectors cross exactly the one cell-keyed exchange."
+    ),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    asn = _lloyd_final_assignment(spark, sf_dir)  # (vec_id, cid, d2, va)
+    e = asn.select(
+        "vec_id", "cid", F.col("va").alias("v")
+    ).withColumn("norm", F.expr(_SPARK_NORM))
+    a = e.select(
+        F.col("vec_id").alias("a_id"), F.col("cid").alias("cid_a"),
+        F.col("v").alias("va"), F.col("norm").alias("norm_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("b_id"), F.col("cid").alias("cid_b"),
+        F.col("v").alias("vb"), F.col("norm").alias("norm_b"),
+    )
+    drops = (
+        a.join(b, (F.col("cid_a") == F.col("cid_b")) & (F.col("a_id") < F.col("b_id")))
+        .filter(F.expr(_SPARK_COSINE) >= F.lit(SEMANTIC_TAU))
+        .groupBy("b_id")
+        .agg(F.min("a_id").alias("rep"))
+    )
+    return (
+        e.join(drops, e.vec_id == drops.b_id, "left")
+        .select(
+            "vec_id",
+            F.col("cid").cast("long").alias("cell_id"),
+            F.col("b_id").isNull().alias("kept"),
+            F.coalesce(F.col("rep"), F.lit(-1)).cast("long").alias("dup_of"),
+        )
+    )

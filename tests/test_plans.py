@@ -801,3 +801,23 @@ def test_split_contamination_gate_joins_stay_keyed(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftSemi" in plan  # df-cutoff + train-overlap membership joins
     assert plan.count("HashAggregate") >= 4  # df agg, distinct ids, lang agg
+
+
+def test_dedup_semantic_pairs_stay_cell_local(spark, sf_dir):
+    """SemDeDup contract: the within-cell pair join must be an equi-join
+    on the trained cell id (cell-local pairs, sum(cell^2) work), never a
+    cartesian/nested-loop over the corpus; training centroids broadcast
+    exactly as in ivf_train_centroids."""
+    plan = formatted_plan(SPECS["dedup_semantic"].builder(spark, sf_dir))
+    assert "CartesianProduct" not in plan, "pair join must stay cell-local"
+    # the pair join itself must be a shuffled EQUI join on the cell id
+    assert "SortMergeJoin Inner" in plan or "ShuffledHashJoin Inner" in plan
+    # the only nested-loop joins allowed are the k-row centroid broadcasts
+    # from the shared Lloyd training lineage: 2 per lineage copy, and the
+    # assignment frame feeds THREE branches here (pair side a, pair side
+    # b, final decision join) vs TWO in sim_topk_ivf_trained — so the
+    # allowed count is exactly 3/2 of the trained query's.
+    trained = formatted_plan(SPECS["sim_topk_ivf_trained"].builder(spark, sf_dir))
+    assert plan.count("BroadcastNestedLoopJoin") <= (
+        3 * trained.count("BroadcastNestedLoopJoin") // 2
+    ), "no nested-loop beyond the replicated training broadcasts"

@@ -222,9 +222,106 @@ def incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 KEY_CHECKSUM_MOD = 1_000_003
 
 
-@register(
-    "merge_upsert",
-    oracle=f"""
+def apply_merge(target: DataFrame, changes: DataFrame) -> DataFrame:
+    """Apply a typed change feed to a keyed target — the MERGE INTO core,
+    shared verbatim by the batch ``merge_upsert`` and the streaming
+    ``stream_upsert`` foreachBatch sink (so the two cannot drift).
+
+    ``target``:  (k, status, price)                — current table state
+    ``changes``: (k, op I/U/D, status, new_price)  — keyed change feed,
+                 at most one row per key per application
+    Returns the applied table (o_orderkey, o_orderstatus, o_totalprice):
+    matched U → update price, matched D → delete, unmatched I → insert,
+    everything else carried. Because the feed is keyed (≤1 op per key per
+    batch), applying a partition of the feed batch-by-batch composes to
+    the same table as applying it all at once — the additivity property
+    stream_upsert's multi-batch exactly-once test pins.
+
+    Shuffle story: ONE co-partitioned full-outer SMJ exchange pair on the
+    merge key carrying (key, status, price_cents, op) only; at 100 TB the
+    feed side is the arriving CDC batch — small enough that AQE turns the
+    same plan into a broadcast or skew-split join without a code change.
+    """
+    j = target.alias("t").join(
+        changes.alias("c"), F.col("t.k") == F.col("c.k"), "full_outer"
+    )
+    action = (
+        F.when(F.col("c.k").isNull(), "carried")
+        .when(
+            F.col("t.k").isNull(),
+            # change on an absent key: only an insert applies; U/D no-op
+            F.when(F.col("c.op") == "I", "inserted"),
+        )
+        .when(F.col("c.op") == "U", "updated")
+        .when(F.col("c.op") == "D", "deleted")
+        .otherwise("carried")
+    )
+    return (
+        j.withColumn("action", action)
+        .filter(F.col("action").isin("carried", "updated", "inserted"))
+        .select(
+            F.coalesce(F.col("t.k"), F.col("c.k")).alias("o_orderkey"),
+            F.coalesce(F.col("t.status"), F.col("c.status")).alias("o_orderstatus"),
+            F.when(
+                F.col("action").isin("updated", "inserted"), F.col("c.new_price")
+            )
+            .otherwise(F.col("t.price"))
+            .alias("o_totalprice"),
+        )
+    )
+
+
+def merge_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stale keyed target (k, status, price): buckets [0, A_CUT) with
+    the pre-update price on [UPD_LO, A_CUT) — shared by merge_upsert and
+    stream_upsert so both ops merge into the identical starting table."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = _bucket("o_orderkey")
+    stale_price = F.when(
+        bucket >= UPD_LO, F.col("o_totalprice") - 1.0
+    ).otherwise(F.col("o_totalprice"))
+    return o.filter(bucket < A_CUT).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        stale_price.alias("price"),
+    )
+
+
+def merge_feed(o: DataFrame) -> DataFrame:
+    """The typed change feed (k, op, status, new_price) derived from an
+    orders frame (batch or per-micro-batch slice): D on [0, DEL_CUT),
+    U on [UPD_LO, A_CUT), I on [A_CUT, 100) — one row per key."""
+    bucket = _bucket("o_orderkey")
+    feed_op = (
+        F.when(bucket < DEL_CUT, "D").when(bucket < A_CUT, "U").otherwise("I")
+    )
+    return o.filter((bucket < DEL_CUT) | (bucket >= UPD_LO)).select(
+        F.col("o_orderkey").alias("k"),
+        feed_op.alias("op"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("new_price"),
+    )
+
+
+def merge_result_agg(applied: DataFrame) -> DataFrame:
+    """Per-status summary of an applied table (the oracle-compared shape
+    shared by merge_upsert and stream_upsert): row count, fixed-point
+    money sum, and a modular key checksum pinning the surviving key set."""
+    return applied.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        money_sum("o_totalprice", "total_price"),
+        F.sum(F.col("o_orderkey") % KEY_CHECKSUM_MOD)
+        .cast("long")
+        .alias("key_checksum"),
+    )
+
+
+# The merged-table truth, computed directly from the base data: applying
+# the feed to the stale target must reconstruct exactly `orders WHERE
+# bucket >= DEL_CUT` with current prices. Shared by merge_upsert and
+# stream_upsert — hash equality is an end-to-end proof of the MERGE
+# semantics on either execution path.
+MERGE_ORACLE = f"""
 SELECT o_orderstatus,
        count(*) AS n_rows,
        {duck_money_sum('o_totalprice', 'total_price')},
@@ -232,7 +329,12 @@ SELECT o_orderstatus,
 FROM orders
 WHERE {_DUCK_BUCKET} >= {DEL_CUT}
 GROUP BY o_orderstatus
-""",
+"""
+
+
+@register(
+    "merge_upsert",
+    oracle=MERGE_ORACLE,
     tags=("maintenance", "merge", "upsert", "cdc"),
     doc=(
         "MERGE INTO-style keyed upsert (the lakehouse MERGE statement the "
@@ -256,56 +358,120 @@ GROUP BY o_orderstatus
     ),
 )
 def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target = merge_target(spark, sf_dir)
+    changes = merge_feed(load_table(spark, sf_dir, "orders"))
+    return merge_result_agg(apply_merge(target, changes))
+
+
+# --- small-files compaction planner -----------------------------------------
+#
+# File inventory derived deterministically from orders: one "file" per
+# customer chunk, sized by its fixed-point money volume in cents. Chunk
+# width models a real lakehouse file listing — 30% of customers (mod-10
+# buckets 0-2) sit in wide already-compacted chunks (~4.5B cents), the
+# rest in narrow fresh-ingest chunks (~0.75B) — so file COUNT scales with
+# the data while per-file SIZE stays scale-invariant (files are chunks,
+# not shards of the whole table), and both keep and compact branches are
+# exercised at every sf. Both engines reconstruct the inventory
+# bit-identically (integer key arithmetic only).
+COMPACT_TARGET = 2_000_000_000  # target bin size (cents standing in for bytes)
+
+_DUCK_FILE_ID = (
+    "CASE WHEN o_custkey % 10 < 3 THEN 'compacted/' || CAST(o_custkey // 100 AS VARCHAR) "
+    "ELSE 'ingest/' || CAST(o_custkey // 5 AS VARCHAR) END"
+)
+
+
+@register(
+    "compact_plan",
+    oracle=f"""
+WITH inv AS (
+  SELECT {_DUCK_FILE_ID} AS file_id,
+         CAST(sum({duck_fixed_point('o_totalprice')}) AS BIGINT) AS size_bytes
+  FROM orders GROUP BY 1
+), cand AS (
+  SELECT file_id, size_bytes,
+         CAST((sum(size_bytes) OVER (ORDER BY size_bytes DESC, file_id)
+               - size_bytes) // {COMPACT_TARGET} AS BIGINT) AS bin_id
+  FROM inv WHERE size_bytes < {COMPACT_TARGET}
+), u AS (
+  SELECT file_id, size_bytes, bin_id FROM cand
+  UNION ALL
+  SELECT file_id, size_bytes, CAST(-1 AS BIGINT) AS bin_id
+  FROM inv WHERE size_bytes >= {COMPACT_TARGET}
+)
+SELECT file_id, size_bytes,
+       CASE WHEN bin_id = -1 THEN 'keep' ELSE 'compact' END AS action,
+       bin_id,
+       CAST(sum(size_bytes) OVER (
+         PARTITION BY bin_id,
+                      CASE WHEN bin_id = -1 THEN file_id ELSE '' END
+       ) AS BIGINT) AS bin_total
+FROM u
+""",
+    tags=("maintenance", "compaction", "optimize"),
+    doc=(
+        "Small-files compaction planner — the OPTIMIZE bin-packing step "
+        "that pairs with layout_zorder (the reference rewrites one output "
+        "file per reduce task, distwc.c-style, and has no notion of "
+        "compacting them back). The file inventory (one file per customer "
+        "chunk, wide compacted + narrow ingest chunks, sized by fixed-"
+        "point money volume) is packed by "
+        "sequential fill in (size DESC, file_id) order: each file's bin is "
+        "its preceding cumulative size DIV target — a deterministic, "
+        "window-expressible packing (the same single ordered pass Delta-"
+        "style OPTIMIZE planners make on the file listing) with every bin "
+        "except possibly the last filled to >= target - max_candidate. "
+        "Files already at/over target are kept as-is (action='keep', "
+        "bin_id=-1, their own bin_total). All arithmetic is integer "
+        "(cents, DIV) so the two engines agree bit-for-bit. Shuffle "
+        "story: one partial-aggregated exchange on the (month, status) "
+        "inventory key, then ONE single-partition window pass — over FILE "
+        "METADATA, O(#files) not O(data): at 100 TB with 128 MB files "
+        "that is ~800k rows on one task, the planner's input, not the "
+        "table's; the compaction EXECUTION the plan drives shuffles on "
+        "bin_id with no skew (bins are size-capped by construction)."
+    ),
+)
+def compact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     o = load_table(spark, sf_dir, "orders")
-    bucket = _bucket("o_orderkey")
-    stale_price = F.when(
-        bucket >= UPD_LO, F.col("o_totalprice") - 1.0
-    ).otherwise(F.col("o_totalprice"))
-    target = o.filter(bucket < A_CUT).select(
-        F.col("o_orderkey").alias("k"),
-        F.col("o_orderstatus").alias("status"),
-        stale_price.alias("price"),
+    file_id = F.when(
+        F.col("o_custkey") % 10 < 3,
+        F.concat(F.lit("compacted/"), F.expr("CAST(o_custkey DIV 100 AS STRING)")),
+    ).otherwise(
+        F.concat(F.lit("ingest/"), F.expr("CAST(o_custkey DIV 5 AS STRING)"))
     )
-    feed_op = (
-        F.when(bucket < DEL_CUT, "D").when(bucket < A_CUT, "U").otherwise("I")
+    inv = o.groupBy(file_id.alias("file_id")).agg(
+        F.sum(fixed_point("o_totalprice")).cast("long").alias("size_bytes")
     )
-    changes = o.filter((bucket < DEL_CUT) | (bucket >= UPD_LO)).select(
-        F.col("o_orderkey").alias("k"),
-        feed_op.alias("op"),
-        F.col("o_orderstatus").alias("status"),
-        F.col("o_totalprice").alias("new_price"),
+    # DIV (exact integer division) rather than floor(double /): at metadata
+    # cardinalities the doubles would be exact too, but integer arithmetic
+    # matches the oracle's // by construction, not by analysis.
+    cand = inv.filter(F.col("size_bytes") < COMPACT_TARGET).withColumn(
+        "bin_id",
+        F.expr(
+            f"CAST((sum(size_bytes) OVER (ORDER BY size_bytes DESC, file_id)"
+            f" - size_bytes) DIV {COMPACT_TARGET} AS BIGINT)"
+        ),
     )
-    j = target.alias("t").join(
-        changes.alias("c"), F.col("t.k") == F.col("c.k"), "full_outer"
+    keep = inv.filter(F.col("size_bytes") >= COMPACT_TARGET).withColumn(
+        "bin_id", F.lit(-1).cast("long")
     )
-    action = (
-        F.when(F.col("c.k").isNull(), "carried")
-        .when(
-            F.col("t.k").isNull(),
-            # change on an absent key: only an insert applies; U/D no-op
-            F.when(F.col("c.op") == "I", "inserted"),
-        )
-        .when(F.col("c.op") == "U", "updated")
-        .when(F.col("c.op") == "D", "deleted")
-        .otherwise("carried")
+    per_bin = Window.partitionBy(
+        "bin_id",
+        F.when(F.col("bin_id") == -1, F.col("file_id")).otherwise(F.lit("")),
     )
-    applied = (
-        j.withColumn("action", action)
-        .filter(F.col("action").isin("carried", "updated", "inserted"))
+    return (
+        cand.unionByName(keep)
         .select(
-            F.coalesce(F.col("t.k"), F.col("c.k")).alias("o_orderkey"),
-            F.coalesce(F.col("t.status"), F.col("c.status")).alias("o_orderstatus"),
-            F.when(
-                F.col("action").isin("updated", "inserted"), F.col("c.new_price")
-            )
-            .otherwise(F.col("t.price"))
-            .alias("o_totalprice"),
+            "file_id",
+            "size_bytes",
+            F.when(F.col("bin_id") == -1, "keep")
+            .otherwise("compact")
+            .alias("action"),
+            "bin_id",
+            F.sum("size_bytes").over(per_bin).cast("long").alias("bin_total"),
         )
-    )
-    return applied.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n_rows"),
-        money_sum("o_totalprice", "total_price"),
-        F.sum(F.col("o_orderkey") % KEY_CHECKSUM_MOD)
-        .cast("long")
-        .alias("key_checksum"),
     )

@@ -768,3 +768,261 @@ GROUP BY user_id, prev_type, next_type
 )
 def stream_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(transitions_transform(events_stream(spark, sf_dir)), "update")
+
+
+# ---------------------------------------------------------------------------
+# streaming MERGE sink (CDC -> lakehouse) and streaming dedup membership
+# ---------------------------------------------------------------------------
+
+
+def table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Single-file parquet stream over any fixture table — the same layout
+    guard and schema pinning as events_stream (one file == one availableNow
+    data batch; multi-batch replays are a deliberate act in the test suite
+    via a split directory + maxFilesPerTrigger=1)."""
+    import os
+
+    path = table_path(sf_dir, name)
+    if not os.path.isfile(path):
+        kind = "a directory" if os.path.isdir(path) else "missing"
+        raise AssertionError(
+            f"{name} source {path} is {kind}, not a single parquet file — "
+            "the single-data-batch replay assumption behind the streaming "
+            "oracle is void; fix the fixture layout or drive the transform "
+            "over a split directory for multi-batch semantics"
+        )
+    batch = spark.read.parquet(path)
+    return (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def upsert_sink(target_root: str):
+    """foreachBatch MERGE applier over a versioned copy-on-write target.
+
+    The target lives as ``target_root/v{N}`` parquet snapshots plus the
+    implicit commit marker (_SUCCESS). Batch ``e`` reads the newest
+    COMMITTED version at or below ``e`` and writes ``v{e+1}`` — so a
+    retried epoch (foreachBatch's at-least-once contract) recomputes from
+    the SAME predecessor and overwrites the same directory: the committed
+    chain advances exactly once per epoch regardless of retries, which is
+    precisely how Delta/Iceberg MERGE achieves exactly-once under the
+    hood (their log commit replaces the _SUCCESS marker; the local-fs
+    marker stands in for that here — at 100 TB this function body is the
+    engine-side half, and the table format supplies the atomic commit).
+
+    Shuffle story per batch: apply_merge's ONE co-partitioned full-outer
+    SMJ on the merge key (see operators/maintenance.apply_merge); the
+    CDC micro-batch side is small, so AQE broadcasts it in production.
+    """
+    from multithreaded_mapreduce_library_spark.operators.maintenance import (
+        apply_merge,
+    )
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        import os
+
+        out = os.path.join(target_root, f"v{epoch_id + 1}")
+        if os.path.exists(os.path.join(out, "_SUCCESS")):
+            return  # retried epoch already committed — exactly-once
+        committed = [
+            int(d[1:])
+            for d in os.listdir(target_root)
+            if d.startswith("v")
+            and d[1:].isdigit()
+            and int(d[1:]) <= epoch_id
+            and os.path.exists(os.path.join(target_root, d, "_SUCCESS"))
+        ]
+        prev = os.path.join(target_root, f"v{max(committed)}")
+        b = batch_df.sparkSession
+        tgt = b.read.parquet(prev).select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+        apply_merge(tgt, batch_df).write.mode("overwrite").parquet(out)
+
+    return apply_batch
+
+
+def latest_upsert_version(target_root: str) -> str:
+    import os
+
+    committed = [
+        int(d[1:])
+        for d in os.listdir(target_root)
+        if d.startswith("v")
+        and d[1:].isdigit()
+        and os.path.exists(os.path.join(target_root, d, "_SUCCESS"))
+    ]
+    return os.path.join(target_root, f"v{max(committed)}")
+
+
+from multithreaded_mapreduce_library_spark.operators.maintenance import (  # noqa: E402
+    MERGE_ORACLE,
+)
+
+
+@register(
+    "stream_upsert",
+    # The settled copy-on-write target after replaying the CDC feed must
+    # reconstruct `orders WHERE bucket >= DEL_CUT` with current prices —
+    # the SAME end-to-end truth merge_upsert proves, via the shared
+    # MERGE_ORACLE (computed directly from base data, so the hash cannot
+    # be satisfied by a wrong merge on either path).
+    oracle=MERGE_ORACLE,
+    tags=("streaming", "merge", "upsert", "cdc", "foreachBatch"),
+    doc=(
+        "Streaming MERGE sink — the streaming-CDC-to-lakehouse pattern: "
+        "the typed change feed (op I/U/D, derived from orders exactly as "
+        "merge_upsert's) arrives as a stream and foreachBatch applies "
+        "each micro-batch to a versioned copy-on-write keyed target via "
+        "the SAME apply_merge core the batch operator uses (shared code "
+        "— the two cannot drift). Exactly-once under foreachBatch's "
+        "at-least-once retries comes from the versioned commit chain: "
+        "batch e always applies onto the newest committed version <= e "
+        "and idempotently (over)writes v{e+1} (see upsert_sink). "
+        "Because the feed is keyed (one op per key), applying it in any "
+        "batch partition composes to the single-shot merge — the "
+        "additivity the multi-batch test pins. The builder returns the "
+        "per-status summary of the settled target (3 groups; the O(1)-"
+        "row local materialization lets the temp versions be reclaimed "
+        "eagerly). At 100 TB the version chain is a Delta/Iceberg log "
+        "and each micro-batch costs one AQE-broadcast merge join over "
+        "the arriving keys — state lives in the table, not the stream. "
+        "The reference's only mutation primitive is a full re-run "
+        "(mapreduce.c:176 barrier); this is the operator that replaces "
+        "it."
+    ),
+)
+def stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from multithreaded_mapreduce_library_spark.operators.maintenance import (
+        merge_feed,
+        merge_result_agg,
+        merge_target,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_upsert_")
+    prev_conf = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        troot = os.path.join(tmp, "versions")
+        os.makedirs(troot)
+        merge_target(spark, sf_dir).select(
+            F.col("k").alias("o_orderkey"),
+            F.col("status").alias("o_orderstatus"),
+            F.col("price").alias("o_totalprice"),
+        ).write.parquet(os.path.join(troot, "v0"))
+        feed = merge_feed(table_stream(spark, sf_dir, "orders"))
+        q = (
+            feed.writeStream.foreachBatch(upsert_sink(troot))
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        agg = merge_result_agg(spark.read.parquet(latest_upsert_version(troot)))
+        rows = agg.collect()  # 3 status groups — O(groups), not a data path
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_conf)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+
+
+def dedup_docs_transform(s: DataFrame) -> DataFrame:
+    """Stateful streaming dedup membership over a documents stream —
+    the online twin of the batch dedup_exact family (shared with the
+    multi-batch and disorder tests).
+
+    Arrival contract (stated, like the watermark contracts above): the
+    FIRST batch in which a content hash appears elects the keeper (min
+    doc_id within that batch breaks simultaneous-arrival ties); later
+    arrivals of the same hash only increment the duplicate count. On an
+    id-ordered replay — the gated single-batch run, or the id-split
+    multi-batch suite — first-arrival == min doc_id and the settled
+    answer equals batch dedup_exact bit-for-bit (the oracle). Under
+    genuine arrival disorder the keeper is the first SEEN, which is the
+    semantics an online ingest gate actually wants (the doc already
+    admitted must stay the keeper; the batch twin re-decides offline).
+
+    State per distinct content hash: (keeper_id, copies) — two longs, the
+    membership set sharded across the cluster by the groupBy(content_hash)
+    shuffle. The md5 is computed JVM-side BEFORE the shuffle, so document
+    text never crosses an exchange — shuffle volume is O(rows), same as
+    batch dedup_exact. In production the state carries a TTL/watermark on
+    ingestion time (membership beyond the dedup horizon expires), keeping
+    state proportional to the horizon, not history.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    hashed = s.select(
+        F.md5(F.col("text").cast("binary")).alias("content_hash"), "doc_id"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        keeper, copies = state.get if state.exists else (-1, 0)
+        chunks = [pdf["doc_id"] for pdf in pdfs if len(pdf)]
+        if chunks:
+            ids = pd.concat(chunks)
+            if copies == 0:
+                keeper = int(ids.min())  # first-arrival batch elects keeper
+            copies += int(len(ids))
+        state.update((int(keeper), int(copies)))
+        yield pd.DataFrame(
+            {
+                "content_hash": [key[0]],
+                "keeper_id": [keeper],
+                "copies": [copies],
+            }
+        )
+
+    return hashed.groupBy("content_hash").applyInPandasWithState(
+        update,
+        outputStructType="content_hash string, keeper_id long, copies long",
+        stateStructType="keeper_id long, copies long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "stream_dedup_docs",
+    # Same single-data-batch determinism as the other update-mode oracles
+    # (table_stream pins the one-file layout): the settled sink holds one
+    # row per content hash with the final (keeper, copies) — which on a
+    # single ordered batch is exactly batch dedup_exact's answer, so this
+    # shares its oracle text.
+    oracle="""
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS keeper_id,
+       count(*) AS copies
+FROM documents
+GROUP BY 1
+""",
+    tags=("streaming", "dedup", "stateful", "llm-pipeline", "pandas-udf"),
+    doc=(
+        "Streaming dedup membership over the documents stream: a new doc "
+        "is kept iff its content hash is unseen (GroupState carries "
+        "(keeper_id, copies) per distinct hash — the online twin of batch "
+        "dedup_exact, sharing its oracle). First-arrival-batch-elects-"
+        "keeper contract with min-doc_id tiebreak; cross-batch membership "
+        "(a duplicate arriving after its keeper's batch) and the disorder "
+        "contract are pinned by the multi-batch suite. Text never "
+        "shuffles (md5 computed scan-side); state is two longs per "
+        "distinct hash, TTL-bounded in production."
+    ),
+)
+def stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_memory(
+        dedup_docs_transform(table_stream(spark, sf_dir, "documents")), "update"
+    )

@@ -1293,3 +1293,228 @@ def test_multibatch_transitions_random_disorder_sums_to_batch(spark, tmp_path):
         if r["n"] != 0
     }
     assert got == expected, f"disorder sums diverged from batch: {got} != {expected}"
+
+
+# --- stream_upsert: foreachBatch MERGE sink ---------------------------------
+
+
+def _upsert_batch_truth(spark, sf_dir):
+    from multithreaded_mapreduce_library_spark.operators.maintenance import (
+        apply_merge,
+        merge_feed,
+        merge_target,
+    )
+    from multithreaded_mapreduce_library_spark.sources import load_table
+
+    return _rows(
+        apply_merge(
+            merge_target(spark, sf_dir), merge_feed(load_table(spark, sf_dir, "orders"))
+        )
+    )
+
+
+def _run_upsert_stream(spark, sf_dir, troot, src_glob, ckpt):
+    """Drive the foreachBatch MERGE sink over a (possibly multi-file) feed
+    source; returns the number of data batches that ran."""
+    from multithreaded_mapreduce_library_spark.operators.maintenance import merge_feed
+    from multithreaded_mapreduce_library_spark.streaming.queries import upsert_sink
+
+    schema = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src_glob)
+    )
+    q = (
+        merge_feed(stream)
+        .writeStream.foreachBatch(upsert_sink(troot))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sum(1 for p in q.recentProgress if p.numInputRows > 0)
+
+
+def _init_upsert_target(spark, sf_dir, troot):
+    from pyspark.sql import functions as F
+
+    from multithreaded_mapreduce_library_spark.operators.maintenance import merge_target
+
+    _os.makedirs(troot, exist_ok=True)
+    merge_target(spark, sf_dir).select(
+        F.col("k").alias("o_orderkey"),
+        F.col("status").alias("o_orderstatus"),
+        F.col("price").alias("o_totalprice"),
+    ).write.parquet(_os.path.join(troot, "v0"))
+
+
+def test_multibatch_stream_upsert_settles_to_batch(spark, sf_dir, tmp_path):
+    """The additivity design point: the keyed change feed split into 3
+    key-disjoint files, applied one micro-batch at a time through the
+    versioned copy-on-write chain, must compose to EXACTLY the single-shot
+    batch merge — upserts crossing batch boundaries apply once each."""
+    from multithreaded_mapreduce_library_spark.streaming.queries import (
+        latest_upsert_version,
+    )
+
+    src = tmp_path / "feed_src"
+    src.mkdir()
+    orders = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet"))
+    for i in range(3):
+        orders.filter(orders.o_orderkey % 3 == i).coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+    troot = str(tmp_path / "versions")
+    _init_upsert_target(spark, sf_dir, troot)
+    n_batches = _run_upsert_stream(
+        spark, sf_dir, troot, str(src / "*"), str(tmp_path / "ckpt")
+    )
+    assert n_batches >= 2, f"replay ran {n_batches} data batches — not multi-batch"
+    got = _rows(spark.read.parquet(latest_upsert_version(troot)))
+    assert got == _upsert_batch_truth(spark, sf_dir)
+
+
+def test_stream_upsert_retried_epoch_is_exactly_once(spark, sf_dir, tmp_path):
+    """foreachBatch's contract is at-least-once; the versioned commit chain
+    must make re-delivery of a committed epoch a no-op. Re-invoke the sink
+    with an already-committed epoch id and a POISONED batch (all deletes)
+    — if the retry guard failed, the target would visibly shrink."""
+    from pyspark.sql import functions as F
+
+    from multithreaded_mapreduce_library_spark.operators.maintenance import merge_feed
+    from multithreaded_mapreduce_library_spark.streaming.queries import (
+        latest_upsert_version,
+        upsert_sink,
+    )
+
+    troot = str(tmp_path / "versions")
+    _init_upsert_target(spark, sf_dir, troot)
+    orders = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet"))
+    sink = upsert_sink(troot)
+    sink(merge_feed(orders), 0)
+    settled = _rows(spark.read.parquet(latest_upsert_version(troot)))
+    assert settled == _upsert_batch_truth(spark, sf_dir)
+    poison = merge_feed(orders).withColumn("op", F.lit("D"))
+    sink(poison, 0)  # redelivery of epoch 0 — must be a committed no-op
+    assert _rows(spark.read.parquet(latest_upsert_version(troot))) == settled
+
+
+def test_stream_upsert_checkpoint_restart_applies_once(spark, sf_dir, tmp_path):
+    """Kill-and-restart durability for the MERGE sink: run 1 applies the
+    first feed slice and stops; run 2 — same checkpoint — sees only the
+    new file (the offset log skips slice 1), so the settled target equals
+    the full batch merge ONLY if slice 1's upserts were committed durably
+    and not re-applied."""
+    from multithreaded_mapreduce_library_spark.streaming.queries import (
+        latest_upsert_version,
+    )
+
+    src = tmp_path / "feed_src"
+    src.mkdir()
+    orders = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet"))
+    troot = str(tmp_path / "versions")
+    ckpt = str(tmp_path / "ckpt")
+    _init_upsert_target(spark, sf_dir, troot)
+
+    orders.filter(orders.o_orderkey % 2 == 0).coalesce(1).write.parquet(
+        str(src / "f0")
+    )
+    _run_upsert_stream(spark, sf_dir, troot, str(src / "*"), ckpt)
+    orders.filter(orders.o_orderkey % 2 == 1).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    _run_upsert_stream(spark, sf_dir, troot, str(src / "*"), ckpt)
+
+    assert _rows(spark.read.parquet(latest_upsert_version(troot))) == (
+        _upsert_batch_truth(spark, sf_dir)
+    )
+    committed = sorted(
+        d for d in _os.listdir(troot)
+        if d.startswith("v") and _os.path.exists(_os.path.join(troot, d, "_SUCCESS"))
+    )
+    assert committed == ["v0", "v1", "v2"], committed
+
+
+# --- stream_dedup_docs: streaming dedup membership ---------------------------
+
+
+def test_multibatch_dedup_docs_settles_to_batch(spark, sf_dir, tmp_path):
+    """documents split into 3 id-ordered files: the final per-hash state
+    after a genuinely multi-batch replay equals batch dedup_exact."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from multithreaded_mapreduce_library_spark.streaming.queries import (
+        dedup_docs_transform,
+    )
+
+    src = tmp_path / "docs_multi"
+    src.mkdir()
+    t = pq.read_table(_os.path.join(sf_dir, "documents.parquet"))
+    t = t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+    n = t.num_rows
+    bounds = [round(i * n / 3) for i in range(4)]
+    for i in range(3):
+        pq.write_table(
+            t.slice(bounds[i], bounds[i + 1] - bounds[i]),
+            str(src / f"part-{i:02d}.parquet"),
+        )
+    schema = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    got, n_batches = _run_multi(dedup_docs_transform(stream), "update")
+    assert n_batches >= 2, f"replay ran {n_batches} data batches — not multi-batch"
+    # update mode accumulates one row per hash per batch it appears in;
+    # copies is monotone, so the final state is the max-copies row per hash
+    final = {}
+    for r in got.collect():
+        prev = final.get(r["content_hash"])
+        if prev is None or r["copies"] > prev[1]:
+            final[r["content_hash"]] = (r["keeper_id"], r["copies"])
+    expected = {
+        r["content_hash"]: (r["keeper_id"], r["copies"])
+        for r in SPECS["dedup_exact"].builder(spark, sf_dir).collect()
+    }
+    assert final == expected
+
+
+def test_stream_dedup_docs_membership_and_first_arrival(spark, tmp_path):
+    """The contract proper, on a synthesized duplicate-bearing stream
+    (the fixture has no exact duplicates — same situation as
+    stream_dedup's unique keys): cross-batch membership (a duplicate
+    arriving AFTER its keeper's batch only increments copies) and
+    first-arrival-wins under disorder (a SMALLER doc_id arriving later
+    does not steal keepership — the already-admitted doc stays keeper)."""
+    from multithreaded_mapreduce_library_spark.streaming.queries import (
+        dedup_docs_transform,
+    )
+
+    src = tmp_path / "dup_docs"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(10, "alpha"), (11, "beta"), (12, "alpha")], schema
+    ).coalesce(1).write.parquet(str(src / "f0"))
+    spark.createDataFrame(
+        [(2, "alpha"), (13, "gamma"), (14, "beta")], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    got, n_batches = _run_multi(dedup_docs_transform(stream), "update")
+    assert n_batches == 2, f"expected 2 data batches, ran {n_batches}"
+    final = {}
+    for r in got.collect():
+        prev = final.get(r["content_hash"])
+        if prev is None or r["copies"] > prev[1]:
+            final[r["content_hash"]] = (r["keeper_id"], r["copies"])
+    import hashlib
+
+    h = {s: hashlib.md5(s.encode()).hexdigest() for s in ("alpha", "beta", "gamma")}
+    # alpha: keeper 10 (batch-1 min), NOT 2 — first arrival wins; copies 3
+    assert final[h["alpha"]] == (10, 3)
+    # beta: keeper 11, duplicate in batch 2 only increments copies
+    assert final[h["beta"]] == (11, 2)
+    assert final[h["gamma"]] == (13, 1)

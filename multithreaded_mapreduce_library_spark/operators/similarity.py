@@ -1162,10 +1162,15 @@ FROM asn LEFT JOIN drops d ON asn.vec_id = d.dup_id
         "min over ids. Shuffle story: training as in ivf_train_centroids "
         "(broadcast k centroids, k-row-bounded argmin window, k x dim "
         "partial-agg update); the pair join is ONE exchange on the cell "
-        "id with cell-local pairs — sum(cell^2), never n^2; the drop "
-        "agg and the final left join are both keyed on vec_id. At 100 "
-        "TB the cell count k scales up to bound cell^2 (the SemDeDup "
-        "contract); vectors cross exactly the one cell-keyed exchange."
+        "id with cell-local pairs — sum over cells of cell^2. NOTE: "
+        "K_CELLS is fixed (8) here, so cell-local pair work is ~n^2/k — "
+        "still quadratic in corpus size at constant k; the SemDeDup "
+        "deployment contract is that k SCALES with the corpus (k ~ n/"
+        "target_cell_size, i.e. bounded cells => pair work ~ n * "
+        "target_cell_size, linear) — at 100 TB that dial, not this "
+        "constant, is what bounds the join. The drop agg and the final "
+        "left join are both keyed on vec_id; vectors cross exactly the "
+        "one cell-keyed exchange."
     ),
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:

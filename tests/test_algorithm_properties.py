@@ -251,3 +251,57 @@ def test_auc_ranksum_equals_pair_counting(rows):
     n1 = len(pos)
     lhs = r2sum - n1 * (n1 + 1)
     assert lhs == num2, (lhs, num2)
+
+
+# ---------------------------------------------------------------------------
+# dedup_semantic: threshold-boundary exactness (VERDICT r8 #5)
+# ---------------------------------------------------------------------------
+
+def _fold_cosine(a, b):
+    """Bit-faithful Python replica of the engines' shared sequential-fold
+    cosine (similarity._SPARK_COSINE / _duck_cosine): float32 inputs
+    widened to double, sequential left folds for dot and squared norms,
+    sqrt, one divide. Python floats ARE IEEE doubles, so each step here
+    performs the identical rounding."""
+    import math
+
+    import numpy as np
+
+    va = [float(np.float32(x)) for x in a]
+    vb = [float(np.float32(x)) for x in b]
+    dot = 0.0
+    for x, y in zip(va, vb):
+        dot = dot + x * y
+    na = 0.0
+    for x in va:
+        na = na + x * x
+    nb = 0.0
+    for y in vb:
+        nb = nb + y * y
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+# The crafted boundary pair: every component is exact in float32 AND every
+# fold step is exact in double (quarter-integers, sums <= 25), so
+# cosine == fl(3/10) — the double literal 0.3, i.e. SEMANTIC_TAU itself,
+# with NO accumulated rounding. The epsilon pair adds one 0.25 component
+# to the b norm, pushing cosine strictly (not one-ulp-ambiguously) below.
+BOUNDARY_A = [2.0] + [0.0] * 63
+BOUNDARY_B_EQ = [1.5, 4.5, 1.5, 0.5] + [0.0] * 60  # |b|^2 = 25 exactly
+BOUNDARY_B_BELOW = [1.5, 4.5, 1.5, 0.5, 0.25] + [0.0] * 59  # |b|^2 = 25.0625
+
+
+def test_semantic_tau_boundary_pair_is_exact():
+    """cosine(a, b_eq) must equal SEMANTIC_TAU bit-for-bit under the
+    shared fold — the crafted pair sits ON the threshold, so the >= drop
+    decision is exercised at the boundary, not near it; b_below keeps."""
+    from multithreaded_mapreduce_library_spark.operators.similarity import (
+        SEMANTIC_TAU,
+    )
+
+    eq = _fold_cosine(BOUNDARY_A, BOUNDARY_B_EQ)
+    assert eq == SEMANTIC_TAU == 0.3, f"{eq!r} is not the double 0.3"
+    below = _fold_cosine(BOUNDARY_A, BOUNDARY_B_BELOW)
+    assert below < SEMANTIC_TAU
+    # inclusive >= semantics: ON the boundary drops, below keeps
+    assert (eq >= SEMANTIC_TAU) and not (below >= SEMANTIC_TAU)

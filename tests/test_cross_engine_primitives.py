@@ -198,3 +198,55 @@ def test_quantize_codes_parity_adversarial(spark, tmp_path):
     }
     con.close()
     assert srows == orows
+
+
+def test_semantic_tau_boundary_agrees_across_engines(spark):
+    """dedup_semantic's drop decision AT the threshold (cosine exactly ==
+    SEMANTIC_TAU, the crafted pair from test_algorithm_properties) must
+    agree bit-for-bit between the Spark fold and the DuckDB oracle fold:
+    both engines must compute the double 0.3 EXACTLY for the boundary
+    pair (so >= drops it on both sides) and strictly less for the
+    epsilon-below pair (kept on both sides) — closing the one edge the
+    fixture-driven hash gate never exercises."""
+    from tests.test_algorithm_properties import (
+        BOUNDARY_A,
+        BOUNDARY_B_BELOW,
+        BOUNDARY_B_EQ,
+    )
+
+    from multithreaded_mapreduce_library_spark.operators.similarity import (
+        _SPARK_COSINE,
+        _SPARK_NORM,
+        SEMANTIC_TAU,
+        _duck_cosine,
+    )
+
+    sdf = spark.createDataFrame(
+        [(BOUNDARY_A, BOUNDARY_B_EQ), (BOUNDARY_A, BOUNDARY_B_BELOW)],
+        "va array<float>, vb array<float>",
+    )
+    norm_of = lambda c: F.expr(_SPARK_NORM.replace("transform(v,", f"transform({c},"))
+    rows = (
+        sdf.withColumn("norm_a", norm_of("va"))
+        .withColumn("norm_b", norm_of("vb"))
+        .select(F.expr(_SPARK_COSINE).alias("cos"))
+        .collect()
+    )
+    spark_eq, spark_below = rows[0]["cos"], rows[1]["cos"]
+
+    def duck_lit(v):
+        return "CAST([" + ", ".join(repr(x) for x in v) + "] AS FLOAT[])"
+
+    con = duckdb.connect()
+    (duck_eq,) = con.execute(
+        f"SELECT {_duck_cosine(duck_lit(BOUNDARY_A), duck_lit(BOUNDARY_B_EQ))}"
+    ).fetchone()
+    (duck_below,) = con.execute(
+        f"SELECT {_duck_cosine(duck_lit(BOUNDARY_A), duck_lit(BOUNDARY_B_BELOW))}"
+    ).fetchone()
+
+    assert spark_eq == duck_eq == SEMANTIC_TAU == 0.3, (spark_eq, duck_eq)
+    assert spark_below == duck_below < SEMANTIC_TAU, (spark_below, duck_below)
+    # the decisions the operator takes at/below the boundary, both engines:
+    assert (spark_eq >= SEMANTIC_TAU) and (duck_eq >= SEMANTIC_TAU)  # drop
+    assert not (spark_below >= SEMANTIC_TAU) and not (duck_below >= SEMANTIC_TAU)

@@ -810,14 +810,21 @@ def test_dedup_semantic_pairs_stay_cell_local(spark, sf_dir):
     exactly as in ivf_train_centroids."""
     plan = formatted_plan(SPECS["dedup_semantic"].builder(spark, sf_dir))
     assert "CartesianProduct" not in plan, "pair join must stay cell-local"
-    # the pair join itself must be a shuffled EQUI join on the cell id
-    assert "SortMergeJoin Inner" in plan or "ShuffledHashJoin Inner" in plan
+    # the pair join itself must be a cell-keyed EQUI join; any of the
+    # three equi strategies is fine (AQE may pick broadcast at fixture
+    # scale) — the property is keyed-ness, not the physical strategy
+    assert (
+        "SortMergeJoin Inner" in plan
+        or "ShuffledHashJoin Inner" in plan
+        or "BroadcastHashJoin Inner" in plan
+    ), "pair join must be an equi join on the cell id"
     # the only nested-loop joins allowed are the k-row centroid broadcasts
-    # from the shared Lloyd training lineage: 2 per lineage copy, and the
-    # assignment frame feeds THREE branches here (pair side a, pair side
-    # b, final decision join) vs TWO in sim_topk_ivf_trained — so the
-    # allowed count is exactly 3/2 of the trained query's.
-    trained = formatted_plan(SPECS["sim_topk_ivf_trained"].builder(spark, sf_dir))
-    assert plan.count("BroadcastNestedLoopJoin") <= (
-        3 * trained.count("BroadcastNestedLoopJoin") // 2
-    ), "no nested-loop beyond the replicated training broadcasts"
+    # from the Lloyd training lineage this plan replicates: 2 per lineage
+    # copy x 3 consumers of the assignment frame (pair side a, pair side
+    # b, final decision join) = 6 distinct nodes — an absolute cap derived
+    # from THIS plan's own lineage count, not coupled to another query's
+    # plan. explain("formatted") mentions each node twice (tree line +
+    # detail block), hence the x2.
+    assert plan.count("BroadcastNestedLoopJoin") <= 2 * 6, (
+        "no nested-loop beyond the replicated training broadcasts"
+    )

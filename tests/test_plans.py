@@ -828,3 +828,53 @@ def test_dedup_semantic_pairs_stay_cell_local(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") <= 2 * 6, (
         "no nested-loop beyond the replicated training broadcasts"
     )
+
+
+def test_compact_plan_shape_and_pack_quality(spark, sf_dir):
+    """compact_plan is a METADATA planner: one partial-aggregated exchange
+    builds the file inventory, then the sequential-fill window runs over
+    the O(#files) listing — no joins, no cartesian. Pack quality (the
+    first-fit property of the cumulative DIV): every compact bin is
+    bounded by target + one straddling file, every non-final bin is
+    filled to at least target - max candidate, keep/compact is a clean
+    partition of the inventory by the size threshold."""
+    import re
+
+    from multithreaded_mapreduce_library_spark.operators.maintenance import (
+        COMPACT_TARGET,
+    )
+
+    df = SPECS["compact_plan"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "HashAggregate" in plan  # inventory agg with map-side partials
+    assert "Window" in plan
+    # inventory agg exchange (x2 for the union's two branches sharing the
+    # lineage) + the two window exchanges — metadata-scale, not data-scale
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 5
+
+    rows = df.collect()
+    assert {r["file_id"] for r in rows} == {
+        r["file_id"] for r in rows
+    } and len({r["file_id"] for r in rows}) == len(rows), "one decision per file"
+    keeps = [r for r in rows if r["action"] == "keep"]
+    cands = [r for r in rows if r["action"] == "compact"]
+    assert keeps and cands, "both branches must be exercised at every sf"
+    assert all(r["size_bytes"] >= COMPACT_TARGET and r["bin_id"] == -1 for r in keeps)
+    assert all(r["size_bytes"] < COMPACT_TARGET and r["bin_id"] >= 0 for r in cands)
+    assert all(r["bin_total"] == r["size_bytes"] for r in keeps)
+    max_cand = max(r["size_bytes"] for r in cands)
+    bins = {}
+    for r in cands:
+        bins.setdefault(r["bin_id"], 0)
+        bins[r["bin_id"]] += r["size_bytes"]
+    for b, total in bins.items():
+        assert total == next(
+            r["bin_total"] for r in cands if r["bin_id"] == b
+        ), "bin_total must be the bin's sum"
+        assert total <= COMPACT_TARGET + max_cand, "bin overflow beyond one straddle"
+        if b != max(bins):
+            assert total >= COMPACT_TARGET - max_cand, (
+                f"non-final bin {b} underfilled: {total}"
+            )
+    assert sorted(bins) == list(range(len(bins))), "bin ids must be dense"

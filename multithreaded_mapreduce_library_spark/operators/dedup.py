@@ -883,3 +883,124 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_spans"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental MinHash dedup: new batch vs existing-corpus index
+# ---------------------------------------------------------------------------
+
+INC_SPLIT_MOD = 5  # doc_id hash bucket 0 of 5 => the arriving batch (~20%)
+INC_MIN_MATCHES = 4  # signature agreement (>= 4/16 ~ est Jaccard 0.25) => dup
+
+_INC_BATCH_COND = f"(({duck_md5_long60('CAST(doc_id AS VARCHAR)')} % {MOD_P}) % {INC_SPLIT_MOD} = 0)"
+
+
+@register(
+    "dedup_minhash_incremental",
+    oracle=f"""
+WITH {_DUCK_SHINGLES},
+mh AS (SELECT doc_id, {_duck_minhash_cols()} FROM hs GROUP BY doc_id),
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band, {_band_sig('', b)} AS sig FROM mh"
+      for b in range(N_BANDS)
+  )}
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS nd, o.doc_id AS od
+  FROM bands n JOIN bands o ON n.band = o.band AND n.sig = o.sig
+  WHERE ({_INC_BATCH_COND.replace('doc_id', 'n.doc_id')})
+    AND NOT ({_INC_BATCH_COND.replace('doc_id', 'o.doc_id')})
+),
+scored AS (
+  SELECT c.nd, c.od,
+         ({" + ".join(f"(x.mh{i} = y.mh{i})::INT" for i in range(N_HASHES))}) AS matches
+  FROM cand c JOIN mh x ON x.doc_id = c.nd JOIN mh y ON y.doc_id = c.od
+),
+dec AS (
+  SELECT nd, count(*) AS n_candidates,
+         min(CASE WHEN matches >= {INC_MIN_MATCHES} THEN od END) AS dup_raw
+  FROM scored GROUP BY nd
+)
+SELECT d.doc_id,
+       CAST(coalesce(dec.n_candidates, 0) AS BIGINT) AS n_candidates,
+       (dec.dup_raw IS NOT NULL) AS is_dup,
+       CAST(coalesce(dec.dup_raw, -1) AS BIGINT) AS dup_of
+FROM (SELECT doc_id FROM documents WHERE {_INC_BATCH_COND}) d
+LEFT JOIN dec ON d.doc_id = dec.nd
+""",
+    tags=("dedup", "minhash", "lsh", "incremental", "llm-pipeline"),
+    doc=(
+        "Incremental MinHash-LSH dedup — the arriving-batch ingestion gate "
+        "a production corpus runs instead of re-deduping 100 TB per batch: "
+        "the corpus is hash-split into the existing index (~80%) and the "
+        "arriving batch (~20%, doc_id md5 bucket 0 of "
+        f"{INC_SPLIT_MOD}); band signatures of the BATCH probe the "
+        "EXISTING index only (batch x index equi-join on (band, sig) — "
+        "never index x index, never batch x batch re-pairing), and each "
+        "batch doc gets an admission decision: candidate count, is_dup "
+        f"(any candidate agreeing on >= {INC_MIN_MATCHES}/{N_HASHES} "
+        "signature components — an integer compare, no float threshold), "
+        "and the smallest qualifying corpus doc as dup_of (-1 = admit). "
+        "Shares the shingle/minhash/banding machinery and constants with "
+        "dedup_minhash verbatim. Shuffle story: one shingle explode + "
+        "partial-min signature agg (as dedup_minhash), one (band, sig) "
+        "equi-join whose LEFT side is only the batch's bands, one keyed "
+        "decision agg, one left join back to the batch docs. At 100 TB "
+        "the index side's signatures are precomputed and stored "
+        "band-partitioned, so an arriving batch touches only its own "
+        "shingles plus the matching band buckets — work scales with the "
+        "BATCH, not the corpus."
+    ),
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    is_batch = F.pmod(
+        h31(F.col("doc_id").cast("string")), F.lit(INC_SPLIT_MOD)
+    ) == 0
+    hs = _shingles_df(spark, sf_dir, distinct=False)
+    mh = hs.groupBy("doc_id").agg(*_minhash_agg_cols())
+
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "-", *[F.col(f"mh{b * ROWS_PER_BAND + j}") for j in range(ROWS_PER_BAND)]
+            ).alias("sig"),
+        )
+        for b in range(N_BANDS)
+    ]
+    sig_arr = F.array(*[F.col(f"mh{i}") for i in range(N_HASHES)])
+    bands = mh.select(
+        "doc_id", sig_arr.alias("sig_arr"), F.explode(F.array(*band_structs)).alias("bs")
+    ).select(
+        "doc_id", "sig_arr", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    new_bands = bands.filter(is_batch).alias("n")
+    old_bands = bands.filter(~is_batch).alias("o")
+    matches = F.expr(
+        "aggregate(zip_with(n.sig_arr, o.sig_arr, (x, y) -> IF(x = y, 1, 0)),"
+        " 0, (acc, x) -> acc + x)"
+    )
+    scored = (
+        new_bands.join(
+            old_bands,
+            (F.col("n.band") == F.col("o.band")) & (F.col("n.sig") == F.col("o.sig")),
+        )
+        .select(
+            F.col("n.doc_id").alias("nd"),
+            F.col("o.doc_id").alias("od"),
+            matches.alias("matches"),
+        )
+        .distinct()
+    )
+    dec = scored.groupBy("nd").agg(
+        F.count("*").cast("long").alias("n_candidates"),
+        F.min(F.when(F.col("matches") >= INC_MIN_MATCHES, F.col("od"))).alias("dup_raw"),
+    )
+    batch_docs = load_table(spark, sf_dir, "documents").filter(is_batch).select("doc_id")
+    return batch_docs.join(dec, batch_docs.doc_id == dec.nd, "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_candidates"), F.lit(0)).cast("long").alias("n_candidates"),
+        F.col("dup_raw").isNotNull().alias("is_dup"),
+        F.coalesce(F.col("dup_raw"), F.lit(-1)).cast("long").alias("dup_of"),
+    )

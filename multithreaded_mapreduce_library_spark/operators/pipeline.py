@@ -773,3 +773,135 @@ def eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("auc"),
         )
     )
+
+
+# --- hybrid retrieval: BM25 + embedding-cosine RRF fusion -------------------
+
+HYBRID_N = 50  # shortlist depth per leg
+RRF_K = 60  # standard reciprocal-rank-fusion constant
+HYBRID_QUERY_VEC = 0  # the query document: its embedding is the semantic query
+HYBRID_TOP = 20
+
+
+def _hybrid_oracle() -> str:
+    from multithreaded_mapreduce_library_spark.operators.similarity import (
+        _duck_cosine,
+    )
+    from multithreaded_mapreduce_library_spark.operators.text import BM25_CORE_CTES
+
+    return f"""
+WITH {BM25_CORE_CTES},
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY sum_fx DESC, doc_id) AS r_lex
+  FROM (SELECT doc_id, sum_fx FROM scored WHERE sum_fx > 0
+        ORDER BY sum_fx DESC, doc_id LIMIT {HYBRID_N})
+),
+q AS (SELECT embedding AS v FROM embeddings WHERE vec_id = {HYBRID_QUERY_VEC}),
+cos AS (
+  SELECT e.vec_id AS doc_id, {_duck_cosine('e.embedding', 'q.v')} AS c
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> {HYBRID_QUERY_VEC}
+),
+sem AS (
+  SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS r_sem
+  FROM (SELECT doc_id, c FROM cos ORDER BY c DESC, doc_id LIMIT {HYBRID_N})
+),
+fused AS (
+  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+         (coalesce(1.0 / ({RRF_K} + r_lex), 0.0)
+          + coalesce(1.0 / ({RRF_K} + r_sem), 0.0)) AS rrf,
+         r_lex, r_sem
+  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+)
+SELECT doc_id, rrf,
+       CAST(coalesce(r_lex, -1) AS BIGINT) AS lex_rank,
+       CAST(coalesce(r_sem, -1) AS BIGINT) AS sem_rank
+FROM fused
+ORDER BY rrf DESC, doc_id
+LIMIT {HYBRID_TOP}
+"""
+
+
+@register(
+    "hybrid_retrieval",
+    oracle=_hybrid_oracle(),
+    tags=("retrieval", "bm25", "similarity", "rrf", "llm-pipeline"),
+    doc=(
+        "Hybrid retrieval with reciprocal-rank fusion — the production "
+        "RAG retrieval pattern (lexical BM25 leg + semantic embedding "
+        f"leg, fused by 1/({RRF_K}+rank) contributions): the BM25 scored "
+        "frame (shared verbatim with bm25_search — code AND oracle CTEs) "
+        f"yields the top-{HYBRID_N} lexical shortlist; exact cosine to "
+        f"the query document's embedding (vec_id {HYBRID_QUERY_VEC}, the "
+        "shared sequential fold — bit-identical across engines) yields "
+        f"the top-{HYBRID_N} semantic shortlist; each leg is ranked "
+        "inside its shortlist, full-outer-joined on doc_id, and the top-"
+        f"{HYBRID_TOP} by fused score (unique-doc_id tiebreak) emitted "
+        "with both leg ranks (-1 = absent from that leg). Exactness: "
+        "ranks are integers, each RRF term is one IEEE divide on integer "
+        "inputs and the fusion is ONE two-term add in a fixed order — no "
+        "accumulation hazard. Shuffle story: the lexical leg is "
+        "bm25_scored's single exchange + a distributed TakeOrdered; the "
+        "semantic leg broadcasts the 1-row query vector (never shuffles "
+        "the corpus) + TakeOrdered; the rank windows and the fusion join "
+        f"run on two {HYBRID_N}-row shortlists — metadata-scale. At 100 "
+        "TB the semantic shortlist comes from the IVF/PQ index family "
+        "instead of the exact scan (same fused shape); the legs stay "
+        "independent scans fused only at shortlist size."
+    ),
+)
+def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from multithreaded_mapreduce_library_spark.operators.similarity import (
+        _SPARK_COSINE,
+        _SPARK_NORM,
+        _dvec,
+        _load_embeddings,
+    )
+    from multithreaded_mapreduce_library_spark.operators.text import bm25_scored
+
+    lex_short = (
+        bm25_scored(spark, sf_dir)
+        .filter(F.col("sum_fx") > 0)
+        .orderBy(F.col("sum_fx").desc(), "doc_id")
+        .limit(HYBRID_N)
+    )
+    w_lex = W.orderBy(F.col("sum_fx").desc(), "doc_id")
+    lex = lex_short.select(
+        "doc_id", F.row_number().over(w_lex).alias("r_lex")
+    )
+
+    e = _load_embeddings(spark, sf_dir).select(
+        "vec_id", _dvec("embedding").alias("v")
+    ).withColumn("norm", F.expr(_SPARK_NORM))
+    q = e.filter(F.col("vec_id") == HYBRID_QUERY_VEC).select(
+        F.col("v").alias("va"), F.col("norm").alias("norm_a")
+    )
+    cos = (
+        e.filter(F.col("vec_id") != HYBRID_QUERY_VEC)
+        .select(F.col("vec_id").alias("doc_id"), F.col("v").alias("vb"),
+                F.col("norm").alias("norm_b"))
+        .crossJoin(F.broadcast(q))
+        .select("doc_id", F.expr(_SPARK_COSINE).alias("c"))
+    )
+    sem_short = cos.orderBy(F.col("c").desc(), "doc_id").limit(HYBRID_N)
+    w_sem = W.orderBy(F.col("c").desc(), "doc_id")
+    sem = sem_short.select(
+        "doc_id", F.row_number().over(w_sem).alias("r_sem")
+    )
+
+    fused = lex.alias("l").join(
+        sem.alias("s"), F.col("l.doc_id") == F.col("s.doc_id"), "full_outer"
+    )
+    rrf = F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("r_lex")), F.lit(0.0)) + (
+        F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("r_sem")), F.lit(0.0))
+    )
+    return (
+        fused.select(
+            F.coalesce(F.col("l.doc_id"), F.col("s.doc_id")).alias("doc_id"),
+            rrf.alias("rrf"),
+            F.coalesce(F.col("r_lex"), F.lit(-1)).cast("long").alias("lex_rank"),
+            F.coalesce(F.col("r_sem"), F.lit(-1)).cast("long").alias("sem_rank"),
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(HYBRID_TOP)
+    )

@@ -349,8 +349,9 @@ def _bm25_term_sql(term: str) -> str:
       * 1000000 + 0.5) AS BIGINT)"""
 
 
-BM25_ORACLE = f"""
-WITH tok AS (
+# The tok -> per_doc -> stats -> scored CTE chain, shared VERBATIM by
+# BM25_ORACLE and hybrid_retrieval's oracle (the lexical leg cannot drift).
+BM25_CORE_CTES = f"""tok AS (
   SELECT doc_id, unnest({duck_tokens('text')}) AS token FROM documents
 ),
 per_doc AS (
@@ -366,7 +367,10 @@ stats AS (
 scored AS (
   SELECT doc_id, {' + '.join(_bm25_term_sql(t) for t in BM25_TERMS)} AS sum_fx
   FROM per_doc CROSS JOIN stats
-)
+)"""
+
+BM25_ORACLE = f"""
+WITH {BM25_CORE_CTES}
 SELECT doc_id, sum_fx / 1000000.0 AS bm25
 FROM scored WHERE sum_fx > 0
 ORDER BY sum_fx DESC, doc_id
@@ -374,14 +378,10 @@ LIMIT 20
 """
 
 
-@register(
-    "bm25_search",
-    oracle=BM25_ORACLE,
-    tags=("text", "bm25", "search", "topk"),
-)
-def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 (k1=1.2, b=0.75) document scores for the query
-    {spark, join, window}: top 20 matching docs, doc_id tiebreak.
+def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BM25 (k1=1.2, b=0.75) scored frame (doc_id, sum_fx) for the
+    query {spark, join, window} — the exact Spark twin of the `scored`
+    CTE in BM25_CORE_CTES, shared by bm25_search and hybrid_retrieval.
 
     Exactness: each per-term score is fixed-point-quantized (1e-6) right
     after the identical float expression; the per-doc total is a fixed
@@ -393,8 +393,8 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shuffle story: ONE explode pass, ONE exchange — the per-doc pivot agg
     on doc_id folds document length and all per-term frequencies into a
     single map-side-combined aggregation; corpus stats are a 1-row
-    broadcast off that table; the top-20 is TakeOrderedAndProject. At any
-    scale the token stream is read and shuffled exactly once.
+    broadcast off that table. At any scale the token stream is read and
+    shuffled exactly once.
     """
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
@@ -432,7 +432,22 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_doc.crossJoin(F.broadcast(stats))
         .withColumn("sum_fx", total)
-        .filter(F.col("sum_fx") > 0)
+        .select("doc_id", "sum_fx")
+    )
+
+
+@register(
+    "bm25_search",
+    oracle=BM25_ORACLE,
+    tags=("text", "bm25", "search", "topk"),
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 BM25 matches (sum_fx desc, doc_id tiebreak) off the shared
+    scored frame; the top-k is TakeOrderedAndProject — see bm25_scored
+    for the exactness and shuffle story."""
+    scored = bm25_scored(spark, sf_dir)
+    return (
+        scored.filter(F.col("sum_fx") > 0)
         .orderBy(F.col("sum_fx").desc(), "doc_id")
         .limit(20)
         .select("doc_id", (F.col("sum_fx") / 1_000_000.0).alias("bm25"))

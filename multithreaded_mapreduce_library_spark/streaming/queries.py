@@ -7,7 +7,7 @@ transform → writeStream pipeline; the registry builders execute with
 ``trigger(availableNow=True)`` into a memory sink and return the settled
 result.
 
-Oracle coverage: ALL NINE streaming queries carry real DuckDB oracles —
+Oracle coverage: ALL ELEVEN streaming queries carry real DuckDB oracles —
 their settled availableNow replays are deterministic. Complete-mode aggs
 (tumbling, static join) settle to the exact batch answer; append-mode
 windows/sessions settle to the batch set cut at the final watermark

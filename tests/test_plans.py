@@ -878,3 +878,31 @@ def test_compact_plan_shape_and_pack_quality(spark, sf_dir):
                 f"non-final bin {b} underfilled: {total}"
             )
     assert sorted(bins) == list(range(len(bins))), "bin ids must be dense"
+
+
+def test_hybrid_retrieval_legs_stay_distributed(spark, sf_dir):
+    """The fusion must never shuffle the corpus: the semantic leg's only
+    product is the 1-row query-vector broadcast, both shortlists come off
+    distributed TakeOrderedAndProject (no global sort exchange of data),
+    and the fusion join runs on the two tiny shortlists."""
+    plan = formatted_plan(SPECS["hybrid_retrieval"].builder(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan, "shortlists must be distributed top-k"
+    assert "FullOuter" in plan  # the rank fusion join
+    # the BM25 leg's per-doc pivot agg keeps its map-side partials
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_dedup_minhash_incremental_probes_index_only(spark, sf_dir):
+    """The arriving batch must PROBE the existing index, never re-pair it:
+    the candidate join is a (band, sig) equi-join with no cartesian, the
+    batch-side filter rides the band frame (work scales with the batch),
+    and the decision agg partial-aggregates per batch doc."""
+    plan = formatted_plan(SPECS["dedup_minhash_incremental"].builder(spark, sf_dir))
+    assert "CartesianProduct" not in plan, "candidate generation must stay banded"
+    assert (
+        "SortMergeJoin Inner" in plan
+        or "ShuffledHashJoin Inner" in plan
+        or "BroadcastHashJoin Inner" in plan
+    ), "candidate join must be a (band, sig) equi join"
+    assert plan.count("HashAggregate") >= 4  # signature min-agg + decision agg partials

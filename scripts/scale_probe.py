@@ -92,6 +92,25 @@ PROBE = (
     # candidate join can land below Nx — reported against Nx).
     "merge_upsert",
     "split_contamination_gate",
+    # round-9 additions (streaming ops are excluded by construction: their
+    # builders execute the availableNow replay internally, so this
+    # harness's post-builder timing would measure nothing — their batch
+    # cores ARE merge_upsert and dedup_exact, both probed):
+    # compact_plan plans over the file-inventory METADATA (one agg + one
+    # single-partition window over O(#files) rows) — expect ~Nx from the
+    # inventory agg, the window input grows with chunk count only;
+    # hybrid_retrieval is two linear shortlist scans (BM25 agg + 1-row
+    # broadcast cosine) fused at constant shortlist size — expect ~Nx;
+    # dedup_minhash_incremental is the dedup_substring-style honest
+    # outlier: VERBATIM replication makes every copy of a doc an exact
+    # dup sharing all band signatures, so the TRUE candidate set itself
+    # grows ~N^2 (each batch copy matches ~0.8N corpus copies); the
+    # banded join keeps fanout bucket-local, so the measured ratio
+    # should land far below the naive all-pairs N^2 — reported against
+    # that bound, not against Nx.
+    "compact_plan",
+    "hybrid_retrieval",
+    "dedup_minhash_incremental",
 )
 OFF = 100_000_000  # key offset per copy — far above any base key
 

@@ -783,14 +783,16 @@ HYBRID_QUERY_VEC = 0  # the query document: its embedding is the semantic query
 HYBRID_TOP = 20
 
 
-def _hybrid_oracle() -> str:
+def _hybrid_ctes() -> str:
+    """The BM25-leg + cosine-leg + RRF-fusion CTE chain, shared VERBATIM
+    by hybrid_retrieval's oracle and mmr_rerank's (the candidate set the
+    reranker diversifies is the fused shortlist, by construction)."""
     from multithreaded_mapreduce_library_spark.operators.similarity import (
         _duck_cosine,
     )
     from multithreaded_mapreduce_library_spark.operators.text import BM25_CORE_CTES
 
-    return f"""
-WITH {BM25_CORE_CTES},
+    return f"""{BM25_CORE_CTES},
 lex AS (
   SELECT doc_id, row_number() OVER (ORDER BY sum_fx DESC, doc_id) AS r_lex
   FROM (SELECT doc_id, sum_fx FROM scored WHERE sum_fx > 0
@@ -812,7 +814,12 @@ fused AS (
           + coalesce(1.0 / ({RRF_K} + r_sem), 0.0)) AS rrf,
          r_lex, r_sem
   FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
-)
+)"""
+
+
+def _hybrid_oracle() -> str:
+    return f"""
+WITH {_hybrid_ctes()}
 SELECT doc_id, rrf,
        CAST(coalesce(r_lex, -1) AS BIGINT) AS lex_rank,
        CAST(coalesce(r_sem, -1) AS BIGINT) AS sem_rank
@@ -905,3 +912,130 @@ def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(HYBRID_TOP)
     )
+
+
+# --- MMR diversity rerank over the hybrid shortlist -------------------------
+
+MMR_K = 10  # reranked depth
+MMR_LAMBDA = 0.5  # relevance-vs-diversity weight (0.5 => exact halving, no rounding)
+
+
+def _mmr_oracle() -> str:
+    from multithreaded_mapreduce_library_spark.operators.similarity import (
+        _duck_cosine,
+    )
+
+    return f"""
+WITH RECURSIVE {_hybrid_ctes()},
+top AS (
+  SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT {HYBRID_TOP}
+),
+pc AS (
+  SELECT a.doc_id AS da, b.doc_id AS db,
+         {_duck_cosine('ea.embedding', 'eb.embedding')} AS c
+  FROM top a JOIN top b ON a.doc_id <> b.doc_id
+  JOIN embeddings ea ON ea.vec_id = a.doc_id
+  JOIN embeddings eb ON eb.vec_id = b.doc_id
+),
+mmr(step, sel) AS (
+  SELECT 1, [(SELECT doc_id FROM top ORDER BY rrf DESC, doc_id LIMIT 1)]
+  UNION ALL
+  SELECT step + 1, list_append(sel, (
+      SELECT doc_id FROM top
+      WHERE NOT list_contains(mmr.sel, doc_id)
+      ORDER BY {MMR_LAMBDA} * rrf - {1.0 - MMR_LAMBDA} * coalesce((
+          SELECT max(c) FROM pc
+          WHERE pc.da = top.doc_id AND list_contains(mmr.sel, pc.db)
+        ), 0.0) DESC, doc_id
+      LIMIT 1))
+  FROM mmr WHERE step < {MMR_K}
+),
+ranked AS (
+  SELECT unnest(sel) AS doc_id,
+         unnest(generate_series(1, len(sel))) AS mmr_rank
+  FROM mmr WHERE step = {MMR_K}
+)
+SELECT ranked.doc_id, CAST(mmr_rank AS BIGINT) AS mmr_rank, top.rrf
+FROM ranked JOIN top ON ranked.doc_id = top.doc_id
+"""
+
+
+@register(
+    "mmr_rerank",
+    oracle=_mmr_oracle(),
+    tags=("retrieval", "mmr", "rerank", "llm-pipeline"),
+    doc=(
+        "Maximal-marginal-relevance diversity rerank of the hybrid "
+        f"shortlist — the rerank stage after hybrid_retrieval in a RAG "
+        f"stack: greedily select {MMR_K} of the top-{HYBRID_TOP} fused "
+        f"candidates, each step maximizing lambda*rrf - (1-lambda)*"
+        "max_cosine_to_already_selected (lambda=0.5 — an exact power-of-"
+        "two scaling, so the score arithmetic is two exact halvings and "
+        "one subtract on bit-identical inputs; ties break on doc_id). "
+        "The oracle runs the IDENTICAL greedy as a DuckDB recursive CTE "
+        "carrying the selected list; candidate rrf comes from the CTE "
+        "chain shared verbatim with hybrid_retrieval, and candidate-pair "
+        "cosines use the shared sequential fold — so the driver's hash "
+        "equality proves the whole greedy trajectory, not just the final "
+        "set. Shuffle story: the legs and fusion as hybrid_retrieval; "
+        f"pair scoring is a shortlist-local broadcast join (<= "
+        f"{HYBRID_TOP}x{HYBRID_TOP} rows); the greedy itself runs driver-"
+        f"side over the collected K={HYBRID_TOP} shortlist (a constant-"
+        "size planner-scale fetch, like production rerankers — data "
+        "volume never reaches this step; the corpus-scale work all "
+        "happened in the legs)."
+    ),
+)
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from multithreaded_mapreduce_library_spark.operators.similarity import (
+        _SPARK_COSINE,
+        _SPARK_NORM,
+        _dvec,
+        _load_embeddings,
+    )
+
+    top = hybrid_retrieval(spark, sf_dir).select("doc_id", "rrf")
+    e = _load_embeddings(spark, sf_dir).select(
+        "vec_id", _dvec("embedding").alias("v")
+    ).withColumn("norm", F.expr(_SPARK_NORM))
+    cand_vecs = e.join(
+        F.broadcast(top.select(F.col("doc_id").alias("vec_id"))), "vec_id"
+    )
+    a = cand_vecs.select(
+        F.col("vec_id").alias("da"), F.col("v").alias("va"), F.col("norm").alias("norm_a")
+    )
+    b = cand_vecs.select(
+        F.col("vec_id").alias("db"), F.col("v").alias("vb"), F.col("norm").alias("norm_b")
+    )
+    pairs = (
+        F.broadcast(a)
+        .join(b, F.col("da") != F.col("db"))
+        .select("da", "db", F.expr(_SPARK_COSINE).alias("c"))
+    )
+    # constant-size planner-scale fetches: K rows + K*(K-1) pair scores
+    rel = {r["doc_id"]: r["rrf"] for r in top.collect()}
+    sim: dict[tuple[int, int], float] = {
+        (r["da"], r["db"]): r["c"] for r in pairs.collect()
+    }
+    # greedy MMR — the bit-identical Python twin of the recursive CTE:
+    # Python floats are IEEE doubles, the inputs (rrf, cosine) are the
+    # engines' own outputs, and every score op (two exact halvings, one
+    # subtract, max over doubles) matches the SQL expression order.
+    first = min(rel, key=lambda d: (-rel[d], d))
+    sel = [first]
+
+    def mmr_score(d: int) -> float:
+        # pair cosines exist only where BOTH docs are embedded (the
+        # fixture's lexical leg can surface docs without embeddings):
+        # with no measurable redundancy the penalty term is exactly 0.0
+        # — the same coalesce the recursive-CTE oracle applies
+        vals = [sim[(d, s)] for s in sel if (d, s) in sim]
+        ms = max(vals) if vals else 0.0
+        return MMR_LAMBDA * rel[d] - (1.0 - MMR_LAMBDA) * ms
+
+    while len(sel) < MMR_K:
+        remaining = [d for d in rel if d not in sel]
+        best = min(remaining, key=lambda d: (-mmr_score(d), d))
+        sel.append(best)
+    rows = [(d, i + 1, rel[d]) for i, d in enumerate(sel)]
+    return spark.createDataFrame(rows, "doc_id long, mmr_rank long, rrf double")

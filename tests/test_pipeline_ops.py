@@ -201,3 +201,45 @@ def test_cli_explain_subprocess(sf_dir):
     assert out.returncode == 0, out.stderr[-2000:]
     assert "PushedFilters" in out.stdout
     assert "Scan parquet" in out.stdout
+
+
+def test_incremental_minhash_agrees_with_batch_minhash(spark, sf_dir):
+    """Cross-operator consistency anchor: every dedup_minhash candidate
+    pair that straddles the incremental split (one side in the arriving
+    batch, the other in the existing corpus) must surface in
+    dedup_minhash_incremental — as a candidate always, and as the dup
+    verdict when its signature agreement clears the admission bar. The
+    two operators share the shingle/minhash machinery, so a divergence
+    here means the split or probe-join logic broke, not the hashing."""
+    from multithreaded_mapreduce_library_spark.functions import MOD_P
+    from multithreaded_mapreduce_library_spark.operators.dedup import (
+        INC_MIN_MATCHES,
+        INC_SPLIT_MOD,
+        N_HASHES,
+    )
+    from multithreaded_mapreduce_library_spark.registry import load_all
+
+    specs = load_all()
+    import hashlib
+
+    def is_batch(doc_id: int) -> bool:
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % MOD_P
+        return h % INC_SPLIT_MOD == 0
+
+    pairs = specs["dedup_minhash"].builder(spark, sf_dir).collect()
+    inc = {
+        r["doc_id"]: r
+        for r in specs["dedup_minhash_incremental"].builder(spark, sf_dir).collect()
+    }
+    straddling = [
+        (r["doc_a"], r["doc_b"], r["est_jaccard"])
+        for r in pairs
+        if is_batch(r["doc_a"]) != is_batch(r["doc_b"])
+    ]
+    assert straddling, "fixture must contain cross-split near-dup pairs"
+    for a, b, est in straddling:
+        nd = a if is_batch(a) else b
+        row = inc[nd]
+        assert row["n_candidates"] >= 1, f"batch doc {nd} lost its candidate"
+        if round(est * N_HASHES) >= INC_MIN_MATCHES:
+            assert row["is_dup"], f"batch doc {nd} (est={est}) must be flagged dup"

@@ -1518,3 +1518,29 @@ def test_stream_dedup_docs_membership_and_first_arrival(spark, tmp_path):
     # beta: keeper 11, duplicate in batch 2 only increments copies
     assert final[h["beta"]] == (11, 2)
     assert final[h["gamma"]] == (13, 1)
+
+
+def test_stream_upsert_recovers_from_crashed_uncommitted_write(spark, sf_dir, tmp_path):
+    """Durability edge: a crash mid-write leaves a version directory
+    WITHOUT its _SUCCESS marker. The committed-chain rule (read newest
+    COMMITTED <= epoch, mode=overwrite) must treat it as garbage — the
+    retried epoch recomputes from v0 and overwrites the partial dir, and
+    the settled target still equals the batch truth."""
+    from multithreaded_mapreduce_library_spark.operators.maintenance import merge_feed
+    from multithreaded_mapreduce_library_spark.streaming.queries import (
+        latest_upsert_version,
+        upsert_sink,
+    )
+
+    troot = str(tmp_path / "versions")
+    _init_upsert_target(spark, sf_dir, troot)
+    # simulate the crash: partial v1 with data-looking junk, no _SUCCESS
+    crashed = tmp_path / "versions" / "v1"
+    crashed.mkdir()
+    (crashed / "part-00000-crashed.parquet").write_bytes(b"not parquet")
+    orders = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet"))
+    upsert_sink(troot)(merge_feed(orders), 0)  # retry of the crashed epoch
+    assert _os.path.exists(str(crashed / "_SUCCESS")), "retry must commit v1"
+    assert _rows(spark.read.parquet(latest_upsert_version(troot))) == (
+        _upsert_batch_truth(spark, sf_dir)
+    )

@@ -153,10 +153,11 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CUTOFF = "1996-01-01"  # base/delta boundary for the maintained aggregate
 
-
-@register(
-    "incremental_agg",
-    oracle=f"""
+# The from-scratch truth for the per-customer order aggregate — shared by
+# incremental_agg (batch base+delta merge) and stream_incremental_agg
+# (foreachBatch monoid-merge): both maintenance paths must reconstruct
+# exactly this, so the driver hash IS the merge==recompute proof.
+INCR_AGG_ORACLE = f"""
 SELECT o_custkey AS custkey,
        count(*) AS n_orders,
        (CAST(sum({duck_fixed_point('o_totalprice')}) AS BIGINT) / 100) AS total_price,
@@ -164,7 +165,47 @@ SELECT o_custkey AS custkey,
        strftime(min(o_orderdate), '%Y-%m-%d') AS first_order_date
 FROM orders
 GROUP BY o_custkey
-""",
+"""
+
+
+def agg_state(df: DataFrame) -> DataFrame:
+    """Per-customer monoid state (cnt, fixed-point sum, max, min-date) of
+    an orders frame — the partial a batch OR a micro-batch aggregates
+    before merging (count/sum/max/min are commutative monoids, so any
+    partition of the input merges to the same state)."""
+    return df.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count("*").alias("cnt"),
+        F.sum(fixed_point("o_totalprice")).cast("long").alias("sum_c"),
+        F.max("o_totalprice").alias("mx"),
+        F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("mn_d"),
+    )
+
+
+def merge_agg_states(states: DataFrame) -> DataFrame:
+    """Merge a union of per-customer states keyed on custkey (the monoid
+    joins: sum of counts/sums, max of maxes, min of min-dates)."""
+    return states.groupBy("custkey").agg(
+        F.sum("cnt").cast("long").alias("cnt"),
+        F.sum("sum_c").cast("long").alias("sum_c"),
+        F.max("mx").alias("mx"),
+        F.min("mn_d").alias("mn_d"),
+    )
+
+
+def finalize_agg_state(state: DataFrame) -> DataFrame:
+    """Present a state table in the oracle-compared output shape."""
+    return state.select(
+        "custkey",
+        F.col("cnt").alias("n_orders"),
+        (F.col("sum_c") / 100).alias("total_price"),
+        F.col("mx").alias("max_price"),
+        F.col("mn_d").alias("first_order_date"),
+    )
+
+
+@register(
+    "incremental_agg",
+    oracle=INCR_AGG_ORACLE,
     tags=("maintenance", "incremental", "materialized-view"),
     doc=(
         "Incremental materialized-view maintenance: the per-customer "
@@ -186,27 +227,9 @@ GROUP BY o_custkey
 )
 def incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-
-    def state(df: DataFrame) -> DataFrame:
-        return df.groupBy(F.col("o_custkey").alias("custkey")).agg(
-            F.count("*").alias("cnt"),
-            F.sum(fixed_point("o_totalprice")).cast("long").alias("sum_c"),
-            F.max("o_totalprice").alias("mx"),
-            F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("mn_d"),
-        )
-
-    base = state(o.filter(F.col("o_orderdate") < CUTOFF))
-    delta = state(o.filter(F.col("o_orderdate") >= CUTOFF))
-    return (
-        base.unionByName(delta)
-        .groupBy("custkey")
-        .agg(
-            F.sum("cnt").cast("long").alias("n_orders"),
-            (F.sum("sum_c").cast("long") / 100).alias("total_price"),
-            F.max("mx").alias("max_price"),
-            F.min("mn_d").alias("first_order_date"),
-        )
-    )
+    base = agg_state(o.filter(F.col("o_orderdate") < CUTOFF))
+    delta = agg_state(o.filter(F.col("o_orderdate") >= CUTOFF))
+    return finalize_agg_state(merge_agg_states(base.unionByName(delta)))
 
 
 # merge_upsert change feed, derived from the same deterministic md5

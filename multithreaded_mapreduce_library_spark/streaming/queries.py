@@ -7,7 +7,7 @@ transform → writeStream pipeline; the registry builders execute with
 ``trigger(availableNow=True)`` into a memory sink and return the settled
 result.
 
-Oracle coverage: ALL ELEVEN streaming queries carry real DuckDB oracles —
+Oracle coverage: ALL TWELVE streaming queries carry real DuckDB oracles —
 their settled availableNow replays are deterministic. Complete-mode aggs
 (tumbling, static join) settle to the exact batch answer; append-mode
 windows/sessions settle to the batch set cut at the final watermark
@@ -799,8 +799,10 @@ def table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     )
 
 
-def upsert_sink(target_root: str):
-    """foreachBatch MERGE applier over a versioned copy-on-write target.
+def versioned_sink(target_root: str, apply_fn):
+    """foreachBatch applier over a versioned copy-on-write target — the
+    shared exactly-once commit chain under upsert_sink (keyed MERGE) and
+    mv_sink (monoid state merge).
 
     The target lives as ``target_root/v{N}`` parquet snapshots plus the
     implicit commit marker (_SUCCESS). Batch ``e`` reads the newest
@@ -808,18 +810,15 @@ def upsert_sink(target_root: str):
     retried epoch (foreachBatch's at-least-once contract) recomputes from
     the SAME predecessor and overwrites the same directory: the committed
     chain advances exactly once per epoch regardless of retries, which is
-    precisely how Delta/Iceberg MERGE achieves exactly-once under the
+    precisely how Delta/Iceberg sinks achieve exactly-once under the
     hood (their log commit replaces the _SUCCESS marker; the local-fs
     marker stands in for that here — at 100 TB this function body is the
     engine-side half, and the table format supplies the atomic commit).
 
-    Shuffle story per batch: apply_merge's ONE co-partitioned full-outer
-    SMJ on the merge key (see operators/maintenance.apply_merge); the
-    CDC micro-batch side is small, so AQE broadcasts it in production.
+    ``apply_fn(prev_df, batch_df) -> DataFrame`` supplies the semantics:
+    what the new version IS, given the committed predecessor and the
+    arriving micro-batch.
     """
-    from multithreaded_mapreduce_library_spark.operators.maintenance import (
-        apply_merge,
-    )
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         import os
@@ -836,15 +835,30 @@ def upsert_sink(target_root: str):
             and os.path.exists(os.path.join(target_root, d, "_SUCCESS"))
         ]
         prev = os.path.join(target_root, f"v{max(committed)}")
-        b = batch_df.sparkSession
-        tgt = b.read.parquet(prev).select(
+        prev_df = batch_df.sparkSession.read.parquet(prev)
+        apply_fn(prev_df, batch_df).write.mode("overwrite").parquet(out)
+
+    return apply_batch
+
+
+def upsert_sink(target_root: str):
+    """The streaming MERGE applier: versioned_sink specialized with
+    apply_merge (see operators/maintenance.apply_merge — ONE
+    co-partitioned full-outer SMJ on the merge key per batch; the CDC
+    micro-batch side is small, so AQE broadcasts it in production)."""
+    from multithreaded_mapreduce_library_spark.operators.maintenance import (
+        apply_merge,
+    )
+
+    def apply(prev_df: DataFrame, batch_df: DataFrame) -> DataFrame:
+        tgt = prev_df.select(
             F.col("o_orderkey").alias("k"),
             F.col("o_orderstatus").alias("status"),
             F.col("o_totalprice").alias("price"),
         )
-        apply_merge(tgt, batch_df).write.mode("overwrite").parquet(out)
+        return apply_merge(tgt, batch_df)
 
-    return apply_batch
+    return versioned_sink(target_root, apply)
 
 
 def latest_upsert_version(target_root: str) -> str:
@@ -1026,3 +1040,90 @@ def stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         dedup_docs_transform(table_stream(spark, sf_dir, "documents")), "update"
     )
+
+
+def mv_sink(target_root: str):
+    """The streaming materialized-view applier: versioned_sink specialized
+    with the monoid merge — each micro-batch partial-aggregates ITSELF
+    (agg_state) and merges with the committed state table
+    (merge_agg_states); commutativity/associativity of count/sum/max/min
+    make the result independent of how the feed was batched."""
+    from multithreaded_mapreduce_library_spark.operators.maintenance import (
+        agg_state,
+        merge_agg_states,
+    )
+
+    def apply(prev_df: DataFrame, batch_df: DataFrame) -> DataFrame:
+        return merge_agg_states(prev_df.unionByName(agg_state(batch_df)))
+
+    return versioned_sink(target_root, apply)
+
+
+def _register_stream_incremental_agg():
+    from multithreaded_mapreduce_library_spark.operators.maintenance import (
+        INCR_AGG_ORACLE,
+    )
+
+    @register(
+        "stream_incremental_agg",
+        # The settled state table after replaying the orders feed must
+        # equal the from-scratch aggregate — the SAME merge==recompute
+        # proof incremental_agg carries, via the shared INCR_AGG_ORACLE.
+        oracle=INCR_AGG_ORACLE,
+        tags=("streaming", "incremental", "materialized-view", "foreachBatch"),
+        doc=(
+            "Streaming materialized-view maintenance — the agg twin of "
+            "stream_upsert: the orders feed arrives as a stream and "
+            "foreachBatch maintains the per-customer monoid state table "
+            "(count / fixed-point sum / max / min-date) through the SAME "
+            "versioned exactly-once commit chain (versioned_sink), each "
+            "batch aggregating only itself before one keyed merge with "
+            "the committed state. The monoid algebra makes the settled "
+            "table independent of batching — proven end-to-end by the "
+            "shared from-scratch oracle (merge == recompute, as "
+            "incremental_agg). Shuffle story per batch: one map-side "
+            "partial-aggregated exchange on custkey for the batch state, "
+            "one keyed merge agg riding the union — the 100 TB pattern "
+            "where each arriving batch costs O(batch), never O(table). "
+            "The reference's only refresh primitive is a full re-run "
+            "(mapreduce.c:176)."
+        ),
+    )
+    def stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import shutil
+        import tempfile
+
+        from multithreaded_mapreduce_library_spark.operators.maintenance import (
+            finalize_agg_state,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="stream_mv_")
+        prev_conf = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        try:
+            troot = os.path.join(tmp, "versions")
+            os.makedirs(troot)
+            # v0: the empty state table (schema-complete, zero rows)
+            spark.createDataFrame(
+                [], "custkey long, cnt long, sum_c long, mx double, mn_d string"
+            ).write.parquet(os.path.join(troot, "v0"))
+            feed = table_stream(spark, sf_dir, "orders")
+            q = (
+                feed.writeStream.foreachBatch(mv_sink(troot))
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            final = finalize_agg_state(
+                spark.read.parquet(latest_upsert_version(troot))
+            )
+            rows = final.collect()  # one row per customer state — the MV itself
+            return spark.createDataFrame(rows, final.schema)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_conf)
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+_register_stream_incremental_agg()

@@ -1544,3 +1544,60 @@ def test_stream_upsert_recovers_from_crashed_uncommitted_write(spark, sf_dir, tm
     assert _rows(spark.read.parquet(latest_upsert_version(troot))) == (
         _upsert_batch_truth(spark, sf_dir)
     )
+
+
+def test_multibatch_stream_incremental_agg_settles_to_batch(spark, sf_dir, tmp_path):
+    """The monoid design point: the orders feed split into 3 key-disjoint
+    files, each batch aggregated alone and merged through the versioned
+    chain, must equal the from-scratch aggregate — and a crashed retry of
+    a committed epoch must not double-count (the classic MV corruption)."""
+    from multithreaded_mapreduce_library_spark.operators.maintenance import (
+        agg_state,
+        finalize_agg_state,
+    )
+    from multithreaded_mapreduce_library_spark.streaming.queries import (
+        latest_upsert_version,
+        mv_sink,
+    )
+
+    src = tmp_path / "orders_src"
+    src.mkdir()
+    orders = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet"))
+    for i in range(3):
+        orders.filter(orders.o_orderkey % 3 == i).coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+    troot = str(tmp_path / "versions")
+    _os.makedirs(troot)
+    spark.createDataFrame(
+        [], "custkey long, cnt long, sum_c long, mx double, mn_d string"
+    ).write.parquet(_os.path.join(troot, "v0"))
+
+    schema = orders.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(mv_sink(troot))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = sum(1 for p in q.recentProgress if p.numInputRows > 0)
+    assert n_batches >= 2, f"replay ran {n_batches} data batches — not multi-batch"
+
+    truth = _rows(finalize_agg_state(agg_state(orders)))
+    settled = _rows(
+        finalize_agg_state(spark.read.parquet(latest_upsert_version(troot)))
+    )
+    assert settled == truth
+
+    # re-deliver a committed epoch with the FULL feed — a broken chain
+    # would double-count every customer's totals
+    mv_sink(troot)(orders, 0)
+    assert _rows(
+        finalize_agg_state(spark.read.parquet(latest_upsert_version(troot)))
+    ) == truth

@@ -906,3 +906,46 @@ def test_dedup_minhash_incremental_probes_index_only(spark, sf_dir):
         or "BroadcastHashJoin Inner" in plan
     ), "candidate join must be a (band, sig) equi join"
     assert plan.count("HashAggregate") >= 4  # signature min-agg + decision agg partials
+
+
+def test_mmr_rerank_distributed_work_is_shortlist_bounded(spark, sf_dir):
+    """Everything corpus-scale in mmr_rerank happens in the hybrid legs;
+    the pair-scoring join must be broadcast-side (the shortlist), never a
+    corpus shuffle, and the shortlists come off distributed top-k. The
+    greedy itself is driver-side over K rows — what this pins is that no
+    plan node ever pairs the corpus with itself."""
+    from multithreaded_mapreduce_library_spark.operators.pipeline import (
+        hybrid_retrieval,
+    )
+    from multithreaded_mapreduce_library_spark.operators.similarity import (
+        _SPARK_COSINE,
+        _SPARK_NORM,
+        _dvec,
+        _load_embeddings,
+    )
+    from pyspark.sql import functions as F
+
+    top = hybrid_retrieval(spark, sf_dir).select("doc_id", "rrf")
+    e = _load_embeddings(spark, sf_dir).select(
+        "vec_id", _dvec("embedding").alias("v")
+    ).withColumn("norm", F.expr(_SPARK_NORM))
+    cand_vecs = e.join(
+        F.broadcast(top.select(F.col("doc_id").alias("vec_id"))), "vec_id"
+    )
+    a = cand_vecs.select(
+        F.col("vec_id").alias("da"), F.col("v").alias("va"), F.col("norm").alias("norm_a")
+    )
+    b = cand_vecs.select(
+        F.col("vec_id").alias("db"), F.col("v").alias("vb"), F.col("norm").alias("norm_b")
+    )
+    pairs = (
+        F.broadcast(a)
+        .join(b, F.col("da") != F.col("db"))
+        .select("da", "db", F.expr(_SPARK_COSINE).alias("c"))
+    )
+    plan = formatted_plan(pairs)
+    assert "CartesianProduct" not in plan
+    # the shortlist-id semi join keeps the corpus side hash-joined, and
+    # the pair join's nested-loop side is the BROADCAST shortlist
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert pairs.count() <= 20 * 19, "pair space must be shortlist-bounded"

@@ -7,7 +7,7 @@ transform → writeStream pipeline; the registry builders execute with
 ``trigger(availableNow=True)`` into a memory sink and return the settled
 result.
 
-Oracle coverage: ALL TWELVE streaming queries carry real DuckDB oracles —
+Oracle coverage: ALL THIRTEEN streaming queries carry real DuckDB oracles —
 their settled availableNow replays are deterministic. Complete-mode aggs
 (tumbling, static join) settle to the exact batch answer; append-mode
 windows/sessions settle to the batch set cut at the final watermark
@@ -1127,3 +1127,170 @@ def _register_stream_incremental_agg():
 
 
 _register_stream_incremental_agg()
+
+
+def minhash_bands_transform(s: DataFrame) -> DataFrame:
+    """Shingle -> MinHash -> LSH band signatures computed ON the stream
+    (same constants and hash family as batch dedup_minhash, imported so
+    they cannot drift): one row per (doc, band) carrying the band
+    signature, ready for the per-(band, sig) stateful membership group.
+
+    Unlike the batch twin (explode + partial-min groupBy — the fast
+    path), the per-doc minimum here is an ARRAY fold (array_min over a
+    transformed shingle-hash array) inside a single projection: a
+    streaming aggregation before applyInPandasWithState is not allowed
+    (Spark rejects stateful-after-agg in update mode), and the
+    aggregation-free formulation keeps the whole signature narrow. The
+    batch code deliberately avoids this shape for throughput
+    (dedup.py's CollapseProject note); for the streaming gate the
+    per-batch volume is the arriving increment, where narrowness wins."""
+    from multithreaded_mapreduce_library_spark.functions import h31, tokens
+    from multithreaded_mapreduce_library_spark.operators.dedup import (
+        MINHASH_PARAMS,
+        MOD_P,
+        N_BANDS,
+        ROWS_PER_BAND,
+    )
+
+    toks = s.select("doc_id", tokens("text").alias("toks"))
+    sh = F.when(
+        F.size("toks") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 2),
+            lambda i: F.array_join(F.slice("toks", i, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashed = toks.select(
+        "doc_id", F.transform(sh, lambda sg: h31(sg)).alias("hs")
+    ).filter(F.size("hs") > 0)
+    mh_cols = [
+        F.array_min(
+            F.transform(F.col("hs"), lambda h: F.pmod(h * a + b, F.lit(MOD_P)))
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+    mh = hashed.select("doc_id", *mh_cols)
+    band_structs = [
+        F.struct(
+            F.lit(bb).alias("band"),
+            F.concat_ws(
+                "-",
+                *[F.col(f"mh{bb * ROWS_PER_BAND + j}") for j in range(ROWS_PER_BAND)],
+            ).alias("sig"),
+        )
+        for bb in range(N_BANDS)
+    ]
+    return mh.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
+def near_dup_membership_transform(bands: DataFrame) -> DataFrame:
+    """Per-(band, sig) stateful membership: GroupState carries the
+    bucket's FIRST-ARRIVAL keeper — stable once set (a later arrival
+    with a smaller doc_id does NOT steal keepership, exactly the
+    stream_dedup_docs contract, per LSH bucket instead of per exact
+    hash; min-doc_id breaks simultaneous-arrival ties). Each arriving
+    doc is emitted with its rep: the keeper that already occupied the
+    bucket (-1 for the keeper itself). State: ONE long per distinct
+    (band, sig) bucket."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (keeper,) = state.get if state.exists else (-1,)
+        chunks = [pdf["doc_id"] for pdf in pdfs if len(pdf)]
+        if not chunks:
+            yield pd.DataFrame({"doc_id": [], "rep": []})
+            return
+        ids = pd.concat(chunks).astype("int64")
+        if keeper < 0:
+            keeper = int(ids.min())  # first-arrival batch elects keeper
+            state.update((keeper,))
+        rep = [(-1 if int(d) == keeper else keeper) for d in ids]
+        yield pd.DataFrame({"doc_id": ids, "rep": rep})
+
+    return bands.groupBy("band", "sig").applyInPandasWithState(
+        update,
+        outputStructType="doc_id long, rep long",
+        stateStructType="keeper long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _register_stream_dedup_minhash():
+    from multithreaded_mapreduce_library_spark.operators.dedup import (
+        _DUCK_SHINGLES,
+        _band_sig,
+        _duck_minhash_cols,
+        N_BANDS,
+    )
+
+    @register(
+        "stream_dedup_minhash",
+        # Single-file single-batch replay (table_stream hard-asserts) =>
+        # within every bucket the keeper is the bucket min, so the
+        # settled per-doc aggregate equals the batch EXISTS-any-earlier
+        # answer: a doc is a near-dup iff an earlier doc shares any band
+        # signature, with the smallest such doc as representative. The
+        # oracle computes that directly from the batch band join. Both
+        # sides restrict to docs with >= 1 shingle (a shingle-less doc
+        # has no signature and no bucket on either engine).
+        oracle=f"""
+WITH {_DUCK_SHINGLES},
+mh AS (SELECT doc_id, {_duck_minhash_cols()} FROM hs GROUP BY doc_id),
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {bb} AS band, {_band_sig('', bb)} AS sig FROM mh"
+      for bb in range(N_BANDS)
+  )}
+),
+hits AS (
+  SELECT b.doc_id AS d, min(a.doc_id) AS rep
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  GROUP BY b.doc_id
+)
+SELECT m.doc_id,
+       (h.d IS NOT NULL) AS is_near_dup,
+       CAST(coalesce(h.rep, -1) AS BIGINT) AS dup_of
+FROM (SELECT DISTINCT doc_id FROM hs) m
+LEFT JOIN hits h ON m.doc_id = h.d
+""",
+        tags=("streaming", "dedup", "minhash", "lsh", "stateful", "llm-pipeline"),
+        doc=(
+            "Streaming NEAR-dup membership — the online LSH admission "
+            "gate completing the dedup 2x2 (exact/near x batch/stream): "
+            "shingle->MinHash->band signatures computed JVM-side on the "
+            "documents stream with the exact constants of batch "
+            "dedup_minhash, then a per-(band, sig) bucket carries its "
+            "earliest-seen doc in GroupState; a doc whose bucket keeper "
+            "precedes it in ANY of its bands is flagged with the "
+            "smallest such keeper as dup_of. First-arrival-bucket-keeper "
+            "contract as stream_dedup_docs. The settled replay equals "
+            "the batch EXISTS-any-earlier band-join answer (the oracle). "
+            "Shuffle story: one shingle explode + partial-min signature "
+            "agg, one exchange on (band, sig) into the state groups, "
+            "one keyed per-doc finalize agg — signatures, never text, "
+            "cross the exchanges; state is ONE long per distinct bucket "
+            "(bounded by the corpus's signature diversity, TTL-bounded "
+            "in production like the exact-hash twin)."
+        ),
+    )
+    def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emitted = run_to_memory(
+            near_dup_membership_transform(
+                minhash_bands_transform(table_stream(spark, sf_dir, "documents"))
+            ),
+            "update",
+        )
+        return emitted.groupBy("doc_id").agg(
+            F.max(F.col("rep") >= 0).alias("is_near_dup"),
+            F.coalesce(F.min(F.when(F.col("rep") >= 0, F.col("rep"))), F.lit(-1))
+            .cast("long")
+            .alias("dup_of"),
+        )
+
+
+_register_stream_dedup_minhash()

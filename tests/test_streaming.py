@@ -1601,3 +1601,76 @@ def test_multibatch_stream_incremental_agg_settles_to_batch(spark, sf_dir, tmp_p
     assert _rows(
         finalize_agg_state(spark.read.parquet(latest_upsert_version(troot)))
     ) == truth
+
+
+def test_stream_dedup_minhash_first_arrival_and_multibatch(spark, sf_dir, tmp_path):
+    """The near-dup gate's arrival contract, on a synthesized stream:
+    (a) identical texts collide on every band — the first-arrival batch
+    elects the bucket keeper; (b) a duplicate arriving in a LATER batch
+    is flagged against that keeper; (c) a late arrival with a SMALLER
+    doc_id does NOT steal keepership (same contract as the exact-hash
+    twin); (d) an id-ordered multi-batch replay of the fixture settles
+    to the single-batch gated answer."""
+    from pyspark.sql import functions as F
+
+    from multithreaded_mapreduce_library_spark.streaming.queries import (
+        minhash_bands_transform,
+        near_dup_membership_transform,
+    )
+
+    def run_gate(src_glob, schema):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_glob)
+        )
+        emitted, n_batches = _run_multi(
+            near_dup_membership_transform(minhash_bands_transform(stream)), "update"
+        )
+        final = emitted.groupBy("doc_id").agg(
+            F.max(F.col("rep") >= 0).alias("is_near_dup"),
+            F.coalesce(F.min(F.when(F.col("rep") >= 0, F.col("rep"))), F.lit(-1))
+            .cast("long")
+            .alias("dup_of"),
+        )
+        return {r["doc_id"]: (r["is_near_dup"], r["dup_of"]) for r in final.collect()}, n_batches
+
+    # synthesized disorder stream
+    src = tmp_path / "near_dup_docs"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(10, "a b c d e"), (11, "p q r s t"), (12, "a b c d e")], schema
+    ).coalesce(1).write.parquet(str(src / "f0"))
+    spark.createDataFrame(
+        [(2, "a b c d e"), (13, "m n o u v")], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    got, n_batches = run_gate(str(src / "*"), schema)
+    assert n_batches == 2
+    assert got[10] == (False, -1)  # batch-1 min elects keeper
+    assert got[12] == (True, 10)  # same-batch duplicate
+    assert got[2] == (True, 10)  # LATE smaller id: flagged, keeper NOT stolen
+    assert got[11] == (False, -1) and got[13] == (False, -1)
+
+    # id-ordered fixture replay settles to the gated single-batch answer
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    multi = tmp_path / "docs_multi"
+    multi.mkdir()
+    t = pq.read_table(_os.path.join(sf_dir, "documents.parquet"))
+    t = t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+    bounds = [round(i * t.num_rows / 3) for i in range(4)]
+    for i in range(3):
+        pq.write_table(
+            t.slice(bounds[i], bounds[i + 1] - bounds[i]),
+            str(multi / f"part-{i:02d}.parquet"),
+        )
+    doc_schema = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet")).schema
+    got_multi, n_batches = run_gate(str(multi), doc_schema)
+    assert n_batches >= 2
+    expected = {
+        r["doc_id"]: (r["is_near_dup"], r["dup_of"])
+        for r in SPECS["stream_dedup_minhash"].builder(spark, sf_dir).collect()
+    }
+    assert got_multi == expected

@@ -448,8 +448,8 @@ FROM u
         "Files already at/over target are kept as-is (action='keep', "
         "bin_id=-1, their own bin_total). All arithmetic is integer "
         "(cents, DIV) so the two engines agree bit-for-bit. Shuffle "
-        "story: one partial-aggregated exchange on the (month, status) "
-        "inventory key, then ONE single-partition window pass — over FILE "
+        "story: one partial-aggregated exchange on the custkey-chunk "
+        "file_id inventory key, then ONE single-partition window pass — over FILE "
         "METADATA, O(#files) not O(data): at 100 TB with 128 MB files "
         "that is ~800k rows on one task, the planner's input, not the "
         "table's; the compaction EXECUTION the plan drives shuffles on "

@@ -948,12 +948,14 @@ mmr(step, sel) AS (
           WHERE pc.da = top.doc_id AND list_contains(mmr.sel, pc.db)
         ), 0.0) DESC, doc_id
       LIMIT 1))
-  FROM mmr WHERE step < {MMR_K}
+  FROM mmr
+  WHERE step < {MMR_K}
+    AND EXISTS (SELECT 1 FROM top WHERE NOT list_contains(mmr.sel, doc_id))
 ),
 ranked AS (
   SELECT unnest(sel) AS doc_id,
          unnest(generate_series(1, len(sel))) AS mmr_rank
-  FROM mmr WHERE step = {MMR_K}
+  FROM mmr WHERE step = (SELECT max(step) FROM mmr)
 )
 SELECT ranked.doc_id, CAST(mmr_rank AS BIGINT) AS mmr_rank, top.rrf
 FROM ranked JOIN top ON ranked.doc_id = top.doc_id
@@ -1035,6 +1037,11 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     while len(sel) < MMR_K:
         remaining = [d for d in rel if d not in sel]
+        if not remaining:
+            # shortlist smaller than MMR_K (tiny corpus): stop with what
+            # exists — the oracle's recursive CTE terminates identically
+            # via its EXISTS guard + max(step) final selection
+            break
         best = min(remaining, key=lambda d: (-mmr_score(d), d))
         sel.append(best)
     rows = [(d, i + 1, rel[d]) for i, d in enumerate(sel)]

@@ -1023,6 +1023,13 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Python floats are IEEE doubles, the inputs (rrf, cosine) are the
     # engines' own outputs, and every score op (two exact halvings, one
     # subtract, max over doubles) matches the SQL expression order.
+    schema = "doc_id long, mmr_rank long, rrf double"
+    if not rel:
+        # empty shortlist (no fused candidates at all): the oracle's
+        # anchor SELECT yields NULL -> the recursive CTE produces no
+        # usable rank rows and the final join returns empty; match it
+        # before min() over an empty dict could raise
+        return spark.createDataFrame([], schema)
     first = min(rel, key=lambda d: (-rel[d], d))
     sel = [first]
 
@@ -1045,4 +1052,4 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         best = min(remaining, key=lambda d: (-mmr_score(d), d))
         sel.append(best)
     rows = [(d, i + 1, rel[d]) for i, d in enumerate(sel)]
-    return spark.createDataFrame(rows, "doc_id long, mmr_rank long, rrf double")
+    return spark.createDataFrame(rows, schema)

@@ -243,3 +243,94 @@ def test_incremental_minhash_agrees_with_batch_minhash(spark, sf_dir):
         assert row["n_candidates"] >= 1, f"batch doc {nd} lost its candidate"
         if round(est * N_HASHES) >= INC_MIN_MATCHES:
             assert row["is_dup"], f"batch doc {nd} (est={est}) must be flagged dup"
+
+
+def _write_tiny_rag_fixture(out_dir, texts, n_embedded):
+    """Write documents/embeddings parquet with the checked-in schemas but a
+    corpus small enough that the fused shortlist has < MMR_K candidates —
+    the termination path no sf fixture reaches (ADVICE r10)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import numpy as np
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["src0"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+            }
+        ),
+        str(out_dir / "documents.parquet"),
+    )
+    from multithreaded_mapreduce_library_spark.operators.similarity import DIM
+
+    rng = np.random.default_rng(11)
+    emb = rng.uniform(-0.5, 0.5, (n_embedded, DIM)).astype("float32")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n_embedded), type=pa.int64()),
+                "embedding": pa.array(emb.tolist(), type=pa.list_(pa.float32())),
+                "label": pa.array([0] * n_embedded, type=pa.int32()),
+            }
+        ),
+        str(out_dir / "embeddings.parquet"),
+    )
+
+
+def _mmr_oracle_rows(sf_dir: str):
+    import duckdb
+
+    from multithreaded_mapreduce_library_spark.operators.pipeline import _mmr_oracle
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    rows = con.execute(_mmr_oracle()).fetchall()
+    con.close()
+    return sorted(rows)
+
+
+def test_mmr_rerank_shortlist_smaller_than_k(spark, tmp_path):
+    """Tiny corpus: 5 docs / 5 embeddings -> fused shortlist < MMR_K=10.
+    The Python greedy's break and the oracle's EXISTS guard + max(step)
+    selection must produce identical (doc_id, mmr_rank, rrf) output."""
+    from multithreaded_mapreduce_library_spark.operators.pipeline import (
+        MMR_K,
+        mmr_rerank,
+    )
+
+    texts = [
+        "spark join window shuffle",       # doc 0 = the query vector's doc
+        "spark window partition",
+        "join join broadcast",
+        "window rank frame",
+        "filter project scan",             # no BM25 term: sem-leg-only doc
+    ]
+    _write_tiny_rag_fixture(tmp_path, texts, n_embedded=5)
+    got = sorted(
+        tuple(r) for r in mmr_rerank(spark, str(tmp_path)).collect()
+    )
+    assert 0 < len(got) < MMR_K
+    want = _mmr_oracle_rows(str(tmp_path))
+    assert got == want
+
+
+def test_mmr_rerank_empty_shortlist(spark, tmp_path):
+    """No BM25-term matches and no non-query embeddings -> empty fused
+    shortlist: both the Spark greedy (early return) and the recursive-CTE
+    oracle (NULL anchor, dropped by the final join) must return 0 rows."""
+    from multithreaded_mapreduce_library_spark.operators.pipeline import mmr_rerank
+
+    _write_tiny_rag_fixture(
+        tmp_path, ["filter project scan", "sort limit exchange"], n_embedded=1
+    )
+    df = mmr_rerank(spark, str(tmp_path))
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["doc_id", "mmr_rank", "rrf"]
+    assert _mmr_oracle_rows(str(tmp_path)) == []

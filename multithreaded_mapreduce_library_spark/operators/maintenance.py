@@ -457,18 +457,38 @@ FROM u
     ),
 )
 def compact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    return assign_compaction_bins(compact_file_inventory(spark, sf_dir))
 
-    o = load_table(spark, sf_dir, "orders")
-    file_id = F.when(
+
+def spark_file_id():
+    """The deterministic customer-chunk file id, the Spark twin of
+    _DUCK_FILE_ID — shared by the inventory (compact_plan) and the row
+    router (compact_apply) so the plan and the rewrite see the same
+    file listing."""
+    return F.when(
         F.col("o_custkey") % 10 < 3,
         F.concat(F.lit("compacted/"), F.expr("CAST(o_custkey DIV 100 AS STRING)")),
     ).otherwise(
         F.concat(F.lit("ingest/"), F.expr("CAST(o_custkey DIV 5 AS STRING)"))
     )
-    inv = o.groupBy(file_id.alias("file_id")).agg(
+
+
+def compact_file_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(file_id, size_bytes) file listing derived from orders — one
+    partial-aggregated exchange on the chunk key."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(spark_file_id().alias("file_id")).agg(
         F.sum(fixed_point("o_totalprice")).cast("long").alias("size_bytes")
     )
+
+
+def assign_compaction_bins(inv: DataFrame) -> DataFrame:
+    """Sequential-fill bin packing over an inventory frame — the planning
+    core shared verbatim by compact_plan (emits the decision table) and
+    compact_apply (executes it). One single-partition window pass over
+    file METADATA, O(#files)."""
+    from pyspark.sql.window import Window
+
     # DIV (exact integer division) rather than floor(double /): at metadata
     # cardinalities the doubles would be exact too, but integer arithmetic
     # matches the oracle's // by construction, not by analysis.
@@ -498,3 +518,114 @@ def compact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("size_bytes").over(per_bin).cast("long").alias("bin_total"),
         )
     )
+
+
+# --- compaction execution ----------------------------------------------------
+
+_DUCK_COMPACT_BINS = f"""inv AS (
+  SELECT {_DUCK_FILE_ID} AS file_id,
+         CAST(sum({duck_fixed_point('o_totalprice')}) AS BIGINT) AS size_bytes
+  FROM orders GROUP BY 1
+), cand AS (
+  SELECT file_id, size_bytes,
+         CAST((sum(size_bytes) OVER (ORDER BY size_bytes DESC, file_id)
+               - size_bytes) // {COMPACT_TARGET} AS BIGINT) AS bin_id
+  FROM inv WHERE size_bytes < {COMPACT_TARGET}
+), u AS (
+  SELECT file_id, size_bytes, bin_id FROM cand
+  UNION ALL
+  SELECT file_id, size_bytes, CAST(-1 AS BIGINT) AS bin_id
+  FROM inv WHERE size_bytes >= {COMPACT_TARGET}
+)"""
+
+
+@register(
+    "compact_apply",
+    oracle=f"""
+WITH {_DUCK_COMPACT_BINS},
+m AS (
+  SELECT file_id,
+         CASE WHEN bin_id = -1 THEN file_id
+              ELSE 'bin-' || CAST(bin_id AS VARCHAR) END AS out_file
+  FROM u
+), r AS (
+  SELECT {_DUCK_FILE_ID} AS file_id, o_orderkey, o_totalprice FROM orders
+)
+SELECT m.out_file,
+       count(*) AS n_rows,
+       {duck_money_sum('o_totalprice', 'total_price')},
+       CAST(sum(o_orderkey % {KEY_CHECKSUM_MOD}) AS BIGINT) AS key_checksum
+FROM r JOIN m USING (file_id)
+GROUP BY m.out_file
+""",
+    tags=("maintenance", "compaction", "optimize", "sink"),
+    doc=(
+        "Compaction EXECUTION — materializes compact_plan's bin-packing "
+        "decision the way Delta/Iceberg OPTIMIZE does after planning "
+        "(the reference's only layout is one file per reduce task, "
+        "distwc.c:30-33, with no rewrite path): every 'compact' file's "
+        "rows are routed to its bin's single output file (out_file = "
+        "'bin-<bin_id>'), every 'keep' file passes through under its own "
+        "name, and the rewrite is PHYSICAL — rows are repartitioned by "
+        "out_file and written to a partitioned parquet target (exactly "
+        "one data file per output, since each out_file lives in exactly "
+        "one shuffle task), then read BACK from disk for the summary, so "
+        "what the oracle checks is the round-tripped on-disk result, not "
+        "an in-memory shortcut. The output aggregates the applied table "
+        "per out_file (row count, fixed-point money sum, modular key "
+        "checksum pinning the exact surviving row set); the oracle "
+        "reconstructs the same summary from base data through the shared "
+        "bin CTEs, so hash equality proves the rewrite is lossless AND "
+        "landed in exactly the planned layout. Shuffle story: the "
+        "planning subtree as compact_plan (inventory agg + one metadata "
+        "window); the rewrite is ONE exchange on out_file whose "
+        "partitions are size-capped by construction (bins fill to "
+        "~target, keeps are single files) — no skew; the mapping join "
+        "is a broadcast of O(#files) metadata onto the row scan; the "
+        "summary is a partial-aggregated exchange on out_file. At 100 "
+        "TB the rewrite streams scan->route->write with no wide row "
+        "ever crossing more than the one planned exchange."
+    ),
+)
+def compact_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    applied, _ = compact_rewrite(spark, sf_dir)
+    return applied.groupBy("out_file").agg(
+        F.count("*").alias("n_rows"),
+        money_sum("o_totalprice", "total_price"),
+        F.sum(F.col("o_orderkey") % KEY_CHECKSUM_MOD)
+        .cast("long")
+        .alias("key_checksum"),
+    )
+
+
+def compact_rewrite(spark: SparkSession, sf_dir: str):
+    """Execute the compaction plan physically; returns (applied, target):
+    the read-back post-rewrite table (out_file, o_orderkey, o_orderstatus,
+    o_totalprice) and the parquet directory it was written to — exposed so
+    the invariance test can count on-disk data files against the plan's
+    bin/keep count and compare the round-tripped rows to the source."""
+    import os
+    import tempfile
+
+    plan = assign_compaction_bins(compact_file_inventory(spark, sf_dir))
+    mapping = plan.select(
+        "file_id",
+        F.when(F.col("bin_id") == -1, F.col("file_id"))
+        .otherwise(F.concat(F.lit("bin-"), F.col("bin_id").cast("string")))
+        .alias("out_file"),
+    )
+    rows = load_table(spark, sf_dir, "orders").select(
+        spark_file_id().alias("file_id"),
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    routed = rows.join(F.broadcast(mapping), "file_id").drop("file_id")
+    target = os.path.join(tempfile.mkdtemp(prefix="compact_apply_"), "orders")
+    # one shuffle on out_file => every out_file's rows sit in one task =>
+    # partitionBy emits exactly one data file per output (the invariance
+    # test counts them against the plan's bin/keep count)
+    routed.repartition(F.col("out_file")).write.mode("overwrite").partitionBy(
+        "out_file"
+    ).parquet(target)
+    return spark.read.parquet(target), target

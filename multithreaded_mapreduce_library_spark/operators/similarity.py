@@ -1201,3 +1201,244 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("rep"), F.lit(-1)).cast("long").alias("dup_of"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental semantic dedup: new batch vs trained corpus index
+# ---------------------------------------------------------------------------
+
+_COS_SENTINEL_FX = -2_000_000  # below any real fx cosine (range [-1e6, 1e6])
+
+
+def _duck_inc_batch_cond(col: str) -> str:
+    from multithreaded_mapreduce_library_spark.functions import duck_h31
+    from multithreaded_mapreduce_library_spark.operators.dedup import INC_SPLIT_MOD
+
+    return f"(({duck_h31(f'CAST({col} AS VARCHAR)')}) % {INC_SPLIT_MOD} = 0)"
+
+
+def _duck_sem_inc_oracle() -> str:
+    from multithreaded_mapreduce_library_spark.operators.dedup import INC_SPLIT_MOD  # noqa: F401 (constant pinned via cond helper)
+
+    bc = _duck_inc_batch_cond("vec_id")
+    # corpus-trained Lloyd: the _DUCK_LLOYD_CTES chain with (a) training
+    # restricted to the corpus split and (b) seeds = the K smallest CORPUS
+    # vec_ids (vec_id < K would leak batch vectors into training)
+    return f"""
+WITH eall AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+ec AS (SELECT * FROM eall WHERE NOT {bc}),
+eb AS (SELECT * FROM eall WHERE {bc}),
+seeds AS (
+  SELECT vec_id AS cid, v AS c FROM ec ORDER BY vec_id LIMIT {K_CELLS}
+),
+a1 AS (
+  SELECT vec_id, va, cid FROM (
+    SELECT ec.vec_id, ec.v AS va, s.cid,
+           row_number() OVER (
+             PARTITION BY ec.vec_id ORDER BY {_duck_d2('ec.v', 's.c')}, s.cid
+           ) AS rn
+    FROM ec CROSS JOIN seeds s
+  ) WHERE rn = 1
+),
+comp AS (
+  SELECT cid, i AS pos, va[i] AS x
+  FROM a1 CROSS JOIN unnest(generate_series(1, {DIM})) AS g(i)
+),
+upd AS (
+  SELECT cid, pos,
+         floor(CAST(sum(CAST(floor(x * {_FX} + 0.5) AS BIGINT)) AS DOUBLE)
+               / count(*) + 0.5) / {_FX} AS cval
+  FROM comp GROUP BY cid, pos
+),
+newc AS (SELECT cid, list(cval ORDER BY pos) AS c FROM upd GROUP BY cid),
+idx AS (
+  SELECT vec_id, cid, v FROM (
+    SELECT ec.vec_id, n.cid, ec.v,
+           row_number() OVER (
+             PARTITION BY ec.vec_id ORDER BY {_duck_d2('ec.v', 'n.c')}, n.cid
+           ) AS rn
+    FROM ec CROSS JOIN newc n
+  ) WHERE rn = 1
+),
+bat AS (
+  SELECT vec_id, cid, v FROM (
+    SELECT eb.vec_id, n.cid, eb.v,
+           row_number() OVER (
+             PARTITION BY eb.vec_id ORDER BY {_duck_d2('eb.v', 'n.c')}, n.cid
+           ) AS rn
+    FROM eb CROSS JOIN newc n
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT b.vec_id AS nd, i.vec_id AS od,
+         {_duck_cosine('b.v', 'i.v')} AS c
+  FROM bat b JOIN idx i ON b.cid = i.cid
+),
+dec AS (
+  SELECT nd,
+         count(*) AS n_cell,
+         CAST(floor(max(c) * {_FX} + 0.5) AS BIGINT) AS max_cos_fx,
+         min(CASE WHEN c >= {SEMANTIC_TAU} THEN od END) AS dup_raw
+  FROM pairs GROUP BY nd
+)
+SELECT b.vec_id,
+       CAST(b.cid AS BIGINT) AS cell_id,
+       CAST(coalesce(dec.n_cell, 0) AS BIGINT) AS n_cell,
+       CAST(coalesce(dec.max_cos_fx, {_COS_SENTINEL_FX}) AS BIGINT) AS max_cos_fx,
+       (dec.dup_raw IS NOT NULL) AS is_dup,
+       CAST(coalesce(dec.dup_raw, -1) AS BIGINT) AS dup_of
+FROM bat b LEFT JOIN dec ON b.vec_id = dec.nd
+"""
+
+
+def _lloyd_cells_for(e: DataFrame) -> DataFrame:
+    """One Lloyd refinement trained on an ARBITRARY embeddings frame
+    (vec_id, v) — seeds are the K_CELLS smallest vec_ids present. Returns
+    the trained centroid frame (cid, vc). A deliberately separate twin of
+    the closures inside _lloyd_final_assignment: that function is the
+    code path of five r6-r8-green gated queries, and widening its
+    signature would force them all into the rotation's changed set (cap
+    6 this round) for a refactor with no semantic change — unify in r12
+    when the r7 cohort re-gates anyway. Same fixed-point-means trick,
+    same shuffle story: broadcast k seeds, k-row-bounded argmin window,
+    k x dim partial-aggregated update."""
+    seeds = (
+        e.orderBy("vec_id")
+        .limit(K_CELLS)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("vc"))
+    )
+    crossed = (
+        e.select("vec_id", F.col("v").alias("va"))
+        .join(F.broadcast(seeds))
+        .withColumn("d2", F.expr(_SPARK_D2))
+    )
+    w = W.partitionBy("vec_id").orderBy("d2", "cid")
+    a1 = (
+        crossed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cid", "va")
+    )
+    upd = (
+        a1.select("cid", F.posexplode("va").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(
+            F.sum(F.floor(F.col("x") * _FX + F.lit(0.5)).cast("long")).alias("sfx"),
+            F.count("*").alias("n"),
+        )
+        .withColumn(
+            "cval",
+            F.floor(F.col("sfx").cast("double") / F.col("n") + F.lit(0.5)) / _FX,
+        )
+    )
+    return upd.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+            lambda s: s["cval"],
+        ).alias("vc")
+    )
+
+
+def _assign_to_cells(e: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, cid, v): nearest-centroid assignment of an embeddings
+    frame to a broadcast trained-centroid frame (cid tiebreak)."""
+    crossed = (
+        e.select("vec_id", F.col("v").alias("va"))
+        .join(F.broadcast(centroids))
+        .withColumn("d2", F.expr(_SPARK_D2))
+    )
+    w = W.partitionBy("vec_id").orderBy("d2", "cid")
+    return (
+        crossed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", F.col("va").alias("v"))
+    )
+
+
+@register(
+    "dedup_semantic_incremental",
+    oracle=_duck_sem_inc_oracle(),
+    tags=("dedup", "similarity", "kmeans", "incremental", "llm-pipeline"),
+    doc=(
+        "Incremental SEMANTIC dedup — the embedding half of the arriving-"
+        "batch ingestion gate, composing dedup_semantic's cluster-scoped "
+        "cosine test with dedup_minhash_incremental's batch-vs-index "
+        "split (the last cell of the exact/near/semantic x batch/stream "
+        "admission matrix): embeddings hash-split into the corpus index "
+        "(~80%) and the arriving batch (~20%, vec_id md5 bucket 0 of "
+        "INC_SPLIT_MOD); ONE exact Lloyd refinement trains cells on the "
+        "CORPUS ONLY (seeds = K smallest corpus vec_ids — the index's "
+        "quantizer must not see the batch, exactly as a production IVF "
+        "index predates the batch probing it); corpus and batch vectors "
+        "assign to the trained cells, and each batch vector compares "
+        "cosine ONLY against same-cell corpus vectors — never batch x "
+        "batch, never index x index. Per batch vector: its cell, the "
+        "number of corpus vectors compared (n_cell), the max cosine seen "
+        "(1e-6 fixed-point; sentinel -2000000 for an empty cell — max "
+        "over bit-identical doubles is order-free, so the quantization "
+        f"agrees), is_dup (any same-cell corpus cosine >= {SEMANTIC_TAU}"
+        "), and the smallest qualifying corpus vec_id as dup_of (-1 = "
+        "admit). Exactness: d2 and cosine are the shared sequential "
+        "folds, centroid means are fixed-point integer sums — every "
+        "stage bit-identical across engines and partitionings. Shuffle "
+        "story: training as ivf_train_centroids on the corpus split "
+        "(broadcast k seeds, k-row-bounded argmin, k x dim partial-agg "
+        "update); both assignments broadcast the k trained centroids "
+        "(the corpus never shuffles for assignment); the admission join "
+        "is ONE exchange on the cell id whose LEFT side is only the "
+        "batch — work is |batch| x avg cell occupancy, and at 100 TB "
+        "the corpus-side assignments are precomputed and stored cell-"
+        "partitioned (they ARE the IVF index), so an arriving batch "
+        "shuffles only itself plus the touched cells: work scales with "
+        "the BATCH, not the corpus."
+    ),
+)
+def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from multithreaded_mapreduce_library_spark.functions import h31
+    from multithreaded_mapreduce_library_spark.operators.dedup import INC_SPLIT_MOD
+
+    is_batch = (
+        F.pmod(h31(F.col("vec_id").cast("string")), F.lit(INC_SPLIT_MOD)) == 0
+    )
+    e = _load_embeddings(spark, sf_dir).select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    corpus = e.filter(~is_batch)
+    batch = e.filter(is_batch)
+    centroids = _lloyd_cells_for(corpus)
+    idx = _assign_to_cells(corpus, centroids)
+    bat = _assign_to_cells(batch, centroids)
+    a = (
+        bat.withColumn("norm", F.expr(_SPARK_NORM))
+        .select(
+            F.col("vec_id").alias("nd"), F.col("cid").alias("cid_b"),
+            F.col("v").alias("va"), F.col("norm").alias("norm_a"),
+        )
+    )
+    b = (
+        idx.withColumn("norm", F.expr(_SPARK_NORM))
+        .select(
+            F.col("vec_id").alias("od"), F.col("cid").alias("cid_i"),
+            F.col("v").alias("vb"), F.col("norm").alias("norm_b"),
+        )
+    )
+    pairs = a.join(b, F.col("cid_b") == F.col("cid_i")).select(
+        "nd", "od", F.expr(_SPARK_COSINE).alias("c")
+    )
+    dec = pairs.groupBy("nd").agg(
+        F.count("*").cast("long").alias("n_cell"),
+        F.floor(F.max("c") * _FX + F.lit(0.5)).cast("long").alias("max_cos_fx"),
+        F.min(F.when(F.col("c") >= SEMANTIC_TAU, F.col("od"))).alias("dup_raw"),
+    )
+    return bat.join(dec, bat.vec_id == dec.nd, "left").select(
+        "vec_id",
+        F.col("cid").cast("long").alias("cell_id"),
+        F.coalesce(F.col("n_cell"), F.lit(0)).cast("long").alias("n_cell"),
+        F.coalesce(F.col("max_cos_fx"), F.lit(_COS_SENTINEL_FX))
+        .cast("long")
+        .alias("max_cos_fx"),
+        F.col("dup_raw").isNotNull().alias("is_dup"),
+        F.coalesce(F.col("dup_raw"), F.lit(-1)).cast("long").alias("dup_of"),
+    )

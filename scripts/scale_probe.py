@@ -111,6 +111,18 @@ PROBE = (
     "compact_plan",
     "hybrid_retrieval",
     "dedup_minhash_incremental",
+    # round-11 additions: compact_apply adds the physical rewrite to
+    # compact_plan's planning subtree — one size-capped exchange on
+    # out_file plus a parquet write/read round-trip, all linear in rows —
+    # expect ~Nx; dedup_semantic_incremental trains on the corpus split
+    # (broadcast k centroids, k x dim update — constant-size frames) and
+    # its admission join is batch x same-cell corpus: with PERTURBED
+    # embedding copies both sides of every cell grow ~Nx, so the TRUE
+    # pair work grows ~N^2/k like dedup_semantic's — the probe checks the
+    # cell-locality keeps the measured ratio far below all-pairs N^2,
+    # reported against that bound, not against Nx.
+    "compact_apply",
+    "dedup_semantic_incremental",
 )
 OFF = 100_000_000  # key offset per copy — far above any base key
 
@@ -158,9 +170,11 @@ def build_scaled(n: int, out_dir: str) -> None:
     con.close()
 
 
-def time_queries(spark, specs, sf_dir: str, iters: int = 3) -> dict[str, float]:
+def time_queries(
+    spark, specs, sf_dir: str, iters: int = 3, probe=PROBE
+) -> dict[str, float]:
     out = {}
-    for name in PROBE:
+    for name in probe:
         best = float("inf")
         for _ in range(iters):
             df = specs[name].builder(spark, sf_dir)
@@ -173,6 +187,9 @@ def time_queries(spark, specs, sf_dir: str, iters: int = 3) -> dict[str, float]:
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    # optional: probe only the named queries (new-operator rounds re-probe
+    # their additions without re-running the whole battery)
+    probe = tuple(a for a in sys.argv[2:] if a in PROBE) or PROBE
     from multithreaded_mapreduce_library_spark.registry import load_all
     from multithreaded_mapreduce_library_spark.session import get_spark
 
@@ -188,9 +205,9 @@ def main() -> None:
     spark = get_spark(app_name="scale_probe")
     specs = load_all()
     specs["agg_stats"].builder(spark, BASE).write.format("noop").mode("overwrite").save()
-    t1 = time_queries(spark, specs, BASE)
-    tn = time_queries(spark, specs, scaled_dir)
-    ratios = {q: round(tn[q] / max(t1[q], 1e-3), 2) for q in PROBE}
+    t1 = time_queries(spark, specs, BASE, probe=probe)
+    tn = time_queries(spark, specs, scaled_dir, probe=probe)
+    ratios = {q: round(tn[q] / max(t1[q], 1e-3), 2) for q in probe}
     print(
         json.dumps(
             {

@@ -949,3 +949,92 @@ def test_mmr_rerank_distributed_work_is_shortlist_bounded(spark, sf_dir):
     # the pair join's nested-loop side is the BROADCAST shortlist
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert pairs.count() <= 20 * 19, "pair space must be shortlist-bounded"
+
+
+def test_compact_apply_rewrite_is_lossless_and_planned_layout(spark, sf_dir):
+    """compact_apply must be a PHYSICAL rewrite that (a) loses nothing —
+    the round-tripped table is row-identical to the source projection —
+    and (b) lands exactly the planned layout: one data file per output
+    (bins coalesce their inputs, keeps pass through), file count equal to
+    the plan's bin count + keep count. The routing join must broadcast
+    the O(#files) mapping metadata, never shuffle rows for it."""
+    import os
+
+    from multithreaded_mapreduce_library_spark.operators.maintenance import (
+        compact_rewrite,
+    )
+    from multithreaded_mapreduce_library_spark.sources import load_table
+
+    applied, target = compact_rewrite(spark, sf_dir)
+
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    got = sorted(
+        tuple(r)
+        for r in applied.select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ).collect()
+    )
+    want = sorted(tuple(r) for r in src.collect())
+    assert got == want, "rewrite must be lossless and bit-preserving"
+
+    plan_rows = SPECS["compact_plan"].builder(spark, sf_dir).collect()
+    n_keep = sum(1 for r in plan_rows if r["action"] == "keep")
+    n_bins = len({r["bin_id"] for r in plan_rows if r["action"] == "compact"})
+    per_dir = {}
+    for root, _dirs, files in os.walk(target):
+        data = [f for f in files if f.endswith(".parquet")]
+        if data:
+            per_dir[os.path.basename(root)] = len(data)
+    assert len(per_dir) == n_keep + n_bins, (
+        f"{len(per_dir)} output files vs planned {n_keep} keeps + {n_bins} bins"
+    )
+    assert all(n == 1 for n in per_dir.values()), (
+        "each output must be exactly ONE data file"
+    )
+
+    summary = SPECS["compact_apply"].builder(spark, sf_dir)
+    assert summary.count() == n_keep + n_bins
+
+
+def test_dedup_semantic_incremental_probes_index_only(spark, sf_dir):
+    """The arriving batch must PROBE the trained corpus index, never pair
+    batch x batch or index x index: the admission join is an equi join on
+    the cell id; training and assignment broadcast the k centroids (the
+    only nested-loop nodes allowed are those k-row broadcasts); the
+    output is exactly the batch split with corpus-side representatives."""
+    from multithreaded_mapreduce_library_spark.functions import h31
+    from multithreaded_mapreduce_library_spark.operators.dedup import INC_SPLIT_MOD
+    from pyspark.sql import functions as F
+
+    df = SPECS["dedup_semantic_incremental"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin Inner" in plan
+        or "ShuffledHashJoin Inner" in plan
+        or "BroadcastHashJoin Inner" in plan
+    ), "admission join must be an equi join on the cell id"
+
+    rows = df.collect()
+    from multithreaded_mapreduce_library_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_batch = F.pmod(h31(F.col("vec_id").cast("string")), F.lit(INC_SPLIT_MOD)) == 0
+    batch_ids = {r["vec_id"] for r in emb.filter(is_batch).select("vec_id").collect()}
+    assert {r["vec_id"] for r in rows} == batch_ids, (
+        "one admission decision per batch vector, none for the corpus"
+    )
+    dups = [r for r in rows if r["is_dup"]]
+    admits = [r for r in rows if not r["is_dup"]]
+    assert dups and admits, "fixture must exercise both admission branches"
+    for r in dups:
+        assert r["dup_of"] not in batch_ids and r["dup_of"] >= 0, (
+            "dup_of must point into the CORPUS index, never the batch"
+        )
+    for r in admits:
+        assert r["dup_of"] == -1
+    for r in rows:
+        if r["n_cell"] == 0:
+            assert r["max_cos_fx"] == -2_000_000 and not r["is_dup"]

@@ -621,6 +621,21 @@ def compact_rewrite(spark: SparkSession, sf_dir: str):
         "o_totalprice",
     )
     routed = rows.join(F.broadcast(mapping), "file_id").drop("file_id")
+    if routed.isEmpty():
+        # empty table => OPTIMIZE is a no-op. A zero-row partitionBy write
+        # emits no partition directories, so the read-back below would
+        # fail schema inference; return the empty applied frame directly
+        # (the oracle's join over zero rows is empty too). The probe is a
+        # planner-scale limit-1 over the already-metadata-sized inventory
+        # join, not a data path.
+        return (
+            spark.createDataFrame(
+                [],
+                "o_orderkey long, o_orderstatus string, o_totalprice double,"
+                " out_file string",
+            ),
+            None,
+        )
     target = os.path.join(tempfile.mkdtemp(prefix="compact_apply_"), "orders")
     # one shuffle on out_file => every out_file's rows sit in one task =>
     # partitionBy emits exactly one data file per output (the invariance

@@ -1,0 +1,151 @@
+"""Tiny-fixture edge tests for the round-11 operators (the r10 ADVICE
+pattern: termination paths the sf fixtures never reach must be pinned
+against the oracle on synthetic fixtures, not verified ad hoc).
+
+compact_apply: all-keep, all-compact, and empty-table layouts;
+dedup_semantic_incremental: corpus smaller than K_CELLS, empty corpus."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from multithreaded_mapreduce_library_spark.functions import MOD_P
+from multithreaded_mapreduce_library_spark.registry import load_all
+
+SPECS = load_all()
+
+
+def _duck_rows(oracle: str, sf_dir: str, tables):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    rows = con.execute(oracle).fetchall()
+    con.close()
+    return sorted(rows)
+
+
+def _spark_rows(spark, name, sf_dir):
+    return sorted(tuple(r) for r in SPECS[name].builder(spark, str(sf_dir)).collect())
+
+
+def _write_orders(out_dir, rows):
+    """rows: list of (o_orderkey, o_custkey, o_orderstatus, o_totalprice) —
+    the four columns the compaction family touches."""
+    ks, cs, ss, ps = (
+        [r[0] for r in rows], [r[1] for r in rows],
+        [r[2] for r in rows], [r[3] for r in rows],
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(ks, type=pa.int64()),
+                "o_custkey": pa.array(cs, type=pa.int64()),
+                "o_orderstatus": pa.array(ss, type=pa.string()),
+                "o_totalprice": pa.array(ps, type=pa.float64()),
+            }
+        ),
+        str(out_dir / "orders.parquet"),
+    )
+
+
+def _compare(spark, name, sf_dir, tables):
+    got = _spark_rows(spark, name, sf_dir)
+    want = _duck_rows(SPECS[name].oracle, str(sf_dir), tables)
+    assert got == want
+    return got
+
+
+def test_compact_apply_empty_orders(spark, tmp_path):
+    """OPTIMIZE of an empty table is a no-op: the oracle's join over zero
+    rows is empty, and the Spark side must return empty instead of
+    failing schema inference on a zero-partition read-back."""
+    _write_orders(tmp_path, [])
+    assert _compare(spark, "compact_apply", tmp_path, ["orders"]) == []
+
+
+def test_compact_apply_all_keeps(spark, tmp_path):
+    """Every file at/over target: no bins, every row passes through under
+    its own file name — the pure keep branch no sf fixture isolates."""
+    # custkey 1 (%10=1 < 3 -> compacted/0) and 7 (%10=7 -> ingest/1), one
+    # order each at $25M => 2.5e9 cents >= COMPACT_TARGET: both files keep
+    _write_orders(tmp_path, [(1, 1, "O", 25_000_000.0), (2, 7, "F", 25_000_000.0)])
+    got = _compare(spark, "compact_apply", tmp_path, ["orders"])
+    assert {r[0] for r in got} == {"compacted/0", "ingest/1"}
+
+
+def test_compact_apply_all_compact(spark, tmp_path):
+    """Every file under target: the whole inventory packs into bins (here
+    one bin), the pure compact branch."""
+    _write_orders(
+        tmp_path,
+        [(1, 1, "O", 10.0), (2, 7, "F", 20.0), (3, 11, "O", 30.0), (4, 17, "F", 40.0)],
+    )
+    got = _compare(spark, "compact_apply", tmp_path, ["orders"])
+    assert {r[0] for r in got} == {"bin-0"}
+    assert got[0][1] == 4  # all four rows landed in the one bin
+
+
+def _batch_split_ids(want_batch, want_corpus):
+    """First `want_batch` ids whose md5 bucket is 0 of INC_SPLIT_MOD and
+    first `want_corpus` whose bucket is nonzero — the same split the
+    operator derives, precomputed so the fixture controls membership."""
+    from multithreaded_mapreduce_library_spark.operators.dedup import INC_SPLIT_MOD
+
+    batch, corpus = [], []
+    i = 0
+    while len(batch) < want_batch or len(corpus) < want_corpus:
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % MOD_P
+        (batch if h % INC_SPLIT_MOD == 0 else corpus).append(i)
+        i += 1
+    return batch[:want_batch], corpus[:want_corpus]
+
+
+def _write_embeddings(out_dir, vec_ids, dim):
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    emb = rng.uniform(-0.5, 0.5, (len(vec_ids), dim)).astype("float32")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(vec_ids, type=pa.int64()),
+                "embedding": pa.array(emb.tolist(), type=pa.list_(pa.float32())),
+                "label": pa.array([0] * len(vec_ids), type=pa.int32()),
+            }
+        ),
+        str(out_dir / "embeddings.parquet"),
+    )
+
+
+def test_dedup_semantic_incremental_corpus_smaller_than_k(spark, tmp_path):
+    """Corpus with fewer vectors than K_CELLS: the seed LIMIT takes them
+    all, every cell is a single corpus vector, and the admission decision
+    must still match the oracle bit-for-bit."""
+    from multithreaded_mapreduce_library_spark.operators.similarity import (
+        DIM,
+        K_CELLS,
+    )
+
+    n_corpus = K_CELLS - 3
+    batch, corpus = _batch_split_ids(3, n_corpus)
+    _write_embeddings(tmp_path, sorted(batch + corpus), DIM)
+    got = _compare(spark, "dedup_semantic_incremental", tmp_path, ["embeddings"])
+    assert {r[0] for r in got} == set(batch)
+    assert all(r[2] >= 1 for r in got)  # every cell holds >= 1 corpus vec
+
+
+def test_dedup_semantic_incremental_empty_corpus(spark, tmp_path):
+    """Degenerate all-batch corpus: with nothing to train on, both engines
+    agree on the empty result (no trained cells => no assignments — the
+    documented contract, pinned so the engines can never diverge on it)."""
+    from multithreaded_mapreduce_library_spark.operators.similarity import DIM
+
+    batch, _ = _batch_split_ids(4, 0)
+    _write_embeddings(tmp_path, sorted(batch), DIM)
+    assert _compare(spark, "dedup_semantic_incremental", tmp_path, ["embeddings"]) == []

@@ -636,7 +636,21 @@ def compact_rewrite(spark: SparkSession, sf_dir: str):
             ),
             None,
         )
-    target = os.path.join(tempfile.mkdtemp(prefix="compact_apply_"), "orders")
+    # deterministic per-fixture target + overwrite => repeated runs
+    # (driver gates, contract drives, scale probes) cap the /tmp
+    # footprint at ONE routed copy per fixture instead of accumulating a
+    # fresh mkdtemp per invocation. The digest keys the fixture path so
+    # concurrent different-sf runs never clobber each other. (The
+    # streaming sinks' mkdtemp-per-run pattern has the same accumulation
+    # issue — unify there when the streaming cohort re-gates.)
+    import hashlib
+
+    target = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_compact",
+        hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+        "orders",
+    )
     # one shuffle on out_file => every out_file's rows sit in one task =>
     # partitionBy emits exactly one data file per output (the invariance
     # test counts them against the plan's bin/keep count)

@@ -188,8 +188,13 @@ def time_queries(
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     # optional: probe only the named queries (new-operator rounds re-probe
-    # their additions without re-running the whole battery)
-    probe = tuple(a for a in sys.argv[2:] if a in PROBE) or PROBE
+    # their additions without re-running the whole battery); unknown names
+    # are an error — silently dropping a typo would either run the full
+    # battery or skip the intended query while reporting a complete run
+    unknown = [a for a in sys.argv[2:] if a not in PROBE]
+    if unknown:
+        sys.exit(f"not in PROBE: {unknown}; choose from {sorted(PROBE)}")
+    probe = tuple(sys.argv[2:]) or PROBE
     from multithreaded_mapreduce_library_spark.registry import load_all
     from multithreaded_mapreduce_library_spark.session import get_spark
 

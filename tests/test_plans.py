@@ -967,6 +967,29 @@ def test_compact_apply_rewrite_is_lossless_and_planned_layout(spark, sf_dir):
 
     applied, target = compact_rewrite(spark, sf_dir)
 
+    # the routing join itself must BROADCAST the O(#files) mapping onto
+    # the row scan — replicate the pre-write frame and pin the node type
+    # (dropping the broadcast to a row shuffle on file_id would silently
+    # double the rewrite's exchanges)
+    from multithreaded_mapreduce_library_spark.operators.maintenance import (
+        assign_compaction_bins,
+        compact_file_inventory,
+        spark_file_id,
+    )
+    from pyspark.sql import functions as F
+
+    mapping = assign_compaction_bins(
+        compact_file_inventory(spark, sf_dir)
+    ).select("file_id", "bin_id")
+    routed = (
+        load_table(spark, sf_dir, "orders")
+        .select(spark_file_id().alias("file_id"), "o_orderkey")
+        .join(F.broadcast(mapping), "file_id")
+    )
+    routed_plan = formatted_plan(routed)
+    assert "BroadcastHashJoin" in routed_plan
+    assert "SortMergeJoin" not in routed_plan
+
     src = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )

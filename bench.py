@@ -86,6 +86,19 @@ def bench_ann_serving(spark, sf_dir: str, iters: int) -> dict[str, float]:
     return {"index_build": round(index_build, 3), "serve": round(best, 3)}
 
 
+def _time_once(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def _blas_once() -> float:
+    import numpy as np
+
+    a = np.full((768, 768), 0.5)
+    return _time_once(lambda: a @ a)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -111,6 +124,18 @@ def main() -> None:
     # quiet-box band in PERF.md). Recording 1/5/15-min loadavg at start
     # and end plus wall timestamps makes a high number self-diagnosing.
     load_start = os.getloadavg()
+    # Host-throughput canary (r11): the 3.7-4.8s legacy-15 quiet band
+    # stopped reproducing on an idle box (loadavg 0.00, steal ~0.1%) with
+    # identical code — a host-level shift loadavg cannot see. Timing two
+    # fixed single-process workloads (interpreter loop + BLAS matmul)
+    # alongside every bench makes the next shift self-diagnosing: if the
+    # canaries move with the query times, it's the host, not the code.
+    canary = {
+        "py_loop_sec": round(
+            min(_time_once(lambda: sum(i * i for i in range(2_000_000))) for _ in range(3)), 4
+        ),
+        "blas_matmul_sec": round(min(_blas_once() for _ in range(3)), 4),
+    }
     t_start = time.time()
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -137,6 +162,7 @@ def main() -> None:
                 # carries the END-TO-END (train-in-query) number above
                 "ann_serving": ann_serving,
                 "sf": sf,
+                "cpu_canary": canary,
                 "load_avg_start": [round(x, 2) for x in load_start],
                 "load_avg_end": [round(x, 2) for x in os.getloadavg()],
                 "wall_start_unix": round(t_start, 1),

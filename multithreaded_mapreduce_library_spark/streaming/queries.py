@@ -1294,3 +1294,182 @@ LEFT JOIN hits h ON m.doc_id = h.d
 
 
 _register_stream_dedup_minhash()
+
+
+def semantic_admission_stream_transform(
+    stream: DataFrame, centroid_rows, idx: DataFrame
+):
+    """Online semantic admission over a stream of arriving embeddings:
+    per-row nearest-cell assignment against the LITERAL trained-centroid
+    array (k x dim doubles embedded in the plan — no window, no extra
+    shuffle, streaming-legal), then a stream-static equi join on the cell
+    id against the static corpus index and the per-vector decision
+    aggregate (count / max cosine / min qualifying corpus id) in update
+    mode. ``centroid_rows`` is the collected [(cid, vc)] list (k rows — a
+    broadcast-tiny fetch, the similarity.py:287 precedent); ``idx`` is
+    the static (od, cid_i, vb, norm_b) corpus index frame."""
+    from multithreaded_mapreduce_library_spark.operators.similarity import (
+        _SPARK_COSINE,
+        _SPARK_NORM,
+        _dvec,
+        SEMANTIC_TAU,
+    )
+
+    # literal array<struct<d2, cid>> argmin == ORDER BY d2, cid (struct
+    # comparison is field-lexicographic), the exact tiebreak of the
+    # batch/oracle assignment — arithmetic is the same sequential fold
+    # over the same fixed-point-quantized centroid values, so cell ids
+    # agree bit-for-bit with dedup_semantic_incremental
+    def d2_lit(vc) -> str:
+        arr = "array(" + ",".join(repr(x) for x in vc) + ")"
+        return (
+            f"aggregate(zip_with(v, {arr}, (x, y) -> (x - y) * (x - y)),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+
+    assign = F.expr(
+        "array_min(array("
+        + ",".join(
+            f"struct({d2_lit(vc)} AS d2, CAST({cid} AS BIGINT) AS cid)"
+            for cid, vc in centroid_rows
+        )
+        + ")).cid"
+    )
+    arriving = (
+        stream.select("vec_id", _dvec("embedding").alias("v"))
+        .withColumn("cid_b", assign)
+        .withColumn("norm", F.expr(_SPARK_NORM))
+        .select(
+            F.col("vec_id").alias("nd"), "cid_b",
+            F.col("v").alias("va"), F.col("norm").alias("norm_a"),
+        )
+    )
+    pairs = arriving.join(idx, F.col("cid_b") == F.col("cid_i")).select(
+        "nd", "od", F.expr(_SPARK_COSINE).alias("c")
+    )
+    return pairs.groupBy("nd").agg(
+        F.count("*").cast("long").alias("n_cell"),
+        F.max("c").alias("max_c"),
+        F.min(F.when(F.col("c") >= SEMANTIC_TAU, F.col("od"))).alias("dup_raw"),
+    )
+
+
+def _register_stream_dedup_semantic():
+    from multithreaded_mapreduce_library_spark.functions import h31
+    from multithreaded_mapreduce_library_spark.operators.dedup import INC_SPLIT_MOD
+    from multithreaded_mapreduce_library_spark.operators.similarity import (
+        _COS_SENTINEL_FX,
+        _FX,
+        _SPARK_NORM,
+        _assign_to_cells,
+        _dvec,
+        _duck_sem_inc_oracle,
+        _lloyd_cells_for,
+        _load_embeddings,
+    )
+
+    @register(
+        "stream_dedup_semantic",
+        # The corpus index is STATIC and the decision for an arriving
+        # vector depends only on (vector, index) — never on other
+        # arrivals — so the settled replay is arrival-order-independent
+        # and equals the batch admission answer exactly: the oracle is
+        # dedup_semantic_incremental's, shared VERBATIM (the
+        # stream_upsert/merge_upsert precedent — one truth, two
+        # execution paths).
+        oracle=_duck_sem_inc_oracle(),
+        tags=(
+            "streaming", "dedup", "similarity", "kmeans", "incremental",
+            "stateful", "llm-pipeline",
+        ),
+        doc=(
+            "Streaming SEMANTIC admission — the online half of "
+            "dedup_semantic_incremental, completing the exact/near/"
+            "semantic x batch/stream dedup matrix (3x2, all six cells "
+            "green): the corpus index (cells trained on the corpus "
+            "split, corpus vectors assigned) is built ONCE and held "
+            "static; arriving batch vectors stream in, each assigned to "
+            "its nearest trained cell by a LITERAL k-centroid argmin "
+            "expression (array_min over struct(d2, cid) — field-"
+            "lexicographic struct order IS the (d2, cid) tiebreak; no "
+            "window, streaming-legal), stream-static equi-joined on the "
+            "cell id against the same-cell corpus vectors only, cosine-"
+            "gated, and aggregated per arriving vector in update mode. "
+            "Empty-cell arrivals surface through the batch-side left "
+            "join with the sentinel, exactly as the batch twin. "
+            "Exactness: centroid values are fixed-point-quantized exact "
+            "1e-6 multiples (round-trip to plan literals losslessly), "
+            "d2/cosine are the shared sequential folds, so every cell "
+            "assignment and gate decision agrees bit-for-bit with the "
+            "batch path and the shared oracle. Shuffle story: training "
+            "rides the batch side (broadcast k seeds, k x dim update); "
+            "the stream side's assignment is a NARROW per-row map (the "
+            "k centroids live in the plan, nothing joins before the "
+            "cell exchange), then ONE stream-static equi exchange on "
+            "the cell id and ONE keyed decision agg — state is one "
+            "(count, max, min) triple per in-flight arriving vector. "
+            "At 100 TB the index is the stored IVF assignment, cell-"
+            "partitioned; an arriving stream shuffles only itself plus "
+            "the touched cells — the same work-scales-with-the-batch "
+            "contract as the batch twin, now paid per micro-batch."
+        ),
+    )
+    def stream_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+        is_batch = (
+            F.pmod(h31(F.col("vec_id").cast("string")), F.lit(INC_SPLIT_MOD)) == 0
+        )
+        e = _load_embeddings(spark, sf_dir).select(
+            "vec_id", _dvec("embedding").alias("v")
+        )
+        corpus = e.filter(~is_batch)
+        centroids = _lloyd_cells_for(corpus)
+        centroid_rows = [(r["cid"], list(r["vc"])) for r in centroids.collect()]
+        schema = (
+            "vec_id long, cell_id long, n_cell long, max_cos_fx long,"
+            " is_dup boolean, dup_of long"
+        )
+        if not centroid_rows:
+            # all-batch corpus: nothing to train on => no assignments on
+            # either engine (the oracle's bat CTE is empty too) — the
+            # contract pinned by the batch twin's empty-corpus edge test
+            return spark.createDataFrame([], schema)
+        idx = (
+            _assign_to_cells(corpus, centroids)
+            .withColumn("norm", F.expr(_SPARK_NORM))
+            .select(
+                F.col("vec_id").alias("od"), F.col("cid").alias("cid_i"),
+                F.col("v").alias("vb"), F.col("norm").alias("norm_b"),
+            )
+        )
+        stream = table_stream(spark, sf_dir, "embeddings").filter(is_batch)
+        settled = run_to_memory(
+            semantic_admission_stream_transform(stream, centroid_rows, idx),
+            "update",
+        )
+        # defensive cross-update finalize (the minhash twin's pattern):
+        # counts/maxes only grow, the qualifying min only shrinks, so the
+        # latest state == these monoid merges on any batching
+        dec = settled.groupBy("nd").agg(
+            F.max("n_cell").cast("long").alias("n_cell"),
+            F.floor(F.max("max_c") * _FX + F.lit(0.5))
+            .cast("long")
+            .alias("max_cos_fx"),
+            F.min("dup_raw").alias("dup_raw"),
+        )
+        # batch-side assignment of the arriving split (the window argmin,
+        # bit-identical to the stream's literal argmin), for cell ids and
+        # the empty-cell left-join rows
+        bat = _assign_to_cells(e.filter(is_batch), centroids)
+        return bat.join(dec, bat.vec_id == dec.nd, "left").select(
+            "vec_id",
+            F.col("cid").cast("long").alias("cell_id"),
+            F.coalesce(F.col("n_cell"), F.lit(0)).cast("long").alias("n_cell"),
+            F.coalesce(F.col("max_cos_fx"), F.lit(_COS_SENTINEL_FX))
+            .cast("long")
+            .alias("max_cos_fx"),
+            F.col("dup_raw").isNotNull().alias("is_dup"),
+            F.coalesce(F.col("dup_raw"), F.lit(-1)).cast("long").alias("dup_of"),
+        )
+
+
+_register_stream_dedup_semantic()

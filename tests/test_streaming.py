@@ -1674,3 +1674,103 @@ def test_stream_dedup_minhash_first_arrival_and_multibatch(spark, sf_dir, tmp_pa
         for r in SPECS["stream_dedup_minhash"].builder(spark, sf_dir).collect()
     }
     assert got_multi == expected
+
+
+def test_stream_dedup_semantic_equals_batch_incremental(spark, sf_dir):
+    """The two execution paths of the semantic admission gate — the
+    streaming literal-argmin + stream-static join and the batch window
+    argmin + batch join — must agree row-for-row (they share one oracle;
+    this pins them against EACH OTHER, so a divergence is caught even if
+    both happen to drift from the fixture's oracle-exercised cells)."""
+    got = sorted(
+        tuple(r)
+        for r in SPECS["stream_dedup_semantic"].builder(spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in SPECS["dedup_semantic_incremental"].builder(spark, sf_dir).collect()
+    )
+    assert got == want
+
+
+def test_multibatch_semantic_admission_settles_to_batch(spark, sf_dir, tmp_path):
+    """Arriving batch vectors split into 3 files and replayed one file
+    per trigger: because each admission decision depends only on the
+    (vector, static index) pair, the settled multi-batch state must equal
+    the batch answer regardless of arrival batching."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from multithreaded_mapreduce_library_spark.functions import h31
+    from multithreaded_mapreduce_library_spark.operators.dedup import INC_SPLIT_MOD
+    from multithreaded_mapreduce_library_spark.operators.similarity import (
+        _FX,
+        _SPARK_NORM,
+        _assign_to_cells,
+        _dvec,
+        _lloyd_cells_for,
+        _load_embeddings,
+    )
+    from multithreaded_mapreduce_library_spark.streaming.queries import (
+        semantic_admission_stream_transform,
+    )
+
+    is_batch = F.pmod(h31(F.col("vec_id").cast("string")), F.lit(INC_SPLIT_MOD)) == 0
+    e = _load_embeddings(spark, str(sf_dir)).select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    corpus = e.filter(~is_batch)
+    centroids = _lloyd_cells_for(corpus)
+    centroid_rows = [(r["cid"], list(r["vc"])) for r in centroids.collect()]
+    idx = (
+        _assign_to_cells(corpus, centroids)
+        .withColumn("norm", F.expr(_SPARK_NORM))
+        .select(
+            F.col("vec_id").alias("od"), F.col("cid").alias("cid_i"),
+            F.col("v").alias("vb"), F.col("norm").alias("norm_b"),
+        )
+    )
+
+    # split ONLY the arriving split into 3 id-ordered files
+    src = tmp_path / "emb_multi"
+    src.mkdir()
+    batch_ids = {r["vec_id"] for r in e.filter(is_batch).select("vec_id").collect()}
+    t = pq.read_table(_os.path.join(str(sf_dir), "embeddings.parquet"))
+    t = t.filter(pc.is_in(t["vec_id"], value_set=__import__("pyarrow").array(sorted(batch_ids))))
+    t = t.take(pc.sort_indices(t, sort_keys=[("vec_id", "ascending")]))
+    n = t.num_rows
+    bounds = [round(i * n / 3) for i in range(4)]
+    for i in range(3):
+        pq.write_table(
+            t.slice(bounds[i], bounds[i + 1] - bounds[i]),
+            str(src / f"part-{i:02d}.parquet"),
+        )
+    schema = spark.read.parquet(
+        _os.path.join(str(sf_dir), "embeddings.parquet")
+    ).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    got, n_batches = _run_multi(
+        semantic_admission_stream_transform(stream, centroid_rows, idx), "update"
+    )
+    assert n_batches >= 2, f"replay ran {n_batches} data batches — not multi-batch"
+    dec = {}
+    for r in got.groupBy("nd").agg(
+        F.max("n_cell").alias("n_cell"),
+        F.floor(F.max("max_c") * _FX + F.lit(0.5)).cast("long").alias("max_cos_fx"),
+        F.min("dup_raw").alias("dup_raw"),
+    ).collect():
+        dec[r["nd"]] = (r["n_cell"], r["max_cos_fx"], r["dup_raw"])
+    for r in SPECS["dedup_semantic_incremental"].builder(spark, str(sf_dir)).collect():
+        if r["n_cell"] > 0:
+            assert dec[r["vec_id"]] == (
+                r["n_cell"],
+                r["max_cos_fx"],
+                r["dup_of"] if r["is_dup"] else None,
+            ), f"vec {r['vec_id']} diverged"
+        else:
+            assert r["vec_id"] not in dec

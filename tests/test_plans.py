@@ -1061,3 +1061,54 @@ def test_dedup_semantic_incremental_probes_index_only(spark, sf_dir):
     for r in rows:
         if r["n_cell"] == 0:
             assert r["max_cos_fx"] == -2_000_000 and not r["is_dup"]
+
+
+def test_stream_semantic_transform_is_narrow_argmin_one_equi_join(spark, sf_dir):
+    """stream_dedup_semantic's streaming-legality claims, pinned on the
+    transform itself (fed a LocalRelation index so every plan node below
+    is the transform's own): the nearest-cell assignment must be a NARROW
+    per-row literal argmin — no Window (the batch twin's row_number trick
+    is streaming-illegal), no centroid scan or join (the k centroids live
+    in the plan as literals), no cartesian pairing — and the only join is
+    the ONE stream-static equi join on the cell id."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from multithreaded_mapreduce_library_spark.functions import h31
+    from multithreaded_mapreduce_library_spark.operators.dedup import INC_SPLIT_MOD
+    from multithreaded_mapreduce_library_spark.operators.similarity import (
+        _dvec,
+        _lloyd_cells_for,
+        _load_embeddings,
+    )
+    from multithreaded_mapreduce_library_spark.streaming.queries import (
+        semantic_admission_stream_transform,
+    )
+
+    is_batch = F.pmod(h31(F.col("vec_id").cast("string")), F.lit(INC_SPLIT_MOD)) == 0
+    e = _load_embeddings(spark, sf_dir)
+    corpus = e.select("vec_id", _dvec("embedding").alias("v")).filter(~is_batch)
+    centroids = _lloyd_cells_for(corpus)
+    centroid_rows = [(r["cid"], list(r["vc"])) for r in centroids.collect()]
+    assert centroid_rows, "fixture must train at least one cell"
+    dim = len(centroid_rows[0][1])
+    idx = spark.createDataFrame(
+        [(0, int(centroid_rows[0][0]), [0.0] * dim, 1.0)],
+        "od long, cid_i bigint, vb array<double>, norm_b double",
+    )
+    df = semantic_admission_stream_transform(e.filter(is_batch), centroid_rows, idx)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan, (
+        "stream-side assignment must be the literal argmin, not a window"
+    )
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, (
+        "exactly the arriving scan: centroids are plan literals, the index "
+        "is the fed static frame — nothing else may be read"
+    )
+    joins = re.findall(
+        r"\(\d+\) (BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan
+    )
+    assert len(joins) == 1, f"exactly one equi join on the cell id, got {joins}"

@@ -669,3 +669,132 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(cov * 1000000) div total").alias("coverage_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-pair training
+# ---------------------------------------------------------------------------
+
+BPE_ROUNDS = 6  # merge rules learned; each extra round is one vocab-scale agg
+
+
+def _bpe_merge_col(syms, lhs: str, rhs: str):
+    """Greedy left-to-right non-overlapping merge of the adjacent symbol
+    pair (lhs, rhs) inside a symbol array, as a single sequential fold:
+    if the accumulator's last symbol is lhs and the current is rhs,
+    replace the last with lhs||rhs, else append. A left fold IS the
+    greedy scan (a just-merged lhs||rhs can never equal lhs — symbols
+    are non-empty — so no re-merge chain), and the identical fold runs
+    on the oracle side via DuckDB list_reduce. Pair values enter as
+    Column literals, never interpolated into SQL text, so arbitrary
+    token bytes are safe."""
+    la, lb, lab = F.lit(lhs), F.lit(rhs), F.lit(lhs + rhs)
+
+    def step(acc, x):
+        hit = (F.size(acc) > 0) & (F.element_at(acc, -1) == la) & (x == lb)
+        return F.when(
+            hit, F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(lab))
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(syms, F.expr("CAST(array() AS array<string>)"), step)
+
+
+def _duck_bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
+    """Unrolled DuckDB twin of the bpe_train loop: per round, pair counts
+    over the current vocab (unnest of the adjacent-pair list), the
+    (count DESC, lhs, rhs) argmax, and the list_reduce greedy merge —
+    the same fold as _bpe_merge_col, with the chosen pair flowing in as
+    LEFT JOIN ON TRUE columns so an exhausted round (no pairs anywhere)
+    degrades to the identity rewrite on both engines."""
+    sql = f"""WITH toks AS (SELECT unnest({duck_tokens('text')}) AS w FROM documents),
+vocab0 AS (SELECT w, CAST(count(*) AS BIGINT) AS f,
+  list_transform(range(1, len(w)+1), i -> w[i]) AS syms
+  FROM toks GROUP BY w)"""
+    for k in range(1, rounds + 1):
+        p = k - 1
+        sql += f""",
+p{k} AS (SELECT u.pr.l AS l, u.pr.r AS r, CAST(sum(f) AS BIGINT) AS c
+  FROM vocab{p}, unnest(list_transform(range(1, len(syms)),
+    i -> struct_pack(l := syms[i], r := syms[i+1]))) AS u(pr)
+  GROUP BY 1, 2),
+b{k} AS (SELECT l, r, c FROM p{k} ORDER BY c DESC, l, r LIMIT 1),
+vocab{k} AS (SELECT w, f, CASE WHEN b{k}.l IS NULL THEN syms ELSE
+    list_reduce(list_transform(syms, e -> [e]),
+      (acc, xs) -> CASE WHEN acc[-1] = b{k}.l AND xs[1] = b{k}.r
+                   THEN list_append(acc[:len(acc)-1], b{k}.l || b{k}.r)
+                   ELSE list_concat(acc, xs) END) END AS syms
+  FROM vocab{p} LEFT JOIN b{k} ON TRUE)"""
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {k} AS step, l AS lhs, r AS rhs, l || r AS merged,"
+        f" c AS pair_count FROM b{k}"
+        for k in range(1, rounds + 1)
+    )
+    return sql + f"\nSELECT * FROM (\n{unions}\n)"
+
+
+@register(
+    "bpe_train",
+    oracle=_duck_bpe_oracle(),
+    tags=("text", "llm-pipeline", "iterative", "flagship"),
+    doc=(
+        "BPE tokenizer training — the classic iterative merge-pair "
+        "algorithm (Sennrich et al. 2016) run the way SentencePiece/HF "
+        "trainers actually run it at corpus scale: ONE corpus-scale "
+        "wordcount shuffle collapses 100 TB of text into a vocab-sized "
+        "(word, freq, symbol-array) table, localCheckpoint'ed once; "
+        "every merge round after that is VOCAB-scale — adjacent-pair "
+        "explode (narrow), one (l, r) count exchange over freq-weighted "
+        "pairs, a 1-row argmax collect (scalar probe, the Lloyd-training "
+        "precedent), and a narrow literal-pair greedy fold rewriting the "
+        "symbol arrays. Work per round is O(vocab x word-length), "
+        "independent of corpus size — the property that makes BPE "
+        "trainable on 100 TB at all. Tiebreak (count DESC, lhs, rhs) is "
+        "total, counts are exact BIGINTs, symbols are byte strings — "
+        "every round's argmax and rewrite agrees bit-for-bit with the "
+        "unrolled DuckDB oracle, which re-derives its own argmax per "
+        "round rather than trusting the engine's. Output: the first "
+        f"{BPE_ROUNDS} merge rules (step, lhs, rhs, merged, pair_count); "
+        "later rules may merge earlier MERGED symbols (the fixture's "
+        "round 6 merges 'm' with round 1's 'er'), pinning true "
+        "iteration, not six independent top-pairs."
+    ),
+)
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("f"))
+        .withColumn(
+            "syms",
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+        )
+        .select("f", "syms")
+        .localCheckpoint(eager=False)
+    )
+    rules = []
+    for step in range(1, BPE_ROUNDS + 1):
+        pairs = (
+            vocab.filter(F.size("syms") >= 2)
+            .select(
+                "f",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms)-1), i ->"
+                        " struct(element_at(syms, i) AS l,"
+                        " element_at(syms, i+1) AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("f").cast("long").alias("c"))
+        )
+        best = pairs.orderBy(F.desc("c"), "l", "r").limit(1).collect()
+        if not best:
+            break
+        lhs, rhs, cnt = best[0]["l"], best[0]["r"], best[0]["c"]
+        rules.append((step, lhs, rhs, lhs + rhs, cnt))
+        vocab = vocab.withColumn("syms", _bpe_merge_col(F.col("syms"), lhs, rhs))
+    return spark.createDataFrame(
+        rules, "step int, lhs string, rhs string, merged string, pair_count long"
+    )

@@ -123,6 +123,12 @@ PROBE = (
     # reported against that bound, not against Nx.
     "compact_apply",
     "dedup_semantic_incremental",
+    # bpe_train: verbatim doc replication leaves the VOCAB identical
+    # (same words, freqs xN), so the merge rounds — the iterative part —
+    # do constant work and only the initial wordcount agg scales Nx; the
+    # measured ratio should sit far below Nx, pinning the vocab-scale
+    # (never corpus-scale) round claim in the docstring.
+    "bpe_train",
 )
 OFF = 100_000_000  # key offset per copy — far above any base key
 

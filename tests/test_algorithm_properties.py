@@ -305,3 +305,59 @@ def test_semantic_tau_boundary_pair_is_exact():
     assert below < SEMANTIC_TAU
     # inclusive >= semantics: ON the boundary drops, below keeps
     assert (eq >= SEMANTIC_TAU) and not (below >= SEMANTIC_TAU)
+
+
+# ---------------------------------------------------------------------------
+# BPE: the left fold both engines run IS the textbook greedy merge
+# ---------------------------------------------------------------------------
+
+def _greedy_merge(syms: list[str], a: str, b: str) -> list[str]:
+    """Textbook BPE single-pair merge: scan left to right, merge each
+    non-overlapping adjacent (a, b) occurrence, skip past the merge."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _fold_merge(syms: list[str], a: str, b: str) -> list[str]:
+    """The sequential fold as _bpe_merge_col / the oracle's list_reduce
+    implement it: if the accumulator's last element is a and the current
+    is b, replace the last with a+b, else append."""
+    acc: list[str] = []
+    for x in syms:
+        if acc and acc[-1] == a and x == b:
+            acc[-1] = a + b
+        else:
+            acc.append(x)
+    return acc
+
+
+_syms = st.lists(st.sampled_from(["x", "y", "xx", "xy", "yx", "z"]), max_size=12)
+
+
+@given(_syms, st.sampled_from(["x", "y", "xx", "xy"]), st.sampled_from(["x", "y", "xx"]))
+@settings(max_examples=400, deadline=None)
+def test_bpe_fold_equals_greedy_scan(syms, a, b):
+    """The whole bpe_train exactness argument rests on 'a left fold IS
+    the greedy non-overlapping scan' (a just-merged a+b can never equal
+    a, so no re-merge chain). Adversarial small alphabets with symbols
+    that are concatenations of each other (x/xx/xy) probe exactly the
+    collision cases that claim has to survive."""
+    assert _fold_merge(syms, a, b) == _greedy_merge(syms, a, b)
+
+
+def test_bpe_fold_overlap_runs():
+    """The classic overlap pins: runs of the same symbol merge pairwise
+    left-to-right, never chained."""
+    assert _fold_merge(["x", "x", "x"], "x", "x") == ["xx", "x"]
+    assert _fold_merge(["x", "x", "x", "x"], "x", "x") == ["xx", "xx"]
+    assert _fold_merge(["x", "x", "x", "x", "x"], "x", "x") == ["xx", "xx", "x"]
+    # merged symbol colliding with a literal symbol of the same spelling
+    assert _fold_merge(["x", "xx", "x"], "x", "xx") == ["xxx", "x"]
+    assert _fold_merge(["xx", "x", "x"], "xx", "x") == ["xxx", "x"]

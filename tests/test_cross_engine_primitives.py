@@ -250,3 +250,51 @@ def test_semantic_tau_boundary_agrees_across_engines(spark):
     # the decisions the operator takes at/below the boundary, both engines:
     assert (spark_eq >= SEMANTIC_TAU) and (duck_eq >= SEMANTIC_TAU)  # drop
     assert not (spark_below >= SEMANTIC_TAU) and not (duck_below >= SEMANTIC_TAU)
+
+
+def test_bpe_merge_fold_parity_adversarial(spark):
+    """The bpe_train merge rewrite runs as a Spark aggregate() fold with
+    Column literals and as the oracle's DuckDB list_reduce with joined
+    pair columns. Both must equal the textbook greedy scan on symbol
+    arrays built to collide: runs of one symbol, merged spellings that
+    equal literal spellings, and pair values containing SQL-hostile
+    bytes (the Spark side takes them as lit() Columns, the DuckDB side
+    as bound parameters — neither may depend on string interpolation)."""
+    from multithreaded_mapreduce_library_spark.operators.text import _bpe_merge_col
+    from tests.test_algorithm_properties import _greedy_merge
+
+    cases = [
+        (["x", "x", "x"], "x", "x"),
+        (["x", "x", "x", "x"], "x", "x"),
+        (["x", "xx", "x", "xx"], "x", "xx"),
+        (["xx", "x", "x"], "xx", "x"),
+        (["a", "b", "a", "b", "a"], "a", "b"),
+        (["a"], "a", "a"),
+        (["it's", '"q"', "it's", "\\"], "it's", '"q"'),
+        (["e", "r", "m", "e", "r"], "e", "r"),
+    ]
+    sdf = spark.createDataFrame(
+        [(i, syms) for i, (syms, _, _) in enumerate(cases)], ["i", "syms"]
+    )
+    got_spark = {}
+    for i, (syms, a, b) in enumerate(cases):
+        row = (
+            sdf.filter(F.col("i") == i)
+            .select(_bpe_merge_col(F.col("syms"), a, b).alias("m"))
+            .collect()
+        )
+        got_spark[i] = list(row[0]["m"])
+    con = duckdb.connect()
+    for i, (syms, a, b) in enumerate(cases):
+        want = _greedy_merge(syms, a, b)
+        (got_duck,) = con.execute(
+            """
+            SELECT list_reduce(list_transform(?::VARCHAR[], e -> [e]),
+              (acc, xs) -> CASE WHEN acc[-1] = ?::VARCHAR AND xs[1] = ?::VARCHAR
+                           THEN list_append(acc[:len(acc)-1], ?::VARCHAR || ?::VARCHAR)
+                           ELSE list_concat(acc, xs) END)
+            """,
+            [syms, a, b, a, b],
+        ).fetchone()
+        assert got_spark[i] == want, f"spark fold diverges on case {i}: {cases[i]}"
+        assert list(got_duck) == want, f"duckdb fold diverges on case {i}: {cases[i]}"

@@ -149,3 +149,58 @@ def test_dedup_semantic_incremental_empty_corpus(spark, tmp_path):
     batch, _ = _batch_split_ids(4, 0)
     _write_embeddings(tmp_path, sorted(batch), DIM)
     assert _compare(spark, "dedup_semantic_incremental", tmp_path, ["embeddings"]) == []
+
+
+# ---------------------------------------------------------------------------
+# bpe_train edges: the sf fixtures always fill all BPE_ROUNDS rules, so the
+# early-termination paths (no pairs at all / pairs exhausted mid-loop) are
+# pinned here against the same oracle.
+# ---------------------------------------------------------------------------
+
+
+def _write_documents(out_dir, texts):
+    rows = list(enumerate(texts))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in rows], type=pa.int64()),
+                "text": pa.array([t for _, t in rows], type=pa.string()),
+                "lang": pa.array(["en"] * len(rows), type=pa.string()),
+                "source": pa.array(["edge"] * len(rows), type=pa.string()),
+                "n_chars": pa.array([len(t) for _, t in rows], type=pa.int64()),
+            }
+        ),
+        str(out_dir / "documents.parquet"),
+    )
+
+
+def test_bpe_train_empty_table(spark, tmp_path):
+    d = tmp_path / "bpe_empty"
+    d.mkdir()
+    _write_documents(d, [])
+    _compare(spark, "bpe_train", d, ["documents"])
+    assert _spark_rows(spark, "bpe_train", d) == []
+
+
+def test_bpe_train_no_pairs_ever(spark, tmp_path):
+    """Single-character vocabulary: no adjacent pair exists, round 1's
+    argmax is empty on both engines and the loop terminates at zero
+    rules."""
+    d = tmp_path / "bpe_singles"
+    d.mkdir()
+    _write_documents(d, ["a b a", "b a", "a"])
+    _compare(spark, "bpe_train", d, ["documents"])
+    assert _spark_rows(spark, "bpe_train", d) == []
+
+
+def test_bpe_train_pairs_exhaust_mid_loop(spark, tmp_path):
+    """One two-char word: round 1 merges it to a single symbol, rounds
+    2..BPE_ROUNDS find no pairs — the Spark loop breaks early and the
+    oracle's later-round CTEs settle empty, so both emit exactly one
+    rule."""
+    d = tmp_path / "bpe_exhaust"
+    d.mkdir()
+    _write_documents(d, ["ab ab", "ab"])
+    _compare(spark, "bpe_train", d, ["documents"])
+    got = _spark_rows(spark, "bpe_train", d)
+    assert got == [(1, "a", "b", "ab", 3)]

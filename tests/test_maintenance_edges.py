@@ -3,7 +3,8 @@ pattern: termination paths the sf fixtures never reach must be pinned
 against the oracle on synthetic fixtures, not verified ad hoc).
 
 compact_apply: all-keep, all-compact, and empty-table layouts;
-dedup_semantic_incremental: corpus smaller than K_CELLS, empty corpus."""
+dedup_semantic_incremental: corpus smaller than K_CELLS, empty corpus;
+bpe_train: empty table, pairless vocab, pairs exhausted mid-loop."""
 
 from __future__ import annotations
 
@@ -204,3 +205,17 @@ def test_bpe_train_pairs_exhaust_mid_loop(spark, tmp_path):
     _compare(spark, "bpe_train", d, ["documents"])
     got = _spark_rows(spark, "bpe_train", d)
     assert got == [(1, "a", "b", "ab", 3)]
+
+
+def test_bpe_train_later_rule_merges_earlier_merged_symbol(spark, tmp_path):
+    """True iteration, pinned data-independently: with corpus 'abc' x3,
+    round 1 merges (a,b) — the (count DESC, lhs, rhs) tiebreak over the
+    tied (a,b)/(b,c) pairs — and round 2's best pair is ('ab', c), whose
+    lhs EXISTS only because round 1 rewrote the vocab. Six independent
+    top-pairs (the bug this pins against) could never emit an 'ab' lhs."""
+    d = tmp_path / "bpe_iter"
+    d.mkdir()
+    _write_documents(d, ["abc abc", "abc"])
+    _compare(spark, "bpe_train", d, ["documents"])
+    got = _spark_rows(spark, "bpe_train", d)
+    assert got == [(1, "a", "b", "ab", 3), (2, "ab", "c", "abc", 3)]

@@ -1498,6 +1498,17 @@ def test_stream_dedup_docs_membership_and_first_arrival(spark, tmp_path):
     spark.createDataFrame(
         [(2, "alpha"), (13, "gamma"), (14, "beta")], schema
     ).coalesce(1).write.parquet(str(src / "f1"))
+    # keeper election is arrival-order-dependent and FileStreamSource
+    # orders by modification time — stamp distinct mtimes so back-to-back
+    # writes can't tie within the fs timestamp granularity (the flake the
+    # minhash twin's test hit under full-suite load)
+    import time as _time
+
+    t0 = _time.time() - 120
+    for d, t in ((src / "f0", t0), (src / "f1", t0 + 30)):
+        for root, _dirs, files in _os.walk(str(d)):
+            for f in files:
+                _os.utime(_os.path.join(root, f), (t, t))
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -1635,16 +1646,32 @@ def test_stream_dedup_minhash_first_arrival_and_multibatch(spark, sf_dir, tmp_pa
         )
         return {r["doc_id"]: (r["is_near_dup"], r["dup_of"]) for r in final.collect()}, n_batches
 
+    # Unlike the suite's other multi-batch replays (complete-mode aggs,
+    # monotone update states), THIS contract is arrival-ORDER-dependent:
+    # keeper election belongs to the first batch. FileStreamSource orders
+    # files by modification time, and back-to-back writes can tie within
+    # the filesystem's timestamp granularity under load, flipping batch
+    # order — so stamp each step's files with strictly increasing mtimes.
+    import time as _time
+
+    def _stamp(d, t):
+        for root, _dirs, files in _os.walk(str(d)):
+            for f in files:
+                _os.utime(_os.path.join(root, f), (t, t))
+
     # synthesized disorder stream
     src = tmp_path / "near_dup_docs"
     src.mkdir()
     schema = "doc_id long, text string"
+    t0 = _time.time() - 120
     spark.createDataFrame(
         [(10, "a b c d e"), (11, "p q r s t"), (12, "a b c d e")], schema
     ).coalesce(1).write.parquet(str(src / "f0"))
     spark.createDataFrame(
         [(2, "a b c d e"), (13, "m n o u v")], schema
     ).coalesce(1).write.parquet(str(src / "f1"))
+    _stamp(src / "f0", t0)
+    _stamp(src / "f1", t0 + 30)
     got, n_batches = run_gate(str(src / "*"), schema)
     assert n_batches == 2
     assert got[10] == (False, -1)  # batch-1 min elects keeper
@@ -1662,10 +1689,9 @@ def test_stream_dedup_minhash_first_arrival_and_multibatch(spark, sf_dir, tmp_pa
     t = t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
     bounds = [round(i * t.num_rows / 3) for i in range(4)]
     for i in range(3):
-        pq.write_table(
-            t.slice(bounds[i], bounds[i + 1] - bounds[i]),
-            str(multi / f"part-{i:02d}.parquet"),
-        )
+        p = str(multi / f"part-{i:02d}.parquet")
+        pq.write_table(t.slice(bounds[i], bounds[i + 1] - bounds[i]), p)
+        _os.utime(p, (t0 + 60 + 10 * i, t0 + 60 + 10 * i))
     doc_schema = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet")).schema
     got_multi, n_batches = run_gate(str(multi), doc_schema)
     assert n_batches >= 2

@@ -633,11 +633,23 @@ def events_multi_dir(tmp_path_factory, sf_dir):
     t = t.take(idx)
     n = t.num_rows
     bounds = [round(i * n / N_SPLIT_FILES) for i in range(N_SPLIT_FILES + 1)]
+    # FileStreamSource orders files by MILLISECOND-granularity mtime;
+    # back-to-back writes routinely tie within the same millisecond, which
+    # makes batch order a coin flip — and the transitions-delta test below
+    # is arrival-order-dependent (GroupState carries the previous event
+    # across batches). Stamp strictly increasing mtimes well apart so every
+    # consumer of this fixture inherits deterministic time-ordered arrival
+    # (same pattern as the first-arrival dedup tests further down).
+    import time as _time
+
+    t0 = _time.time() - 600
     for i in range(N_SPLIT_FILES):
+        p = str(out / f"part-{i:02d}.parquet")
         pq.write_table(
             t.slice(bounds[i], bounds[i + 1] - bounds[i]),
-            str(out / f"part-{i:02d}.parquet"),
+            p,
         )
+        _os.utime(p, (t0 + 30 * i, t0 + 30 * i))
     return str(out)
 
 

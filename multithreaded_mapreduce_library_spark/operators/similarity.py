@@ -646,73 +646,118 @@ def ivf_train_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lloyd_final_assignment(
-    spark: SparkSession, sf_dir: str, rounds: int = 1
-) -> DataFrame:
-    """(vec_id, cid, d2, va) after ``rounds`` Lloyd refinements — the
-    Spark twin of _DUCK_LLOYD_CTES at rounds=1 (the oracle-gated query),
-    and the real convergence loop beyond it: each round recomputes
-    centroids as fixed-point component means from the current assignment,
-    then re-assigns. The fixed-point-means trick is what makes EVERY
-    round engine- and partitioning-independent, not just the first —
-    integer component sums are associative, so round r's centroids (and
-    therefore round r+1's assignment) are bit-identical however the
-    corpus is partitioned. Monotone non-increasing inertia across rounds
-    is pinned by tests/test_streaming.py::test_lloyd_inertia_monotone.
+# --- the ONE Lloyd core --------------------------------------------------
+# Unified in r12 (the r7-cohort re-gate round, as planned in the r11
+# _PRIORITY prose): previously _lloyd_final_assignment carried inline
+# assign/update closures over the FULL embeddings table while
+# _lloyd_cells_for duplicated them for an arbitrary (corpus-split) frame.
+# Everything — the five IVF/PQ training consumers AND the semantic-
+# admission pair (batch + streaming) — now runs through the four
+# functions below. Bit-identity across the unification is guaranteed by
+# the same tricks as before (sequential-fold d2, fixed-point integer
+# centroid means) plus one seed-rule note: training seeds are the K_CELLS
+# SMALLEST vec_ids PRESENT in the input frame (orderBy/limit — correct on
+# any frame, e.g. the corpus split); on the full embeddings table, where
+# vec_ids are dense from 0, that is exactly the old `vec_id < K_CELLS`
+# filter set, so the IVF oracles' `WHERE vec_id < K` seed CTE still
+# matches bit-for-bit (density holds for the driver fixtures AND the
+# second-seed sweep — scripts/gen_fixture.py emits vec_id = range(N)).
 
-    Shuffle story per round: centroids are k rows broadcast into the
-    assignment (k-row-bounded argmin window per vec_id), and the update
-    partial-aggregates into k×dim cells — nothing wide ever shuffles,
-    at any round count. Centroid frames are localCheckpoint'ed between
-    rounds so the lineage stays O(1) deep instead of O(rounds)."""
-    e = _load_embeddings(spark, sf_dir).select("vec_id", _dvec("embedding").alias("v"))
-    seeds = e.filter(F.col("vec_id") < K_CELLS).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("vc")
+
+def _lloyd_seeds(e: DataFrame) -> DataFrame:
+    """(cid, vc): the K_CELLS smallest vec_ids present in ``e``, as the
+    initial centroids. TakeOrderedAndProject — per-partition top-k, then
+    k rows to one task; never a full sort, at any corpus size."""
+    return (
+        e.orderBy("vec_id")
+        .limit(K_CELLS)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("vc"))
     )
 
-    def assign(centroids: DataFrame) -> DataFrame:
-        crossed = (
-            e.select("vec_id", F.col("v").alias("va"))
-            .join(F.broadcast(centroids))
-            .withColumn("d2", F.expr(_SPARK_D2))
-        )
-        w = W.partitionBy("vec_id").orderBy("d2", "cid")
-        return (
-            crossed.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cid", "d2", "va")
-        )
 
-    def update(a: DataFrame) -> DataFrame:
-        comp = a.select("cid", F.posexplode("va").alias("pos", "x"))
-        upd = (
-            comp.groupBy("cid", "pos")
-            .agg(
-                F.sum(F.floor(F.col("x") * _FX + F.lit(0.5)).cast("long")).alias("sfx"),
-                F.count("*").alias("n"),
-            )
-            .withColumn(
-                "cval",
-                F.floor(F.col("sfx").cast("double") / F.col("n") + F.lit(0.5)) / _FX,
-            )
-        )
-        return upd.groupBy("cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
-                lambda s: s["cval"],
-            ).alias("vc")
-        )
+def _lloyd_assign(e: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, cid, d2, va): nearest-centroid assignment of an
+    embeddings frame (vec_id, v) to a BROADCAST centroid frame (cid, vc).
+    Squared-L2 is the shared sequential fold (bit-identical operand
+    order on both engines), centroid-id tiebreak. Shuffle story: the
+    k-row centroid side broadcasts, so the cross product rides the scan;
+    the argmin window partitions by vec_id with exactly k rows per key —
+    bounded, never skewed."""
+    crossed = (
+        e.select("vec_id", F.col("v").alias("va"))
+        .join(F.broadcast(centroids))
+        .withColumn("d2", F.expr(_SPARK_D2))
+    )
+    w = W.partitionBy("vec_id").orderBy("d2", "cid")
+    return (
+        crossed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "d2", "va")
+    )
 
+
+def _lloyd_update(a: DataFrame) -> DataFrame:
+    """(cid, vc): recompute centroids from an assignment frame as
+    FIXED-POINT component means (1e-6 quantized) — double sums are
+    order-dependent, integer sums are not, so the updated centroids are
+    bit-identical across engines and partitionings. Shuffle story: a
+    posexplode into (cid, pos) partial-aggregated counters — k×dim
+    groups regardless of corpus size."""
+    comp = a.select("cid", F.posexplode("va").alias("pos", "x"))
+    upd = (
+        comp.groupBy("cid", "pos")
+        .agg(
+            F.sum(F.floor(F.col("x") * _FX + F.lit(0.5)).cast("long")).alias("sfx"),
+            F.count("*").alias("n"),
+        )
+        .withColumn(
+            "cval",
+            F.floor(F.col("sfx").cast("double") / F.col("n") + F.lit(0.5)) / _FX,
+        )
+    )
+    return upd.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+            lambda s: s["cval"],
+        ).alias("vc")
+    )
+
+
+def _lloyd_train(e: DataFrame, rounds: int = 1) -> DataFrame:
+    """(cid, vc) after ``rounds`` Lloyd refinements over an ARBITRARY
+    embeddings frame (vec_id, v) — seed with the K_CELLS smallest
+    vec_ids present, then alternate assign/update. The fixed-point-means
+    trick makes EVERY round engine- and partitioning-independent, not
+    just the first — integer component sums are associative, so round
+    r's centroids (and therefore round r+1's assignment) are
+    bit-identical however the corpus is partitioned. Monotone
+    non-increasing inertia across rounds is pinned by
+    tests/test_streaming.py::test_lloyd_inertia_monotone. Centroid
+    frames are localCheckpoint'ed between rounds so the lineage stays
+    O(1) deep instead of O(rounds)."""
     assert rounds >= 1
-    a = assign(seeds)
+    a = _lloyd_assign(e, _lloyd_seeds(e))
+    c = None
     for r in range(rounds):
-        newc = update(a)
+        c = _lloyd_update(a)
         if rounds > 1:
             # k tiny rows; truncating lineage here keeps the multi-round
             # plan O(1) deep (the rounds=1 gated path stays byte-identical)
-            newc = newc.localCheckpoint(eager=False)
-        a = assign(newc)
-    return a
+            c = c.localCheckpoint(eager=False)
+        if r < rounds - 1:
+            a = _lloyd_assign(e, c)
+    return c
+
+
+def _lloyd_final_assignment(
+    spark: SparkSession, sf_dir: str, rounds: int = 1
+) -> DataFrame:
+    """(vec_id, cid, d2, va) after ``rounds`` Lloyd refinements of the
+    full embeddings table — the Spark twin of _DUCK_LLOYD_CTES at
+    rounds=1 (the oracle-gated path) and the real convergence loop
+    beyond it; now a two-call composition of the unified core."""
+    e = _load_embeddings(spark, sf_dir).select("vec_id", _dvec("embedding").alias("v"))
+    return _lloyd_assign(e, _lloyd_train(e, rounds))
 
 
 def lloyd_inertia_fx(spark: SparkSession, sf_dir: str, rounds: int) -> int:
@@ -1294,66 +1339,12 @@ FROM bat b LEFT JOIN dec ON b.vec_id = dec.nd
 """
 
 
-def _lloyd_cells_for(e: DataFrame) -> DataFrame:
-    """One Lloyd refinement trained on an ARBITRARY embeddings frame
-    (vec_id, v) — seeds are the K_CELLS smallest vec_ids present. Returns
-    the trained centroid frame (cid, vc). A deliberately separate twin of
-    the closures inside _lloyd_final_assignment: that function is the
-    code path of five r6-r8-green gated queries, and widening its
-    signature would force them all into the rotation's changed set (cap
-    6 this round) for a refactor with no semantic change — unify in r12
-    when the r7 cohort re-gates anyway. Same fixed-point-means trick,
-    same shuffle story: broadcast k seeds, k-row-bounded argmin window,
-    k x dim partial-aggregated update."""
-    seeds = (
-        e.orderBy("vec_id")
-        .limit(K_CELLS)
-        .select(F.col("vec_id").alias("cid"), F.col("v").alias("vc"))
-    )
-    crossed = (
-        e.select("vec_id", F.col("v").alias("va"))
-        .join(F.broadcast(seeds))
-        .withColumn("d2", F.expr(_SPARK_D2))
-    )
-    w = W.partitionBy("vec_id").orderBy("d2", "cid")
-    a1 = (
-        crossed.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("cid", "va")
-    )
-    upd = (
-        a1.select("cid", F.posexplode("va").alias("pos", "x"))
-        .groupBy("cid", "pos")
-        .agg(
-            F.sum(F.floor(F.col("x") * _FX + F.lit(0.5)).cast("long")).alias("sfx"),
-            F.count("*").alias("n"),
-        )
-        .withColumn(
-            "cval",
-            F.floor(F.col("sfx").cast("double") / F.col("n") + F.lit(0.5)) / _FX,
-        )
-    )
-    return upd.groupBy("cid").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "cval"))),
-            lambda s: s["cval"],
-        ).alias("vc")
-    )
-
-
 def _assign_to_cells(e: DataFrame, centroids: DataFrame) -> DataFrame:
-    """(vec_id, cid, v): nearest-centroid assignment of an embeddings
-    frame to a broadcast trained-centroid frame (cid tiebreak)."""
-    crossed = (
-        e.select("vec_id", F.col("v").alias("va"))
-        .join(F.broadcast(centroids))
-        .withColumn("d2", F.expr(_SPARK_D2))
-    )
-    w = W.partitionBy("vec_id").orderBy("d2", "cid")
-    return (
-        crossed.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid", F.col("va").alias("v"))
+    """(vec_id, cid, v): the unified core's _lloyd_assign projected for
+    the admission consumers (batch + streaming semantic dedup), which
+    key on the cell id and the raw vector but never the distance."""
+    return _lloyd_assign(e, centroids).select(
+        "vec_id", "cid", F.col("va").alias("v")
     )
 
 
@@ -1407,7 +1398,7 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = e.filter(~is_batch)
     batch = e.filter(is_batch)
-    centroids = _lloyd_cells_for(corpus)
+    centroids = _lloyd_train(corpus)
     idx = _assign_to_cells(corpus, centroids)
     bat = _assign_to_cells(batch, centroids)
     a = (

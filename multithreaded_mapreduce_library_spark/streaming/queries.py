@@ -1364,7 +1364,7 @@ def _register_stream_dedup_semantic():
         _assign_to_cells,
         _dvec,
         _duck_sem_inc_oracle,
-        _lloyd_cells_for,
+        _lloyd_train,
         _load_embeddings,
     )
 
@@ -1422,7 +1422,7 @@ def _register_stream_dedup_semantic():
             "vec_id", _dvec("embedding").alias("v")
         )
         corpus = e.filter(~is_batch)
-        centroids = _lloyd_cells_for(corpus)
+        centroids = _lloyd_train(corpus)
         centroid_rows = [(r["cid"], list(r["vc"])) for r in centroids.collect()]
         schema = (
             "vec_id long, cell_id long, n_cell long, max_cos_fx long,"

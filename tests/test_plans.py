@@ -1079,7 +1079,7 @@ def test_stream_semantic_transform_is_narrow_argmin_one_equi_join(spark, sf_dir)
     from multithreaded_mapreduce_library_spark.operators.dedup import INC_SPLIT_MOD
     from multithreaded_mapreduce_library_spark.operators.similarity import (
         _dvec,
-        _lloyd_cells_for,
+        _lloyd_train,
         _load_embeddings,
     )
     from multithreaded_mapreduce_library_spark.streaming.queries import (
@@ -1089,7 +1089,7 @@ def test_stream_semantic_transform_is_narrow_argmin_one_equi_join(spark, sf_dir)
     is_batch = F.pmod(h31(F.col("vec_id").cast("string")), F.lit(INC_SPLIT_MOD)) == 0
     e = _load_embeddings(spark, sf_dir)
     corpus = e.select("vec_id", _dvec("embedding").alias("v")).filter(~is_batch)
-    centroids = _lloyd_cells_for(corpus)
+    centroids = _lloyd_train(corpus)
     centroid_rows = [(r["cid"], list(r["vc"])) for r in centroids.collect()]
     assert centroid_rows, "fixture must train at least one cell"
     dim = len(centroid_rows[0][1])

@@ -1747,7 +1747,7 @@ def test_multibatch_semantic_admission_settles_to_batch(spark, sf_dir, tmp_path)
         _SPARK_NORM,
         _assign_to_cells,
         _dvec,
-        _lloyd_cells_for,
+        _lloyd_train,
         _load_embeddings,
     )
     from multithreaded_mapreduce_library_spark.streaming.queries import (
@@ -1759,7 +1759,7 @@ def test_multibatch_semantic_admission_settles_to_batch(spark, sf_dir, tmp_path)
         "vec_id", _dvec("embedding").alias("v")
     )
     corpus = e.filter(~is_batch)
-    centroids = _lloyd_cells_for(corpus)
+    centroids = _lloyd_train(corpus)
     centroid_rows = [(r["cid"], list(r["vc"])) for r in centroids.collect()]
     idx = (
         _assign_to_cells(corpus, centroids)

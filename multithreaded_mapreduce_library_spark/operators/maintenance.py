@@ -636,18 +636,41 @@ def compact_rewrite(spark: SparkSession, sf_dir: str):
             ),
             None,
         )
-    # deterministic per-fixture target + overwrite => repeated runs
-    # (driver gates, contract drives, scale probes) cap the /tmp
-    # footprint at ONE routed copy per fixture instead of accumulating a
-    # fresh mkdtemp per invocation. The digest keys the fixture path so
-    # concurrent different-sf runs never clobber each other. (The
-    # streaming sinks' mkdtemp-per-run pattern has the same accumulation
-    # issue — unify there when the streaming cohort re-gates.)
+    # Deterministic per-(process, fixture) target + overwrite => repeated
+    # runs WITHIN a process (driver gates, contract drives, scale probes)
+    # cap the /tmp footprint at ONE routed copy per fixture, while the
+    # pid component keeps two CONCURRENT processes over the SAME fixture
+    # (driver gate + a local pytest/contract drive, or pytest-xdist) from
+    # interleaving one run's overwrite delete-and-rewrite with the
+    # other's read-back. The fixture digest still separates concurrent
+    # different-sf runs. Dirs left by crashed processes are reaped lazily
+    # below, and this process's dir is removed at exit — so the global
+    # footprint stays bounded by live processes x fixtures. (The
+    # streaming sinks need none of this: their mkdtemp-per-run dirs are
+    # rmtree'd in each builder's finally, which is the right shape there
+    # because a reused directory could alias a checkpointLocation.)
+    import atexit
+    import glob as _glob
     import hashlib
+    import shutil
 
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_compact")
+    proc_dir = os.path.join(root, f"pid-{os.getpid()}")
+    if not os.path.isdir(proc_dir):
+        atexit.register(shutil.rmtree, proc_dir, ignore_errors=True)
+    for d in _glob.glob(os.path.join(root, "pid-*")):
+        try:
+            pid = int(d.rsplit("-", 1)[1])
+            if pid != os.getpid():
+                os.kill(pid, 0)  # raises if the owning process is gone
+        except ValueError:
+            continue
+        except PermissionError:
+            pass  # alive under another uid — leave it
+        except OSError:  # ProcessLookupError: the owning process is gone
+            shutil.rmtree(d, ignore_errors=True)
     target = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_compact",
+        proc_dir,
         hashlib.md5(sf_dir.encode()).hexdigest()[:12],
         "orders",
     )

@@ -92,6 +92,43 @@ def test_compact_apply_all_compact(spark, tmp_path):
     assert got[0][1] == 4  # all four rows landed in the one bin
 
 
+def test_compact_rewrite_target_is_process_scoped(spark, tmp_path):
+    """compact_rewrite's scratch target is keyed by (pid, fixture digest)
+    and overwritten in place: repeated same-process runs reuse ONE dir,
+    two concurrent processes over the same fixture never share a target
+    (one's overwrite can't interleave with the other's read-back), and
+    dirs abandoned by dead processes are reaped while dirs that don't
+    parse as pids are left alone."""
+    import os
+    import subprocess
+    import tempfile
+
+    from multithreaded_mapreduce_library_spark.operators.maintenance import (
+        compact_rewrite,
+    )
+
+    _write_orders(tmp_path, [(1, 1, "O", 10.0), (2, 7, "F", 20.0)])
+    _applied, target = compact_rewrite(spark, str(tmp_path))
+    assert f"pid-{os.getpid()}" in target
+    # same process + same fixture => the SAME deterministic target
+    _applied2, target2 = compact_rewrite(spark, str(tmp_path))
+    assert target2 == target
+
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_compact")
+    # a dir owned by a genuinely dead pid must be reaped on the next run,
+    # an unparseable one must survive (it isn't ours to judge)
+    dead = subprocess.run(["sh", "-c", "echo $$"], capture_output=True, text=True)
+    dead_pid = int(dead.stdout.strip())
+    dead_dir = os.path.join(root, f"pid-{dead_pid}")
+    odd_dir = os.path.join(root, "pid-not-a-number")
+    os.makedirs(dead_dir, exist_ok=True)
+    os.makedirs(odd_dir, exist_ok=True)
+    _applied3, _t = compact_rewrite(spark, str(tmp_path))
+    assert not os.path.exists(dead_dir), "dead-process scratch not reaped"
+    assert os.path.exists(odd_dir), "non-pid dir must be left alone"
+    os.rmdir(odd_dir)
+
+
 def _batch_split_ids(want_batch, want_corpus):
     """First `want_batch` ids whose md5 bucket is 0 of INC_SPLIT_MOD and
     first `want_corpus` whose bucket is nonzero — the same split the

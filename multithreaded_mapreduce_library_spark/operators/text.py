@@ -749,10 +749,17 @@ vocab{k} AS (SELECT w, f, CASE WHEN b{k}.l IS NULL THEN syms ELSE
         "symbol arrays. Work per round is O(vocab x word-length), "
         "independent of corpus size — the property that makes BPE "
         "trainable on 100 TB at all. Tiebreak (count DESC, lhs, rhs) is "
-        "total, counts are exact BIGINTs, symbols are byte strings — "
-        "every round's argmax and rewrite agrees bit-for-bit with the "
-        "unrolled DuckDB oracle, which re-derives its own argmax per "
-        "round rather than trusting the engine's. Output: the first "
+        "total and counts are exact BIGINTs; the CONTRACT IS ASCII "
+        "corpora (pinned by test_bpe_contract_corpora_are_ascii): on "
+        "ASCII every symbol is one byte, so Spark's and DuckDB's string "
+        "comparison, indexing and length all coincide and every round's "
+        "argmax and rewrite agrees bit-for-bit with the unrolled oracle "
+        "(which re-derives its own argmax per round rather than "
+        "trusting the engine's). Beyond ASCII the engines' collation "
+        "and character-indexing rules can diverge (supplementary-plane "
+        "code points vs U+E000-U+FFFF ordering; code-point vs grapheme "
+        "slicing) — a collation-proof variant would order the tiebreak "
+        "by the symbols' byte encodings on both sides. Output: the first "
         f"{BPE_ROUNDS} merge rules (step, lhs, rhs, merged, pair_count); "
         "later rules may merge earlier MERGED symbols (the fixture's "
         "round 6 merges 'm' with round 1's 'er'), pinning true "
@@ -794,6 +801,13 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         lhs, rhs, cnt = best[0]["l"], best[0]["r"], best[0]["c"]
         rules.append((step, lhs, rhs, lhs + rhs, cnt))
+        # Each round layers one more literal-pair fold onto the single
+        # checkpointed vocab, so round k's pair-count job replays k-1
+        # folds: per-round cost is O(k x vocab x word-length) in fold
+        # layers, not flat — still corpus-independent (the headline
+        # claim), and cheap at BPE_ROUNDS=6, but a real 30k-merge trainer
+        # must localCheckpoint the folded vocab every N rounds here to
+        # keep the replayed chain bounded.
         vocab = vocab.withColumn("syms", _bpe_merge_col(F.col("syms"), lhs, rhs))
     return spark.createDataFrame(
         rules, "step int, lhs string, rhs string, merged string, pair_count long"

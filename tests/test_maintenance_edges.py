@@ -212,6 +212,34 @@ def _write_documents(out_dir, texts):
     )
 
 
+def test_bpe_contract_corpora_are_ascii(sf_dir):
+    """bpe_train's cross-engine bit-identity contract is ASCII corpora
+    (see its doc): on ASCII, Spark's and DuckDB's string comparison
+    (tiebreak collation), indexing and length coincide symbol-for-
+    symbol; beyond it they can diverge (UTF-16 vs UTF-8 order for
+    supplementary-plane code points, code-point vs grapheme slicing).
+    Pin that every corpus the oracle differential runs on — the driver
+    fixtures and the second-seed generator's vocabulary — satisfies the
+    precondition, so a non-ASCII fixture regression surfaces here
+    instead of as an inscrutable hash mismatch."""
+    import os
+
+    t = pq.read_table(os.path.join(str(sf_dir), "documents.parquet"))
+    for chunk in t.column("text").chunks:
+        for s in chunk.to_pylist():
+            assert s is None or s.isascii(), f"non-ASCII document: {s[:80]!r}"
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_fixture",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "gen_fixture.py"),
+    )
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    assert all(w.isascii() for w in gen.VOCAB)
+
+
 def test_bpe_train_empty_table(spark, tmp_path):
     d = tmp_path / "bpe_empty"
     d.mkdir()

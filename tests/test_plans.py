@@ -406,6 +406,58 @@ def test_lloyd_multi_round_plan_stays_bounded(spark, sf_dir):
     )
 
 
+def test_lloyd_seeds_take_ordered_not_global_sort(spark, sf_dir):
+    """The unified core's seed selection (K_CELLS smallest vec_ids
+    PRESENT — orderBy/limit, the rule that is correct on arbitrary
+    frames like the corpus split) must compile to TakeOrderedAndProject
+    (per-partition top-k, then k rows to one task), never a global Sort
+    + Exchange of the corpus: the seed step has to stay metadata-cheap
+    at 100 TB."""
+    from multithreaded_mapreduce_library_spark.operators.similarity import (
+        _dvec,
+        _lloyd_seeds,
+        _load_embeddings,
+    )
+
+    e = _load_embeddings(spark, sf_dir).select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    plan = formatted_plan(_lloyd_seeds(e))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), (
+        "seed selection must not range-shuffle the corpus for a k-row sort"
+    )
+
+
+def test_lloyd_assign_is_broadcast_argmin_on_any_frame(spark, sf_dir):
+    """_lloyd_assign — the ONE assignment implementation behind the IVF
+    trainers AND the semantic-admission pair since the r12 unification —
+    must broadcast the k-row centroid side and bound the argmin window
+    by vec_id even when the input is a filtered corpus split, not the
+    full table (the semantic path's shape)."""
+    from pyspark.sql import functions as F
+
+    from multithreaded_mapreduce_library_spark.functions import h31
+    from multithreaded_mapreduce_library_spark.operators.dedup import INC_SPLIT_MOD
+    from multithreaded_mapreduce_library_spark.operators.similarity import (
+        _dvec,
+        _lloyd_assign,
+        _lloyd_train,
+        _load_embeddings,
+    )
+
+    is_batch = F.pmod(h31(F.col("vec_id").cast("string")), F.lit(INC_SPLIT_MOD)) == 0
+    corpus = (
+        _load_embeddings(spark, sf_dir)
+        .select("vec_id", _dvec("embedding").alias("v"))
+        .filter(~is_batch)
+    )
+    plan = formatted_plan(_lloyd_assign(corpus, _lloyd_train(corpus)))
+    assert "BroadcastNestedLoopJoin" in plan, "centroids must broadcast"
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, "corpus must never shuffle against k rows"
+
+
 def test_quantized_topk_broadcasts_queries(spark, sf_dir):
     """Code scoring must broadcast the tiny query-side code set and never
     sort-merge or shuffle the corpus per query."""

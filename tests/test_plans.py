@@ -458,6 +458,41 @@ def test_lloyd_assign_is_broadcast_argmin_on_any_frame(spark, sf_dir):
     assert "SortMergeJoin" not in plan, "corpus must never shuffle against k rows"
 
 
+def test_lloyd_train_is_partitioning_independent(spark, sf_dir):
+    """The unified core's headline exactness claim, tested directly: the
+    fixed-point integer centroid means make EVERY training round
+    independent of the input's physical partitioning (integer sums are
+    associative+commutative; double sums would not be). Train on the
+    same frame under three adversarial layouts — default, repartition(7)
+    (round-robin rows across odd partition counts), coalesce(1) (fully
+    sequential) — for 1 and 2 rounds and require the centroid frames be
+    EXACTLY equal, bit-for-bit. This is the property that lets the
+    driver's DuckDB differential (single-threaded) agree with local[32],
+    and would let a 1000-executor cluster agree with both."""
+    from multithreaded_mapreduce_library_spark.operators.similarity import (
+        _dvec,
+        _lloyd_train,
+        _load_embeddings,
+    )
+
+    e = _load_embeddings(spark, sf_dir).select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    for rounds in (1, 2):
+        canon = None
+        for layout in (e, e.repartition(7), e.coalesce(1)):
+            got = sorted(
+                (r["cid"], tuple(r["vc"]))
+                for r in _lloyd_train(layout, rounds).collect()
+            )
+            if canon is None:
+                canon = got
+            else:
+                assert got == canon, (
+                    f"rounds={rounds}: centroids depend on partitioning"
+                )
+
+
 def test_quantized_topk_broadcasts_queries(spark, sf_dir):
     """Code scoring must broadcast the tiny query-side code set and never
     sort-merge or shuffle the corpus per query."""

@@ -1465,11 +1465,19 @@ def test_multibatch_dedup_docs_settles_to_batch(spark, sf_dir, tmp_path):
     t = t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
     n = t.num_rows
     bounds = [round(i * n / 3) for i in range(4)]
+    # the settle equality below is arrival-order-independent on a
+    # duplicate-free fixture, but stamp strictly increasing mtimes anyway
+    # (the events_multi_dir convention): back-to-back pyarrow writes can
+    # tie within FileStreamSource's millisecond mtime granularity, and
+    # deterministic id-ordered arrival keeps this robust if a regenerated
+    # fixture ever contains an exact duplicate pair
+    import time as _time
+
+    t0 = _time.time() - 600
     for i in range(3):
-        pq.write_table(
-            t.slice(bounds[i], bounds[i + 1] - bounds[i]),
-            str(src / f"part-{i:02d}.parquet"),
-        )
+        p = str(src / f"part-{i:02d}.parquet")
+        pq.write_table(t.slice(bounds[i], bounds[i + 1] - bounds[i]), p)
+        _os.utime(p, (t0 + 30 * i, t0 + 30 * i))
     schema = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet")).schema
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src))
@@ -1779,11 +1787,16 @@ def test_multibatch_semantic_admission_settles_to_batch(spark, sf_dir, tmp_path)
     t = t.take(pc.sort_indices(t, sort_keys=[("vec_id", "ascending")]))
     n = t.num_rows
     bounds = [round(i * n / 3) for i in range(4)]
+    # per-vector decisions are stream-static (arrival-order-independent),
+    # but stamp mtimes like every other pyarrow multi-file fixture so the
+    # batch composition of the replay is deterministic run to run
+    import time as _time
+
+    t0 = _time.time() - 600
     for i in range(3):
-        pq.write_table(
-            t.slice(bounds[i], bounds[i + 1] - bounds[i]),
-            str(src / f"part-{i:02d}.parquet"),
-        )
+        p = str(src / f"part-{i:02d}.parquet")
+        pq.write_table(t.slice(bounds[i], bounds[i + 1] - bounds[i]), p)
+        _os.utime(p, (t0 + 30 * i, t0 + 30 * i))
     schema = spark.read.parquet(
         _os.path.join(str(sf_dir), "embeddings.parquet")
     ).schema

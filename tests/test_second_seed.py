@@ -11,6 +11,11 @@ Gated behind SPARK_GRAFT_SECOND_SEED=1 (it duplicates the whole oracle
 suite, ~3-4 min) so the default `pytest tests/` stays inside its budget:
 
     SPARK_GRAFT_SECOND_SEED=1 python -m pytest tests/test_second_seed.py -q
+
+Any value > 1 is used as the generator seed itself (=1 keeps the
+historical seed 7), so N independent sweeps cost nothing to add:
+
+    SPARK_GRAFT_SECOND_SEED=13 python -m pytest tests/test_second_seed.py -q
 """
 
 from __future__ import annotations
@@ -31,8 +36,10 @@ pytestmark = pytest.mark.skipif(
 def seed7_dir(tmp_path_factory) -> str:
     from scripts.gen_fixture import generate
 
-    out = str(tmp_path_factory.mktemp("seed7_fixture"))
-    generate(out, seed=7)
+    raw = os.environ.get("SPARK_GRAFT_SECOND_SEED", "")
+    seed = int(raw) if raw.isdigit() and int(raw) > 1 else 7
+    out = str(tmp_path_factory.mktemp(f"seed{seed}_fixture"))
+    generate(out, seed=seed)
     return out
 
 

@@ -180,16 +180,24 @@ def main() -> None:
         print(f"# rotated out, last green r{rnd} ({len(tail_by_round[rnd])}):")
         print(fmt(tail_by_round[rnd]))
     # forecast: after this round's driver run, everything in the prefix is
-    # green at this_round; what must lead the NEXT prefix?
-    oldest_waiting = min((last_green[n] for n in tail), default=None)
-    if oldest_waiting is not None:
-        must_lead = [n for n in tail if last_green[n] == oldest_waiting]
+    # green at this_round; walk the waiting backlog forward two rounds so
+    # the _PRIORITY prose can state both next-round caps from the same
+    # computation (assumes each forecast round gates green, the steady
+    # state; a red round re-runs this script with the failures as changed)
+    waiting = sorted(tail, key=lambda n: (last_green[n], n))
+    for ahead in (1, 2):
+        if not waiting:
+            break
+        oldest = last_green[waiting[0]]
+        must_lead = [n for n in waiting if last_green[n] == oldest]
+        cap = PREFIX_SLOTS - len(must_lead)
         print(
             f"# forecast: {len(must_lead)} queries last green in "
-            f"r{oldest_waiting} wait this round and must lead the "
-            f"r{this_round + 1} prefix:"
+            f"r{oldest} must lead the r{this_round + ahead} prefix "
+            f"(changed-set cap {cap}):"
         )
         print(fmt(must_lead, indent="#   "))
+        waiting = waiting[len(must_lead):]
 
 
 if __name__ == "__main__":

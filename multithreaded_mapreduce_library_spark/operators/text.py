@@ -699,13 +699,17 @@ def _bpe_merge_col(syms, lhs: str, rhs: str):
     return F.aggregate(syms, F.expr("CAST(array() AS array<string>)"), step)
 
 
-def _duck_bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
-    """Unrolled DuckDB twin of the bpe_train loop: per round, pair counts
-    over the current vocab (unnest of the adjacent-pair list), the
-    (count DESC, lhs, rhs) argmax, and the list_reduce greedy merge —
-    the same fold as _bpe_merge_col, with the chosen pair flowing in as
-    LEFT JOIN ON TRUE columns so an exhausted round (no pairs anywhere)
-    degrades to the identity rewrite on both engines."""
+def _duck_bpe_ctes(rounds: int = BPE_ROUNDS) -> str:
+    """The shared training-CTE chain of the unrolled DuckDB BPE twin:
+    per round, pair counts over the current vocab (unnest of the
+    adjacent-pair list), the (count DESC, lhs, rhs) argmax, and the
+    list_reduce greedy merge — the same fold as _bpe_merge_col, with
+    the chosen pair flowing in as LEFT JOIN ON TRUE columns so an
+    exhausted round (no pairs anywhere) degrades to the identity
+    rewrite on both engines. Pure code motion out of _duck_bpe_oracle
+    (r13, to let bpe_apply's oracle extend the identical chain);
+    bpe_train's generated oracle string is byte-identical to r12's
+    (pinned by test_bpe_oracle_string_stable)."""
     sql = f"""WITH toks AS (SELECT unnest({duck_tokens('text')}) AS w FROM documents),
 vocab0 AS (SELECT w, CAST(count(*) AS BIGINT) AS f,
   list_transform(range(1, len(w)+1), i -> w[i]) AS syms
@@ -724,12 +728,18 @@ vocab{k} AS (SELECT w, f, CASE WHEN b{k}.l IS NULL THEN syms ELSE
                    THEN list_append(acc[:len(acc)-1], b{k}.l || b{k}.r)
                    ELSE list_concat(acc, xs) END) END AS syms
   FROM vocab{p} LEFT JOIN b{k} ON TRUE)"""
+    return sql
+
+
+def _duck_bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
+    """bpe_train's oracle: the shared training chain, surfacing the per
+    round argmax rows b1..bN as the learned merge-rule table."""
     unions = "\nUNION ALL\n".join(
         f"SELECT {k} AS step, l AS lhs, r AS rhs, l || r AS merged,"
         f" c AS pair_count FROM b{k}"
         for k in range(1, rounds + 1)
     )
-    return sql + f"\nSELECT * FROM (\n{unions}\n)"
+    return _duck_bpe_ctes(rounds) + f"\nSELECT * FROM (\n{unions}\n)"
 
 
 @register(
@@ -811,4 +821,130 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab = vocab.withColumn("syms", _bpe_merge_col(F.col("syms"), lhs, rhs))
     return spark.createDataFrame(
         rules, "step int, lhs string, rhs string, merged string, pair_count long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-rule application (the serving half of bpe_train)
+# ---------------------------------------------------------------------------
+
+BPE_PREVIEW_K = 10  # leading BPE symbols surfaced per doc (sequence pin)
+
+
+def _duck_bpe_apply_oracle(rounds: int = BPE_ROUNDS) -> str:
+    """Unrolled DuckDB twin of bpe_apply: re-derive the merge rules with
+    the SAME training chain as bpe_train (_duck_bpe_ctes — its own
+    argmax per round, never trusting Spark's), then rewrite every token
+    occurrence of every document through the same rounds of the
+    list_reduce greedy fold, each round's pair flowing in as LEFT JOIN
+    ON TRUE columns (an exhausted round degrades to the identity
+    rewrite, exactly like the Spark side's missing fold layer). Docs
+    whose text tokenizes to nothing never reach the per-token chain, so
+    the final select LEFT JOINs back to documents and coalesces the
+    counts to 0 / the preview to '' — matching Spark's fold-over-empty
+    semantics. Integer sums are CAST to BIGINT (sum(BIGINT) widens to
+    HUGEINT, which the driver's pandas fetch would coerce to float64)."""
+    sql = _duck_bpe_ctes(rounds)
+    sql += f""",
+dtl AS (SELECT doc_id, {duck_tokens('text')} AS tl FROM documents),
+a0 AS (SELECT doc_id, unnest(range(1, len(tl)+1)) AS tok_idx, unnest(tl) AS w
+  FROM dtl),
+s0 AS (SELECT doc_id, tok_idx, w,
+  list_transform(range(1, len(w)+1), i -> w[i]) AS syms FROM a0)"""
+    for k in range(1, rounds + 1):
+        p = k - 1
+        sql += f""",
+s{k} AS (SELECT doc_id, tok_idx, w, CASE WHEN b{k}.l IS NULL THEN syms ELSE
+    list_reduce(list_transform(syms, e -> [e]),
+      (acc, xs) -> CASE WHEN acc[-1] = b{k}.l AND xs[1] = b{k}.r
+                   THEN list_append(acc[:len(acc)-1], b{k}.l || b{k}.r)
+                   ELSE list_concat(acc, xs) END) END AS syms
+  FROM s{p} LEFT JOIN b{k} ON TRUE)"""
+    sql += f""",
+perdoc AS (SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_words,
+  CAST(sum(len(w)) AS BIGINT) AS n_chars_tok,
+  CAST(sum(len(syms)) AS BIGINT) AS n_tokens_bpe,
+  array_to_string(flatten(list(syms ORDER BY tok_idx))[:{BPE_PREVIEW_K}], ' ')
+    AS preview_bpe
+  FROM s{rounds} GROUP BY doc_id)
+SELECT d.doc_id,
+  COALESCE(p.n_words, 0) AS n_words,
+  COALESCE(p.n_chars_tok, 0) AS n_chars_tok,
+  COALESCE(p.n_tokens_bpe, 0) AS n_tokens_bpe,
+  COALESCE(p.preview_bpe, '') AS preview_bpe
+FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id"""
+    return sql
+
+
+@register(
+    "bpe_apply",
+    oracle=_duck_bpe_apply_oracle(),
+    tags=("text", "llm-pipeline", "flagship"),
+    doc=(
+        "BPE tokenizer APPLICATION — the serving half of bpe_train, the "
+        "same train->apply pairing as compact_plan->compact_apply: learn "
+        f"the {BPE_ROUNDS} merge rules (bpe_train verbatim, rules "
+        "bit-identical by its green gate), then encode EVERY document: "
+        "whitespace-tokenize, split each token to character symbols, and "
+        "replay the merge rules in training order as greedy left-to-right "
+        "non-overlapping folds (_bpe_merge_col — the exact fold the "
+        "trainer used, so apply(train(corpus)) reproduces the trained "
+        "segmentation). Per doc: word count, summed token chars, the "
+        "post-merge BPE token count (the number an LLM data pipeline "
+        "budgets by), and the first "
+        f"{BPE_PREVIEW_K} BPE symbols space-joined (pins real symbol "
+        "SEQUENCES cross-engine, not just counts). Shuffle story: "
+        "training reuses bpe_train's (ONE corpus wordcount exchange, "
+        "then vocab-scale rounds); the learned rules return to the "
+        "driver as a <=" f"{BPE_ROUNDS}-row scalar probe and enter "
+        "application as column LITERALS — the broadcast of a vocab-scale "
+        "merge table in its degenerate cheapest form (a real 30k-rule "
+        "vocab would broadcast-join a rule table instead). Application "
+        "itself is ZERO-exchange: scan documents -> one narrow Project "
+        "evaluating tokenize + char-split + the rule folds per row "
+        "(plan-pinned by test_bpe_apply_is_narrow: no Exchange, "
+        "ReadSchema doc_id+text only). At 100 TB the apply stage is "
+        "embarrassingly parallel — per-task cost O(doc bytes x rules), "
+        "no skew surface, no shuffle — exactly how production tokenizer "
+        "workers shard a corpus. Exactness: ASCII-corpus contract "
+        "inherited from bpe_train (test_bpe_contract_corpora_are_ascii); "
+        "counts are BIGINTs; the oracle re-derives its own rules with "
+        "_duck_bpe_ctes rather than trusting the engine under test."
+    ),
+)
+def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rules = sorted(bpe_train(spark, sf_dir).collect(), key=lambda r: r["step"])
+
+    def encode(w):
+        syms = F.transform(
+            F.sequence(F.lit(1), F.length(w)), lambda i: w.substr(i, F.lit(1))
+        )
+        for r in rules:
+            syms = _bpe_merge_col(syms, r["lhs"], r["rhs"])
+        return syms
+
+    docs = load_table(spark, sf_dir, "documents")
+    zero = F.lit(0).cast("long")
+    return (
+        docs.select("doc_id", tokens("text").alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_words"),
+            F.aggregate("toks", zero, lambda a, w: a + F.length(w)).alias(
+                "n_chars_tok"
+            ),
+            F.transform("toks", encode).alias("enc"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_chars_tok",
+            F.aggregate("enc", zero, lambda a, s: a + F.size(s)).alias(
+                "n_tokens_bpe"
+            ),
+            F.array_join(F.slice(F.flatten("enc"), 1, BPE_PREVIEW_K), " ").alias(
+                "preview_bpe"
+            ),
+        )
     )

@@ -284,3 +284,66 @@ def test_bpe_train_later_rule_merges_earlier_merged_symbol(spark, tmp_path):
     _compare(spark, "bpe_train", d, ["documents"])
     got = _spark_rows(spark, "bpe_train", d)
     assert got == [(1, "a", "b", "ab", 3), (2, "ab", "c", "abc", 3)]
+
+
+# ---------------------------------------------------------------------------
+# bpe_apply edges (r13): the serving half must agree with the oracle on the
+# same termination paths the trainer pins above, plus the apply-only edge —
+# a document whose text tokenizes to nothing (fold-over-empty semantics).
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_oracle_string_stable():
+    """_duck_bpe_ctes was factored out of _duck_bpe_oracle in r13 by pure
+    code motion so bpe_apply's oracle could extend the identical training
+    chain; bpe_train's GENERATED oracle string must stay byte-identical
+    (its gate bookkeeping treats it as unchanged). A deliberate future
+    rewrite updates this hash AND re-gates bpe_train as changed."""
+    from multithreaded_mapreduce_library_spark.operators.text import _duck_bpe_oracle
+
+    digest = hashlib.md5(_duck_bpe_oracle().encode()).hexdigest()
+    assert digest == "8415ff0400677672f0747b436b6a0d23"
+
+
+def test_bpe_apply_empty_table(spark, tmp_path):
+    d = tmp_path / "bpea_empty"
+    d.mkdir()
+    _write_documents(d, [])
+    _compare(spark, "bpe_apply", d, ["documents"])
+    assert _spark_rows(spark, "bpe_apply", d) == []
+
+
+def test_bpe_apply_tokenless_doc_and_exhausted_rules(spark, tmp_path):
+    """Mixed fixture: the trainer exhausts after one rule (a,b) — see
+    test_bpe_train_pairs_exhaust_mid_loop — and doc 1 is whitespace-only,
+    so its token list is EMPTY: Spark's aggregate-over-empty yields the
+    0-count row with an empty preview, and the oracle's LEFT JOIN back to
+    documents + COALESCE must produce the identical row (a doc with no
+    tokens never reaches the per-token CTE chain)."""
+    d = tmp_path / "bpea_edge"
+    d.mkdir()
+    _write_documents(d, ["ab ab", " \t\n ", "ab"])
+    _compare(spark, "bpe_apply", d, ["documents"])
+    got = _spark_rows(spark, "bpe_apply", d)
+    assert got == [
+        (0, 2, 4, 2, "ab ab"),
+        (1, 0, 0, 0, ""),
+        (2, 1, 2, 1, "ab"),
+    ]
+
+
+def test_bpe_apply_replays_iterative_rules(spark, tmp_path):
+    """On the 'abc' corpus the trainer learns (a,b) then (ab,c) — rule 2's
+    lhs exists only because rule 1 rewrote the vocab. Application must
+    replay the rules IN ORDER: fold 1 turns [a,b,c] into [ab,c], fold 2
+    into [abc]. Six independent single-pair rewrites (the bug this pins
+    against) could never produce the single 'abc' symbol."""
+    d = tmp_path / "bpea_iter"
+    d.mkdir()
+    _write_documents(d, ["abc abc", "abc"])
+    _compare(spark, "bpe_apply", d, ["documents"])
+    got = _spark_rows(spark, "bpe_apply", d)
+    assert got == [
+        (0, 2, 6, 2, "abc abc"),
+        (1, 1, 3, 1, "abc"),
+    ]

@@ -1199,3 +1199,23 @@ def test_stream_semantic_transform_is_narrow_argmin_one_equi_join(spark, sf_dir)
         r"\(\d+\) (BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan
     )
     assert len(joins) == 1, f"exactly one equi join on the cell id, got {joins}"
+
+
+def test_bpe_apply_is_narrow(spark, sf_dir):
+    """bpe_apply's returned frame is the APPLY stage only (training ran at
+    build time, rules entered as literals): it must be a zero-exchange
+    narrow map — scan documents, Project the tokenize/char-split/fold
+    chain — with the scan pruned to doc_id+text. At 100 TB this is the
+    embarrassingly-parallel tokenizer-worker shape: no shuffle, no join,
+    no skew surface."""
+    df = SPECS["bpe_apply"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan, "apply stage must not shuffle"
+    for node in ("Join", "HashAggregate", "Sort", "Generate"):
+        assert node not in plan, f"apply stage grew a {node} it does not need"
+    schemas = read_schemas(df)
+    assert schemas, "no parquet scan found"
+    for s in schemas:
+        assert "doc_id" in s and "text" in s
+        for col in ("lang", "source", "n_chars"):
+            assert col not in s, f"scan must prune {col}"

@@ -598,6 +598,66 @@ def compact_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _proc_starttime(pid: int) -> str | None:
+    """Kernel start time of a live (or zombie) process — field 22 of
+    /proc/<pid>/stat, in clock ticks since boot. The (pid, starttime)
+    pair is unique across pid recycling, which os.kill(pid, 0) alone is
+    not. The comm field may contain spaces and parens, so parse from the
+    LAST ')'. None when /proc is unavailable (non-Linux) or the entry is
+    gone/unreadable."""
+    import os
+
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            stat = f.read().decode("ascii", "replace")
+        return stat.rsplit(")", 1)[1].split()[19]
+    except (OSError, IndexError):
+        return None
+
+
+_SCRATCH_OWNER_MARKER = ".owner_starttime"
+
+
+def _stamp_scratch_owner(proc_dir: str) -> None:
+    """Record this process's start time inside its scratch dir (written
+    once, atomically via rename) so a later process can distinguish
+    'pid-N is alive' from 'pid N was recycled by an unrelated process
+    after the owner died' (r12 ADVICE: the bare liveness probe let a
+    recycled pid shield an abandoned dir until the squatter exited).
+    No-op where /proc is unavailable — the reaper then simply keeps the
+    conservative liveness-only behavior for this dir."""
+    import os
+
+    marker = os.path.join(proc_dir, _SCRATCH_OWNER_MARKER)
+    if os.path.exists(marker):
+        return
+    st = _proc_starttime(os.getpid())
+    if st is None:
+        return
+    os.makedirs(proc_dir, exist_ok=True)
+    tmp = f"{marker}.{os.getpid()}.tmp"
+    with open(tmp, "w") as f:
+        f.write(st)
+    os.replace(tmp, marker)
+
+
+def _scratch_owner_recycled(d: str, pid: int) -> bool:
+    """True only when the dir's recorded owner start time PROVABLY
+    differs from the live /proc/<pid> start time — i.e. the original
+    owner is dead and the pid now belongs to someone else. A missing
+    marker (pre-marker layout) or unreadable /proc returns False: leave
+    the dir alone, the original conservative behavior."""
+    import os
+
+    try:
+        with open(os.path.join(d, _SCRATCH_OWNER_MARKER)) as f:
+            recorded = f.read().strip()
+    except OSError:
+        return False
+    live = _proc_starttime(pid)
+    return bool(recorded) and live is not None and recorded != live
+
+
 def compact_rewrite(spark: SparkSession, sf_dir: str):
     """Execute the compaction plan physically; returns (applied, target):
     the read-back post-rewrite table (out_file, o_orderkey, o_orderstatus,
@@ -658,11 +718,16 @@ def compact_rewrite(spark: SparkSession, sf_dir: str):
     proc_dir = os.path.join(root, f"pid-{os.getpid()}")
     if not os.path.isdir(proc_dir):
         atexit.register(shutil.rmtree, proc_dir, ignore_errors=True)
+    _stamp_scratch_owner(proc_dir)
     for d in _glob.glob(os.path.join(root, "pid-*")):
         try:
             pid = int(d.rsplit("-", 1)[1])
             if pid != os.getpid():
                 os.kill(pid, 0)  # raises if the owning process is gone
+                if _scratch_owner_recycled(d, pid):
+                    # pid alive but NOT the recorded owner: the owner died
+                    # and the kernel recycled its pid — reap (r12 ADVICE).
+                    shutil.rmtree(d, ignore_errors=True)
         except ValueError:
             continue
         except PermissionError:

@@ -347,3 +347,27 @@ def test_bpe_apply_replays_iterative_rules(spark, tmp_path):
         (0, 2, 6, 2, "abc abc"),
         (1, 1, 3, 1, "abc"),
     ]
+
+
+def test_fixture_vec_ids_dense_from_zero(sf_dir):
+    """Pin the density invariant the _DUCK_LLOYD_CTES seed rule relies on
+    (r12 ADVICE): the Spark Lloyd core seeds with the K_CELLS smallest
+    vec_ids PRESENT (orderBy/limit, similarity._lloyd_seeds) while the
+    five full-table DuckDB oracles built on _DUCK_LLOYD_CTES still
+    filter 'vec_id < K' — two rules that are set-identical ONLY while
+    every fixture's vec_ids are exactly 0..N-1. Aligning those oracles
+    to ORDER BY vec_id LIMIT K changes five oracle texts at once and so
+    cannot fit any gate round's changed-set cap through r15 (see
+    registry._PRIORITY prose); until a wide-cap round absorbs it, a
+    sparse-id fixture must fail HERE, loudly, not as an inscrutable
+    driver hash mismatch."""
+    import os
+
+    ids = sorted(
+        pq.read_table(
+            os.path.join(str(sf_dir), "embeddings.parquet"), columns=["vec_id"]
+        )
+        .column("vec_id")
+        .to_pylist()
+    )
+    assert ids == list(range(len(ids))), f"sparse vec_ids in {sf_dir}"

@@ -32,12 +32,26 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+def _sweep_seed() -> int:
+    """Parse SPARK_GRAFT_SECOND_SEED strictly: '1' is the documented
+    seed-7 alias, any other positive integer is the seed itself, and
+    anything else (e.g. 'true', 'yes', '0', '-3') FAILS LOUDLY — the r12
+    ADVICE point: a truthy typo silently re-running the historical seed
+    would mislead whoever believes they ran an independent sweep."""
+    raw = os.environ["SPARK_GRAFT_SECOND_SEED"]
+    if not (raw.isdigit() and int(raw) >= 1):
+        pytest.fail(
+            f"SPARK_GRAFT_SECOND_SEED={raw!r} is not a positive integer; "
+            "use 1 for the documented seed-7 alias or N>1 as the seed itself"
+        )
+    return int(raw) if int(raw) > 1 else 7
+
+
 @pytest.fixture(scope="session")
 def seed7_dir(tmp_path_factory) -> str:
     from scripts.gen_fixture import generate
 
-    raw = os.environ.get("SPARK_GRAFT_SECOND_SEED", "")
-    seed = int(raw) if raw.isdigit() and int(raw) > 1 else 7
+    seed = _sweep_seed()
     out = str(tmp_path_factory.mktemp(f"seed{seed}_fixture"))
     generate(out, seed=seed)
     return out
@@ -48,3 +62,20 @@ def test_query_matches_oracle_on_second_seed(spark, seed7_dir, name):
     from tests.oracle import compare_query
 
     compare_query(spark, SPECS[name], seed7_dir)
+
+
+def test_second_seed_vec_ids_dense_from_zero(seed7_dir):
+    """The regenerated fixture must satisfy the same density invariant the
+    default fixtures pin (test_maintenance_edges.py::
+    test_fixture_vec_ids_dense_from_zero): the _DUCK_LLOYD_CTES 'vec_id
+    < K' seed rule is set-identical to the Spark side's orderBy/limit
+    only on dense-from-0 ids, so a sweep fixture with sparse ids would
+    invalidate the whole sweep's Lloyd-family comparisons."""
+    import pyarrow.parquet as pq
+
+    ids = sorted(
+        pq.read_table(os.path.join(seed7_dir, "embeddings.parquet"), columns=["vec_id"])
+        .column("vec_id")
+        .to_pylist()
+    )
+    assert ids == list(range(len(ids)))

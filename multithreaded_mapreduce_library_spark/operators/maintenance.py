@@ -620,20 +620,29 @@ _SCRATCH_OWNER_MARKER = ".owner_starttime"
 
 def _stamp_scratch_owner(proc_dir: str) -> None:
     """Record this process's start time inside its scratch dir (written
-    once, atomically via rename) so a later process can distinguish
-    'pid-N is alive' from 'pid N was recycled by an unrelated process
-    after the owner died' (r12 ADVICE: the bare liveness probe let a
-    recycled pid shield an abandoned dir until the squatter exited).
-    No-op where /proc is unavailable — the reaper then simply keeps the
-    conservative liveness-only behavior for this dir."""
+    atomically via rename) so a later process can distinguish 'pid-N is
+    alive' from 'pid N was recycled by an unrelated process after the
+    owner died' (r12 ADVICE: the bare liveness probe let a recycled pid
+    shield an abandoned dir until the squatter exited). Re-stamps
+    whenever the recorded start time differs from THIS process's live
+    start time (r13 ADVICE): if our pid recycles a crashed owner's
+    pid-N dir, an inherited stale marker would make a concurrent
+    reaper see recorded != live for an ALIVE process and rmtree our
+    scratch mid-run — adopting the dir by overwriting the marker closes
+    that window. No-op where /proc is unavailable — the reaper then
+    simply keeps the conservative liveness-only behavior for this dir."""
     import os
 
     marker = os.path.join(proc_dir, _SCRATCH_OWNER_MARKER)
-    if os.path.exists(marker):
-        return
     st = _proc_starttime(os.getpid())
     if st is None:
         return
+    try:
+        with open(marker) as f:
+            if f.read().strip() == st:
+                return  # already stamped by this incarnation
+    except OSError:
+        pass  # missing/unreadable marker: stamp fresh
     os.makedirs(proc_dir, exist_ok=True)
     tmp = f"{marker}.{os.getpid()}.tmp"
     with open(tmp, "w") as f:

@@ -778,6 +778,46 @@ def _duck_bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
 )
 def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    rules = _bpe_train_rules(spark, docs)
+    return spark.createDataFrame(
+        rules, "step int, lhs string, rhs string, merged string, pair_count long"
+    )
+
+
+# Re-checkpoint the folded vocab every N merge rounds. Without this,
+# round k's pair-count job replays k-1 literal-pair fold layers from the
+# single post-wordcount checkpoint — O(k^2) total fold evaluations over
+# a full training run, the scale gap a real 30k-merge vocab cannot
+# absorb. With it, at most CHECKPOINT_EVERY-1 fold layers are ever live
+# in a round's plan, so per-round cost is flat: O(vocab x word-length x
+# CHECKPOINT_EVERY) — amortized O(k) fold layers total. The value trades
+# lineage depth against checkpoint materializations (each one vocab-scale
+# write+read kept in executor memory/disk); 3 keeps the re-checkpoint
+# path EXERCISED by the default 6-round contract query rather than only
+# by the scale probe (scripts/probe_bpe_rounds.py logs the flat-per-round
+# evidence in PERF.md).
+BPE_CHECKPOINT_EVERY = 3
+
+
+def _bpe_train_rules(
+    spark: SparkSession,
+    docs: DataFrame,
+    rounds: int = BPE_ROUNDS,
+    checkpoint_every: int = BPE_CHECKPOINT_EVERY,
+) -> list[tuple]:
+    """The BPE merge-rule training loop shared by bpe_train (the
+    contract query, default rounds) and scripts/probe_bpe_rounds.py (the
+    per-round-flatness scale probe, many rounds). Returns [(step, lhs,
+    rhs, merged, pair_count), ...]. One corpus-scale wordcount shuffle
+    collapses the corpus into a vocab-sized (freq, symbol-array) table,
+    localCheckpoint'ed once; each merge round is then vocab-scale: pair
+    explode (narrow), one (l, r) count exchange, a 1-row argmax collect
+    (scalar probe), and a narrow literal-pair greedy fold. The folded
+    vocab is re-checkpointed every ``checkpoint_every`` rounds so the
+    fold-layer chain a round replays is bounded (see BPE_CHECKPOINT_EVERY
+    above). Superseded checkpoints drop their last driver-side reference
+    on rebind, so Spark's ContextCleaner reclaims their cached blocks —
+    live storage stays O(vocab), not O(rounds)."""
     vocab = (
         docs.select(F.explode(tokens("text")).alias("w"))
         .groupBy("w")
@@ -789,8 +829,9 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("f", "syms")
         .localCheckpoint(eager=False)
     )
-    rules = []
-    for step in range(1, BPE_ROUNDS + 1):
+    rules: list[tuple] = []
+    folds_live = 0  # fold layers applied since the last checkpoint
+    for step in range(1, rounds + 1):
         pairs = (
             vocab.filter(F.size("syms") >= 2)
             .select(
@@ -811,17 +852,16 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         lhs, rhs, cnt = best[0]["l"], best[0]["r"], best[0]["c"]
         rules.append((step, lhs, rhs, lhs + rhs, cnt))
-        # Each round layers one more literal-pair fold onto the single
-        # checkpointed vocab, so round k's pair-count job replays k-1
-        # folds: per-round cost is O(k x vocab x word-length) in fold
-        # layers, not flat — still corpus-independent (the headline
-        # claim), and cheap at BPE_ROUNDS=6, but a real 30k-merge trainer
-        # must localCheckpoint the folded vocab every N rounds here to
-        # keep the replayed chain bounded.
         vocab = vocab.withColumn("syms", _bpe_merge_col(F.col("syms"), lhs, rhs))
-    return spark.createDataFrame(
-        rules, "step int, lhs string, rhs string, merged string, pair_count long"
-    )
+        folds_live += 1
+        if folds_live >= checkpoint_every:
+            # eager=False: the checkpoint materializes inside the NEXT
+            # round's argmax job (no extra job here), after which that
+            # round and all later ones read the folded vocab from the
+            # checkpoint instead of replaying the fold chain.
+            vocab = vocab.localCheckpoint(eager=False)
+            folds_live = 0
+    return rules
 
 
 # ---------------------------------------------------------------------------

@@ -116,10 +116,17 @@ def test_compact_rewrite_target_is_process_scoped(spark, tmp_path):
 
     root = os.path.join(tempfile.gettempdir(), "spark_graft_compact")
     # a dir owned by a genuinely dead pid must be reaped on the next run,
-    # an unparseable one must survive (it isn't ours to judge)
-    dead = subprocess.run(["sh", "-c", "echo $$"], capture_output=True, text=True)
-    dead_pid = int(dead.stdout.strip())
-    dead_dir = os.path.join(root, f"pid-{dead_pid}")
+    # an unparseable one must survive (it isn't ours to judge). Derive
+    # the dead pid by fork+waitpid (r13 ADVICE de-flake): the child is
+    # fully reaped before we use its pid, and unlike the old
+    # `sh -c 'echo $$'` shell-out there is no window in which a system
+    # under pid churn recycles it before the next compact_rewrite call —
+    # pids allocate monotonically until the whole space wraps.
+    child = os.fork()
+    if child == 0:
+        os._exit(0)  # pragma: no cover - child exits immediately
+    os.waitpid(child, 0)
+    dead_dir = os.path.join(root, f"pid-{child}")
     odd_dir = os.path.join(root, "pid-not-a-number")
     os.makedirs(dead_dir, exist_ok=True)
     os.makedirs(odd_dir, exist_ok=True)
@@ -127,6 +134,72 @@ def test_compact_rewrite_target_is_process_scoped(spark, tmp_path):
     assert not os.path.exists(dead_dir), "dead-process scratch not reaped"
     assert os.path.exists(odd_dir), "non-pid dir must be left alone"
     os.rmdir(odd_dir)
+
+
+def test_compact_scratch_owner_markers(spark, tmp_path):
+    """The /proc start-time owner markers (r12/r13 ADVICE): a LIVE pid's
+    dir carrying a MISMATCHED marker is reaped (the recorded owner died
+    and the kernel recycled its pid for the current squatter), a
+    marker-less live pid's dir is kept (conservative pre-marker layout),
+    and _stamp_scratch_owner ADOPTS an inherited stale marker — if this
+    process's pid recycles a crashed owner's dir, the marker is
+    re-stamped to OUR start time so a concurrent reaper never sees
+    recorded != live for an alive process (the r13 ADVICE hazard:
+    deleting a live run's scratch mid-run)."""
+    import os
+    import subprocess
+    import tempfile
+
+    from multithreaded_mapreduce_library_spark.operators.maintenance import (
+        _SCRATCH_OWNER_MARKER,
+        _proc_starttime,
+        _stamp_scratch_owner,
+        compact_rewrite,
+    )
+
+    if _proc_starttime(os.getpid()) is None:
+        import pytest
+
+        pytest.skip("/proc unavailable: marker layer is inert here")
+
+    _write_orders(tmp_path, [(1, 1, "O", 10.0), (2, 7, "F", 20.0)])
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_compact")
+
+    # a live-but-not-ours pid to impersonate dir ownership with
+    squatter = subprocess.Popen(["sleep", "60"])
+    try:
+        mismarked = os.path.join(root, f"pid-{squatter.pid}")
+        os.makedirs(mismarked, exist_ok=True)
+        with open(os.path.join(mismarked, _SCRATCH_OWNER_MARKER), "w") as f:
+            f.write("0")  # boot-time start tick: provably not the sleeper's
+        compact_rewrite(spark, str(tmp_path))
+        assert not os.path.exists(mismarked), (
+            "live pid with mismatched owner marker must be reaped"
+        )
+
+        markerless = os.path.join(root, f"pid-{squatter.pid}")
+        os.makedirs(markerless, exist_ok=True)
+        compact_rewrite(spark, str(tmp_path))
+        assert os.path.exists(markerless), (
+            "marker-less live pid dir must be kept (conservative)"
+        )
+        os.rmdir(markerless)
+    finally:
+        squatter.kill()
+        squatter.wait()
+
+    # adoption: OUR dir carrying a dead predecessor's marker gets
+    # re-stamped to our live start time on the next stamp call
+    ours = os.path.join(root, f"pid-{os.getpid()}")
+    os.makedirs(ours, exist_ok=True)
+    marker = os.path.join(ours, _SCRATCH_OWNER_MARKER)
+    with open(marker, "w") as f:
+        f.write("0")
+    _stamp_scratch_owner(ours)
+    with open(marker) as f:
+        assert f.read().strip() == _proc_starttime(os.getpid()), (
+            "inherited stale marker must be adopted (re-stamped)"
+        )
 
 
 def _batch_split_ids(want_batch, want_corpus):
@@ -284,6 +357,53 @@ def test_bpe_train_later_rule_merges_earlier_merged_symbol(spark, tmp_path):
     _compare(spark, "bpe_train", d, ["documents"])
     got = _spark_rows(spark, "bpe_train", d)
     assert got == [(1, "a", "b", "ab", 3), (2, "ab", "c", "abc", 3)]
+
+
+def test_bpe_recheckpoint_cadence(spark, monkeypatch):
+    """r14: the mid-loop re-checkpoint (O(k^2)->O(k) fold-layer fix)
+    fires exactly every BPE_CHECKPOINT_EVERY merge rounds. Counted by
+    wrapping DataFrame.localCheckpoint: a 6-round run at cadence 3 must
+    checkpoint 3 times — the initial post-wordcount vocab plus rounds 3
+    and 6 — so no round ever replays more than 2 live fold layers."""
+    try:
+        # pyspark>=4: concrete class (pyspark.sql.DataFrame is the ABC)
+        from pyspark.sql.classic.dataframe import DataFrame as _DF
+    except ImportError:  # pragma: no cover - pyspark 3.x layout
+        from pyspark.sql import DataFrame as _DF
+
+    from multithreaded_mapreduce_library_spark.operators.text import (
+        BPE_CHECKPOINT_EVERY,
+        BPE_ROUNDS,
+        _bpe_train_rules,
+    )
+
+    assert BPE_CHECKPOINT_EVERY == 3 and BPE_ROUNDS == 6  # cadence arithmetic below
+    calls = []
+    orig = _DF.localCheckpoint
+
+    def counting(self, eager=True):
+        calls.append(eager)
+        return orig(self, eager=eager)
+
+    monkeypatch.setattr(_DF, "localCheckpoint", counting)
+    docs = spark.createDataFrame([("abcdefg",)] * 3, "text string")
+    rules = _bpe_train_rules(spark, docs)
+    assert len(rules) == BPE_ROUNDS  # single 7-char word: 6 full merges
+    assert len(calls) == 1 + BPE_ROUNDS // BPE_CHECKPOINT_EVERY
+    assert all(e is False for e in calls)  # lazy: materialize in the next job
+
+
+def test_bpe_recheckpoint_cadence_is_semantics_free(spark):
+    """The checkpoint cadence is an execution detail only: every cadence
+    (each round / every 2 / effectively never) must learn the identical
+    rule sequence — including through an early pair-exhaustion break."""
+    from multithreaded_mapreduce_library_spark.operators.text import _bpe_train_rules
+
+    docs = spark.createDataFrame([("abc ab de",), ("abc de",)], "text string")
+    want = _bpe_train_rules(spark, docs, checkpoint_every=10**9)
+    assert len(want) >= 3  # exercises at least one mid-loop checkpoint at 1 and 2
+    for every in (1, 2):
+        assert _bpe_train_rules(spark, docs, checkpoint_every=every) == want
 
 
 # ---------------------------------------------------------------------------

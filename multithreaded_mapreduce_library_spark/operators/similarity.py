@@ -271,7 +271,12 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "executor; each Arrow batch of candidates computes all pair "
         "cosines as one numpy matmul (BLAS). The high-throughput scale "
         "path when the query set fits in memory — same plan shape as "
-        "bruteforce, ~vectorized inner loop."
+        "bruteforce, ~vectorized inner loop. Operating envelope: the "
+        "driver-side collect is |corpus|/QUERY_MOD rows and grows "
+        "LINEARLY with the corpus — at |corpus|/QUERY_MOD x dim x 8 "
+        "bytes beyond driver/executor memory (e.g. ~1e7 queries at "
+        "dim=64 is ~5 GB broadcast), switch to the LSH/IVF/PQ variants, "
+        "whose query side stays distributed."
     ),
 )
 def sim_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -11,6 +11,8 @@ reference lacks, SURVEY.md §2.2).
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -756,9 +758,14 @@ def _duck_bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
         "explode (narrow), one (l, r) count exchange over freq-weighted "
         "pairs, a 1-row argmax collect (scalar probe, the Lloyd-training "
         "precedent), and a narrow literal-pair greedy fold rewriting the "
-        "symbol arrays. Work per round is O(vocab x word-length), "
-        "independent of corpus size — the property that makes BPE "
-        "trainable on 100 TB at all. Tiebreak (count DESC, lhs, rhs) is "
+        "symbol arrays. The folded vocab is RE-checkpointed every "
+        "BPE_CHECKPOINT_EVERY rounds (r14), bounding the fold layers any "
+        "round replays: work per round is O(vocab x word-length), "
+        "independent of corpus size AND of how many merges came before — "
+        "O(k) total fold layers over a k-merge run, the property that "
+        "makes a real 30k-merge vocab trainable on 100 TB at all "
+        "(flat-per-round probe: scripts/probe_bpe_rounds.py -> PERF.md "
+        "r14). Tiebreak (count DESC, lhs, rhs) is "
         "total and counts are exact BIGINTs; the CONTRACT IS ASCII "
         "corpora (pinned by test_bpe_contract_corpora_are_ascii): on "
         "ASCII every symbol is one byte, so Spark's and DuckDB's string "
@@ -804,6 +811,7 @@ def _bpe_train_rules(
     docs: DataFrame,
     rounds: int = BPE_ROUNDS,
     checkpoint_every: int = BPE_CHECKPOINT_EVERY,
+    on_round=None,
 ) -> list[tuple]:
     """The BPE merge-rule training loop shared by bpe_train (the
     contract query, default rounds) and scripts/probe_bpe_rounds.py (the
@@ -817,7 +825,11 @@ def _bpe_train_rules(
     fold-layer chain a round replays is bounded (see BPE_CHECKPOINT_EVERY
     above). Superseded checkpoints drop their last driver-side reference
     on rebind, so Spark's ContextCleaner reclaims their cached blocks —
-    live storage stays O(vocab), not O(rounds)."""
+    live storage stays O(vocab), not O(rounds). ``on_round(step,
+    seconds)``, when given, receives each round's wall time measured
+    over the argmax job — where any live fold layers and the pending
+    lazy checkpoint actually materialize — feeding the flat-per-round
+    evidence probe (scripts/probe_bpe_rounds.py -> PERF.md)."""
     vocab = (
         docs.select(F.explode(tokens("text")).alias("w"))
         .groupBy("w")
@@ -832,6 +844,7 @@ def _bpe_train_rules(
     rules: list[tuple] = []
     folds_live = 0  # fold layers applied since the last checkpoint
     for step in range(1, rounds + 1):
+        t0 = time.perf_counter() if on_round else 0.0
         pairs = (
             vocab.filter(F.size("syms") >= 2)
             .select(
@@ -848,6 +861,8 @@ def _bpe_train_rules(
             .agg(F.sum("f").cast("long").alias("c"))
         )
         best = pairs.orderBy(F.desc("c"), "l", "r").limit(1).collect()
+        if on_round:
+            on_round(step, time.perf_counter() - t0)
         if not best:
             break
         lhs, rhs, cnt = best[0]["l"], best[0]["r"], best[0]["c"]

@@ -129,6 +129,13 @@ PROBE = (
     # measured ratio should sit far below Nx, pinning the vocab-scale
     # (never corpus-scale) round claim in the docstring.
     "bpe_train",
+    # r14: bpe_apply = bpe_train (sub-Nx, above) + the serving pass —
+    # a ZERO-exchange narrow scan re-encoding every document (per-task
+    # cost O(doc bytes x rules), plan pinned by test_bpe_apply_is_narrow).
+    # The apply pass is the only corpus-scale part, so the end-to-end
+    # ratio should land at ~Nx or below (training amortizes): the
+    # corpus-linear claim in the docstring, measured.
+    "bpe_apply",
 )
 OFF = 100_000_000  # key offset per copy — far above any base key
 

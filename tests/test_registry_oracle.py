@@ -206,3 +206,26 @@ def test_contract_shape():
     o = e.oracle_sql()
     assert set(o) <= set(q)
     assert "wordcount" in q
+
+
+def test_readme_counts_match_registry():
+    """README's headline operator counts must track the registry (r13
+    verdict: they drifted twice across rounds — pin them mechanically).
+    The README states the counts as '**N registered operators, M with
+    DuckDB oracles**' and references the M-query second-seed sweep."""
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "README.md")) as f:
+        readme = f.read()
+    specs = load_all()
+    registered = len(specs)
+    oracled = sum(1 for s in specs.values() if s.oracle)
+    m = re.search(
+        r"\*\*(\d+) registered operators, (\d+) with DuckDB oracles\*\*", readme
+    )
+    assert m, "README headline counts sentence missing"
+    assert (int(m.group(1)), int(m.group(2))) == (registered, oracled)
+    m = re.search(r"(\d+)-query second-seed sweep", readme)
+    assert m and int(m.group(1)) == oracled

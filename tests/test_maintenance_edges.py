@@ -491,3 +491,30 @@ def test_fixture_vec_ids_dense_from_zero(sf_dir):
         .to_pylist()
     )
     assert ids == list(range(len(ids))), f"sparse vec_ids in {sf_dir}"
+
+
+def test_lloyd_seeds_divergence_on_nondense_fixture_still_open(spark, tmp_path):
+    """FORCING FUNCTION for docs/lloyd_seeds_alignment_r15.md: the Spark
+    Lloyd core seeds with the K_CELLS smallest vec_ids PRESENT while the
+    oracle's seeds CTE filters `WHERE vec_id < K_CELLS` — coincident only
+    on dense-from-0 fixtures (the pinned density invariant). This test
+    PINS THE OPEN DIVERGENCE on a deliberately non-dense fixture (ids
+    1000..1031): Spark trains fine off the 8 smallest present ids; the
+    oracle's seed set is EMPTY so its assignment chain collapses to zero
+    rows. When r15 lands the staged one-line alignment (`ORDER BY vec_id
+    LIMIT K` in _DUCK_LLOYD_CTES), this test FAILS LOUDLY — the executor
+    must then flip it to assert got == want (checklist item 6 in the
+    staging doc) and delete this docstring's first paragraph."""
+    from multithreaded_mapreduce_library_spark.operators.similarity import DIM
+
+    _write_embeddings(tmp_path, list(range(1000, 1032)), DIM)
+    got = _spark_rows(spark, "ivf_train_centroids", tmp_path)
+    want = _duck_rows(
+        SPECS["ivf_train_centroids"].oracle, str(tmp_path), ["embeddings"]
+    )
+    assert len(got) == 32, "Spark side must train on any id range"
+    assert want == [], (
+        "oracle seed CTE no longer collapses on non-dense ids — the r15 "
+        "alignment has landed: flip this test to `assert got == want` "
+        "per docs/lloyd_seeds_alignment_r15.md item 6"
+    )

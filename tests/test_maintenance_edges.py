@@ -518,3 +518,46 @@ def test_lloyd_seeds_divergence_on_nondense_fixture_still_open(spark, tmp_path):
         "alignment has landed: flip this test to `assert got == want` "
         "per docs/lloyd_seeds_alignment_r15.md item 6"
     )
+
+
+def test_bpe_recheckpoint_truncates_lineage(spark):
+    """The mechanism behind the flat-per-round claim, pinned at the PLAN
+    level (the cadence test above only counts localCheckpoint calls): a
+    materialized mid-loop checkpoint must make the next round's plan
+    scan the checkpointed RDD directly — no replayed fold layers, no
+    Exchange — so per-round fold cost cannot grow with rounds elapsed."""
+    from pyspark.sql import functions as F
+
+    from multithreaded_mapreduce_library_spark.functions import tokens
+    from multithreaded_mapreduce_library_spark.operators.text import _bpe_merge_col
+
+    docs = spark.createDataFrame([("abcdefg",)] * 3, "text string")
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("f"))
+        .withColumn(
+            "syms",
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+        )
+        .select("f", "syms")
+        .localCheckpoint(eager=False)
+    )
+    for pair in [("a", "b"), ("ab", "c"), ("abc", "d")]:
+        vocab = vocab.withColumn("syms", _bpe_merge_col(F.col("syms"), *pair))
+    # each _bpe_merge_col fold contributes exactly one aggregate() to the
+    # Project expression; before the re-checkpoint all three layers are
+    # live in the replayed lineage
+    pre = vocab._jdf.queryExecution().executedPlan().toString()
+    assert pre.count("aggregate(") == 3
+    vocab = vocab.localCheckpoint(eager=False)
+    vocab.count()  # materialize the lazy checkpoint
+    post_round = vocab.withColumn(
+        "syms", _bpe_merge_col(F.col("syms"), "abcd", "e")
+    )
+    plan = post_round._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan, "post-checkpoint round must scan the checkpoint"
+    assert "Exchange" not in plan, "post-checkpoint fold round must stay narrow"
+    # the three pre-checkpoint fold layers are GONE from the lineage;
+    # only the one new fold's aggregate() remains
+    assert plan.count("aggregate(") == 1

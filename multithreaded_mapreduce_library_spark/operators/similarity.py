@@ -580,7 +580,7 @@ _DUCK_LLOYD_CTES = f"""e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
-seeds AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < {K_CELLS}),
+seeds AS (SELECT vec_id AS cid, v AS c FROM e ORDER BY vec_id LIMIT {K_CELLS}),
 a1 AS (
   SELECT vec_id, va, cid FROM (
     SELECT e.vec_id, e.v AS va, s.cid,
@@ -660,13 +660,12 @@ def ivf_train_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # admission pair (batch + streaming) — now runs through the four
 # functions below. Bit-identity across the unification is guaranteed by
 # the same tricks as before (sequential-fold d2, fixed-point integer
-# centroid means) plus one seed-rule note: training seeds are the K_CELLS
-# SMALLEST vec_ids PRESENT in the input frame (orderBy/limit — correct on
-# any frame, e.g. the corpus split); on the full embeddings table, where
-# vec_ids are dense from 0, that is exactly the old `vec_id < K_CELLS`
-# filter set, so the IVF oracles' `WHERE vec_id < K` seed CTE still
-# matches bit-for-bit (density holds for the driver fixtures AND the
-# second-seed sweep — scripts/gen_fixture.py emits vec_id = range(N)).
+# centroid means) plus one seed-rule note: BOTH engines seed with the
+# K_CELLS smallest vec_ids PRESENT in the input frame — Spark via
+# orderBy/limit (_lloyd_seeds), the oracles via `ORDER BY vec_id LIMIT K`
+# in _DUCK_LLOYD_CTES' seeds CTE (aligned r15 per
+# docs/lloyd_seeds_alignment_r15.md; vec_id is unique, so the selection
+# is total and stable on both sides, on any id range, dense or not).
 
 
 def _lloyd_seeds(e: DataFrame) -> DataFrame:

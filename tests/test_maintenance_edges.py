@@ -470,17 +470,15 @@ def test_bpe_apply_replays_iterative_rules(spark, tmp_path):
 
 
 def test_fixture_vec_ids_dense_from_zero(sf_dir):
-    """Pin the density invariant the _DUCK_LLOYD_CTES seed rule relies on
-    (r12 ADVICE): the Spark Lloyd core seeds with the K_CELLS smallest
-    vec_ids PRESENT (orderBy/limit, similarity._lloyd_seeds) while the
-    five full-table DuckDB oracles built on _DUCK_LLOYD_CTES still
-    filter 'vec_id < K' — two rules that are set-identical ONLY while
-    every fixture's vec_ids are exactly 0..N-1. Aligning those oracles
-    to ORDER BY vec_id LIMIT K changes five oracle texts at once and so
-    cannot fit any gate round's changed-set cap through r15 (see
-    registry._PRIORITY prose); until a wide-cap round absorbs it, a
-    sparse-id fixture must fail HERE, loudly, not as an inscrutable
-    driver hash mismatch."""
+    """INFORMATIONAL fixture-shape pin (demoted from correctness
+    precondition in r15): since the Lloyd seeds-CTE alignment, BOTH
+    engines seed with the K_CELLS smallest vec_ids present (orderBy/limit
+    vs ORDER BY ... LIMIT), so neither depends on vec_ids being dense
+    from 0 — test_lloyd_seeds_agree_on_nondense_fixture proves agreement
+    on a sparse-id fixture. This pin stays only to document the shape
+    scripts/gen_fixture.py and the driver fixtures actually emit
+    (vec_id = range(N)); if a future generator changes that, update this
+    docstring rather than treating it as a correctness failure."""
     import os
 
     ids = sorted(
@@ -493,18 +491,16 @@ def test_fixture_vec_ids_dense_from_zero(sf_dir):
     assert ids == list(range(len(ids))), f"sparse vec_ids in {sf_dir}"
 
 
-def test_lloyd_seeds_divergence_on_nondense_fixture_still_open(spark, tmp_path):
-    """FORCING FUNCTION for docs/lloyd_seeds_alignment_r15.md: the Spark
-    Lloyd core seeds with the K_CELLS smallest vec_ids PRESENT while the
-    oracle's seeds CTE filters `WHERE vec_id < K_CELLS` — coincident only
-    on dense-from-0 fixtures (the pinned density invariant). This test
-    PINS THE OPEN DIVERGENCE on a deliberately non-dense fixture (ids
-    1000..1031): Spark trains fine off the 8 smallest present ids; the
-    oracle's seed set is EMPTY so its assignment chain collapses to zero
-    rows. When r15 lands the staged one-line alignment (`ORDER BY vec_id
-    LIMIT K` in _DUCK_LLOYD_CTES), this test FAILS LOUDLY — the executor
-    must then flip it to assert got == want (checklist item 6 in the
-    staging doc) and delete this docstring's first paragraph."""
+def test_lloyd_seeds_agree_on_nondense_fixture(spark, tmp_path):
+    """The r15 Lloyd seeds-CTE alignment's proof (formerly the forcing-
+    function divergence pin; docs/lloyd_seeds_alignment_r15.md item 6):
+    both engines now seed with the K_CELLS smallest vec_ids PRESENT —
+    Spark via orderBy/limit, the oracle via `ORDER BY vec_id LIMIT K` in
+    _DUCK_LLOYD_CTES — so on a deliberately non-dense fixture (ids
+    1000..1031, where the old `WHERE vec_id < K` filter collapsed the
+    oracle to zero rows) the full differential must AGREE. This is the
+    direct evidence that the dense-from-0 fixture shape is documentation,
+    not a correctness precondition."""
     from multithreaded_mapreduce_library_spark.operators.similarity import DIM
 
     _write_embeddings(tmp_path, list(range(1000, 1032)), DIM)
@@ -513,11 +509,7 @@ def test_lloyd_seeds_divergence_on_nondense_fixture_still_open(spark, tmp_path):
         SPECS["ivf_train_centroids"].oracle, str(tmp_path), ["embeddings"]
     )
     assert len(got) == 32, "Spark side must train on any id range"
-    assert want == [], (
-        "oracle seed CTE no longer collapses on non-dense ids — the r15 "
-        "alignment has landed: flip this test to `assert got == want` "
-        "per docs/lloyd_seeds_alignment_r15.md item 6"
-    )
+    assert got == want
 
 
 def test_bpe_recheckpoint_truncates_lineage(spark):

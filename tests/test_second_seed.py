@@ -65,12 +65,12 @@ def test_query_matches_oracle_on_second_seed(spark, seed7_dir, name):
 
 
 def test_second_seed_vec_ids_dense_from_zero(seed7_dir):
-    """The regenerated fixture must satisfy the same density invariant the
-    default fixtures pin (test_maintenance_edges.py::
-    test_fixture_vec_ids_dense_from_zero): the _DUCK_LLOYD_CTES 'vec_id
-    < K' seed rule is set-identical to the Spark side's orderBy/limit
-    only on dense-from-0 ids, so a sweep fixture with sparse ids would
-    invalidate the whole sweep's Lloyd-family comparisons."""
+    """INFORMATIONAL fixture-shape pin (demoted in r15, twin of
+    test_maintenance_edges.py::test_fixture_vec_ids_dense_from_zero):
+    since the Lloyd seeds-CTE alignment both engines seed with the
+    smallest vec_ids PRESENT, so density is no longer a correctness
+    precondition — this just documents that scripts/gen_fixture.py emits
+    vec_id = range(N) at every seed."""
     import pyarrow.parquet as pq
 
     ids = sorted(

@@ -667,6 +667,23 @@ def _scratch_owner_recycled(d: str, pid: int) -> bool:
     return bool(recorded) and live is not None and recorded != live
 
 
+def _reap_recycled_scratch(d: str, pid: int) -> bool:
+    """Delete a recycled-owner scratch dir, but only if the proof still
+    holds on a SECOND marker read taken immediately before the rmtree
+    (r14 ADVICE double-check): a live process whose pid recycled this
+    dir ADOPTS it by re-stamping the marker (_stamp_scratch_owner), and
+    an adoption landing between the reaper's first read and the delete
+    must ABORT the reap rather than destroy a live run's scratch. The
+    residual window is the re-read-to-rmtree gap — microseconds instead
+    of indefinitely stale. Returns True iff the dir was reaped."""
+    import shutil
+
+    if not _scratch_owner_recycled(d, pid):
+        return False
+    shutil.rmtree(d, ignore_errors=True)
+    return True
+
+
 def compact_rewrite(spark: SparkSession, sf_dir: str):
     """Execute the compaction plan physically; returns (applied, target):
     the read-back post-rewrite table (out_file, o_orderkey, o_orderstatus,
@@ -735,8 +752,10 @@ def compact_rewrite(spark: SparkSession, sf_dir: str):
                 os.kill(pid, 0)  # raises if the owning process is gone
                 if _scratch_owner_recycled(d, pid):
                     # pid alive but NOT the recorded owner: the owner died
-                    # and the kernel recycled its pid — reap (r12 ADVICE).
-                    shutil.rmtree(d, ignore_errors=True)
+                    # and the kernel recycled its pid — reap (r12 ADVICE),
+                    # via the double-checked delete that re-reads the
+                    # marker first so a concurrent adoption aborts it.
+                    _reap_recycled_scratch(d, pid)
         except ValueError:
             continue
         except PermissionError:

@@ -59,6 +59,16 @@ def run(spark, sf_dir: str, rounds: int, cadence: int) -> list[float]:
 def main() -> None:
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 12
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else SF
+    # ratio() compares rounds 2-4 against the LAST 3 rounds; below 7
+    # rounds the two windows overlap and even the no-checkpoint path
+    # reports ~1.0 "flatness" — a small-rounds invocation would look
+    # like passing evidence while measuring nothing (r14 ADVICE).
+    if rounds < 7:
+        raise SystemExit(
+            f"rounds={rounds} < 7: early (2-4) and late (last-3) windows"
+            " overlap and the flatness ratio is meaningless; use >= 7"
+            " (default 12)"
+        )
 
     from pyspark.sql import SparkSession
 

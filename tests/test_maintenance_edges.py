@@ -202,6 +202,53 @@ def test_compact_scratch_owner_markers(spark, tmp_path):
         )
 
 
+def test_reap_recycled_scratch_double_check_aborts_on_adoption(tmp_path):
+    """The r14 ADVICE residual-TOCTOU closure: the reaper's delete path
+    (_reap_recycled_scratch) re-reads the owner marker IMMEDIATELY before
+    rmtree, so an adoption that landed between the reaper's first
+    recycled-owner read and the delete aborts the reap. Simulated
+    exactly at that seam: (a) a dir whose marker has been re-stamped to
+    the live pid's start time by the time the delete path runs — i.e.
+    the concurrent adoption won the race — must survive and return
+    False; (b) a dir whose marker is still provably stale must be reaped
+    and return True; (c) a marker-less dir stays (conservative)."""
+    import os
+
+    from multithreaded_mapreduce_library_spark.operators.maintenance import (
+        _SCRATCH_OWNER_MARKER,
+        _proc_starttime,
+        _reap_recycled_scratch,
+    )
+
+    if _proc_starttime(os.getpid()) is None:
+        import pytest
+
+        pytest.skip("/proc unavailable: marker layer is inert here")
+
+    # (a) adoption won: marker matches OUR live start time (we play the
+    # recycled-pid adopter); the double-check must abort the reap even
+    # though a first read moments earlier saw a stale marker.
+    adopted = tmp_path / "pid-adopted"
+    adopted.mkdir()
+    (adopted / _SCRATCH_OWNER_MARKER).write_text(_proc_starttime(os.getpid()))
+    assert _reap_recycled_scratch(str(adopted), os.getpid()) is False
+    assert adopted.exists(), "adopted live dir must survive the reap"
+
+    # (b) still stale on the second read: reap proceeds.
+    stale = tmp_path / "pid-stale"
+    stale.mkdir()
+    (stale / _SCRATCH_OWNER_MARKER).write_text("0")
+    assert _reap_recycled_scratch(str(stale), os.getpid()) is True
+    assert not stale.exists(), "provably-recycled dir must be reaped"
+
+    # (c) marker vanished between the reads (e.g. adopter mid-rewrite):
+    # conservative keep.
+    bare = tmp_path / "pid-bare"
+    bare.mkdir()
+    assert _reap_recycled_scratch(str(bare), os.getpid()) is False
+    assert bare.exists(), "marker-less dir must be kept"
+
+
 def _batch_split_ids(want_batch, want_corpus):
     """First `want_batch` ids whose md5 bucket is 0 of INC_SPLIT_MOD and
     first `want_corpus` whose bucket is nonzero — the same split the

@@ -545,9 +545,10 @@ def test_lloyd_seeds_agree_on_nondense_fixture(spark, tmp_path):
     Spark via orderBy/limit, the oracle via `ORDER BY vec_id LIMIT K` in
     _DUCK_LLOYD_CTES — so on a deliberately non-dense fixture (ids
     1000..1031, where the old `WHERE vec_id < K` filter collapsed the
-    oracle to zero rows) the full differential must AGREE. This is the
-    direct evidence that the dense-from-0 fixture shape is documentation,
-    not a correctness precondition."""
+    oracle to zero rows) the full differential must AGREE, for ALL FIVE
+    oracles built on the shared CTE chain (each reads only the
+    embeddings table). This is the direct evidence that the dense-from-0
+    fixture shape is documentation, not a correctness precondition."""
     from multithreaded_mapreduce_library_spark.operators.similarity import DIM
 
     _write_embeddings(tmp_path, list(range(1000, 1032)), DIM)
@@ -557,6 +558,31 @@ def test_lloyd_seeds_agree_on_nondense_fixture(spark, tmp_path):
     )
     assert len(got) == 32, "Spark side must train on any id range"
     assert got == want
+    for name in (
+        "sim_topk_ivf_trained",
+        "sim_topk_ivf_quantized",
+        "dedup_semantic",
+    ):
+        got = _spark_rows(spark, name, tmp_path)
+        want = _duck_rows(SPECS[name].oracle, str(tmp_path), ["embeddings"])
+        assert got, f"{name}: empty result on the non-dense fixture"
+        assert got == want, f"{name}: engines disagree on non-dense ids"
+    # sim_topk_ivfpq additionally trains a PQ codebook whose seed rule is
+    # vec_id < PQ_K on BOTH engines by construction (pq.py pqseeds — an
+    # intentional filter, not a divergence; see the staging doc), so an
+    # all-ids>=1000 fixture degenerates it to an empty-vs-empty
+    # agreement. Exercise it on a GAPPED fixture instead: {0..3} keeps
+    # the PQ codebook non-empty while the gap means the 8 smallest
+    # present vec_ids ({0..3, 1000..1003}) differ from the old
+    # `vec_id < 8` seed set ({0..3}) — pre-alignment this mismatched,
+    # post-alignment both engines pick the same seeds.
+    gapped = tmp_path / "gapped"
+    gapped.mkdir()
+    _write_embeddings(gapped, [0, 1, 2, 3, *range(1000, 1028)], DIM)
+    got = _spark_rows(spark, "sim_topk_ivfpq", gapped)
+    want = _duck_rows(SPECS["sim_topk_ivfpq"].oracle, str(gapped), ["embeddings"])
+    assert got, "sim_topk_ivfpq: empty result on the gapped fixture"
+    assert got == want, "sim_topk_ivfpq: engines disagree on gapped ids"
 
 
 def test_bpe_recheckpoint_truncates_lineage(spark):

@@ -136,6 +136,25 @@ PROBE = (
     # ratio should land at ~Nx or below (training amortizes): the
     # corpus-linear claim in the docstring, measured.
     "bpe_apply",
+    # r15: the remaining Lloyd-family consumers (builders unchanged by
+    # the r15 oracle-side seeds alignment; probed for direct scale
+    # evidence). dedup_semantic = corpus Lloyd training (broadcast k
+    # centroids, constant k x dim update) + within-cell cosine pairs:
+    # with PERTURBED copies both sides of every cell grow ~Nx, so the
+    # TRUE pair work grows ~N^2/k — the probe checks cell-locality keeps
+    # the ratio far below all-pairs N^2 (same bound as
+    # dedup_semantic_incremental). sim_topk_ivf_quantized and
+    # sim_topk_ivfpq: training is linear (assignment rides the scan, the
+    # update reduces to k x dim cells); serving is query x same-cell
+    # shortlist work — the query SET grows Nx (vec_id % QUERY_MOD keeps
+    # density on offset copies) and cells grow Nx, so shortlist work is
+    # ~N^2/k over tinyint codes with a constant-size exact rerank per
+    # query; reported against the cell-local bound, not flat Nx. Copy 0
+    # keeps original vec_ids, so Lloyd seeds (8 smallest present) and
+    # the PQ codebook (vec_id < PQ_K, by-design filter) stay well-formed.
+    "dedup_semantic",
+    "sim_topk_ivf_quantized",
+    "sim_topk_ivfpq",
 )
 OFF = 100_000_000  # key offset per copy — far above any base key
 

@@ -679,14 +679,81 @@ def _lloyd_seeds(e: DataFrame) -> DataFrame:
     )
 
 
-def _lloyd_assign(e: DataFrame, centroids: DataFrame) -> DataFrame:
+def _lloyd_assign(
+    e: DataFrame, centroids: DataFrame, narrow: bool = False
+) -> DataFrame:
     """(vec_id, cid, d2, va): nearest-centroid assignment of an
-    embeddings frame (vec_id, v) to a BROADCAST centroid frame (cid, vc).
+    embeddings frame (vec_id, v) to a k-row centroid frame (cid, vc).
     Squared-L2 is the shared sequential fold (bit-identical operand
-    order on both engines), centroid-id tiebreak. Shuffle story: the
-    k-row centroid side broadcasts, so the cross product rides the scan;
-    the argmin window partitions by vec_id with exactly k rows per key —
-    bounded, never skewed."""
+    order on both engines), centroid-id tiebreak.
+
+    Two physically different, bit-identical strategies (agreement pinned
+    by tests/test_plans.py::test_lloyd_narrow_assign_agrees_with_window):
+
+    - ``narrow=False`` (the historical window path): BROADCAST the
+      centroid frame, cross the scan, pick the argmin with a
+      ``row_number`` window partitioned by vec_id — exactly k rows per
+      key (bounded, never skewed), but the window is a REAL exchange +
+      sort of N*k rows.
+    - ``narrow=True`` (the streaming path's literal argmin, hoisted —
+      streaming/queries.py's semantic_admission_stream_transform
+      precedent): fetch the k centroids to the driver (k x dim doubles,
+      the same constant-size class as the accepted k-row centroid
+      fetches elsewhere), fold them into the plan as a literal
+      ``array<struct<d2, cid>>`` and take ``array_min`` — struct
+      comparison is field-lexicographic, so the (d2, cid) tiebreak is
+      IDENTICAL to the window's ORDER BY, computed in one narrow
+      whole-stage-codegen projection with ZERO exchange.  Doubles
+      round-trip collect -> F.lit losslessly (IEEE bits preserved), so
+      d2 and the assignment agree bit-for-bit with the window path.
+
+    Migration note (docs/lloyd_narrow_assign_migration.md): gated
+    consumers flip to ``narrow=True`` in rotation-cap-sized waves;
+    flipping a consumer changes its physical plan only — never a value.
+    """
+    if narrow:
+        rows = sorted(centroids.collect(), key=lambda r: r["cid"])
+        if not rows:
+            # window path: cross join with an empty broadcast => empty
+            return (
+                e.select(
+                    "vec_id",
+                    F.lit(None).cast("long").alias("cid"),
+                    F.lit(None).cast("double").alias("d2"),
+                    F.col("v").alias("va"),
+                )
+                .where(F.lit(False))
+            )
+        d2 = (
+            "aggregate(zip_with(va, c.vc, (x, y) -> (x - y) * (x - y)), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        cents = F.array(
+            *[
+                F.struct(
+                    F.lit(int(r["cid"])).cast("long").alias("cid"),
+                    F.array(*[F.lit(float(x)) for x in r["vc"]]).alias("vc"),
+                )
+                for r in rows
+            ]
+        )
+        return (
+            e.select("vec_id", F.col("v").alias("va"))
+            .withColumn("_cents", cents)
+            .withColumn(
+                "_best",
+                F.expr(
+                    f"array_min(transform(_cents, c -> struct({d2} AS d2,"
+                    " c.cid AS cid)))"
+                ),
+            )
+            .select(
+                "vec_id",
+                F.col("_best.cid").alias("cid"),
+                F.col("_best.d2").alias("d2"),
+                "va",
+            )
+        )
     crossed = (
         e.select("vec_id", F.col("v").alias("va"))
         .join(F.broadcast(centroids))
@@ -727,7 +794,7 @@ def _lloyd_update(a: DataFrame) -> DataFrame:
     )
 
 
-def _lloyd_train(e: DataFrame, rounds: int = 1) -> DataFrame:
+def _lloyd_train(e: DataFrame, rounds: int = 1, narrow: bool = False) -> DataFrame:
     """(cid, vc) after ``rounds`` Lloyd refinements over an ARBITRARY
     embeddings frame (vec_id, v) — seed with the K_CELLS smallest
     vec_ids present, then alternate assign/update. The fixed-point-means
@@ -740,7 +807,7 @@ def _lloyd_train(e: DataFrame, rounds: int = 1) -> DataFrame:
     frames are localCheckpoint'ed between rounds so the lineage stays
     O(1) deep instead of O(rounds)."""
     assert rounds >= 1
-    a = _lloyd_assign(e, _lloyd_seeds(e))
+    a = _lloyd_assign(e, _lloyd_seeds(e), narrow=narrow)
     c = None
     for r in range(rounds):
         c = _lloyd_update(a)
@@ -749,19 +816,21 @@ def _lloyd_train(e: DataFrame, rounds: int = 1) -> DataFrame:
             # plan O(1) deep (the rounds=1 gated path stays byte-identical)
             c = c.localCheckpoint(eager=False)
         if r < rounds - 1:
-            a = _lloyd_assign(e, c)
+            a = _lloyd_assign(e, c, narrow=narrow)
     return c
 
 
 def _lloyd_final_assignment(
-    spark: SparkSession, sf_dir: str, rounds: int = 1
+    spark: SparkSession, sf_dir: str, rounds: int = 1, narrow: bool = False
 ) -> DataFrame:
     """(vec_id, cid, d2, va) after ``rounds`` Lloyd refinements of the
     full embeddings table — the Spark twin of _DUCK_LLOYD_CTES at
     rounds=1 (the oracle-gated path) and the real convergence loop
-    beyond it; now a two-call composition of the unified core."""
+    beyond it; now a two-call composition of the unified core.
+    ``narrow`` selects _lloyd_assign's zero-exchange literal-argmin
+    strategy for BOTH assigns (bit-identical either way)."""
     e = _load_embeddings(spark, sf_dir).select("vec_id", _dvec("embedding").alias("v"))
-    return _lloyd_assign(e, _lloyd_train(e, rounds))
+    return _lloyd_assign(e, _lloyd_train(e, rounds, narrow=narrow), narrow=narrow)
 
 
 def lloyd_inertia_fx(spark: SparkSession, sf_dir: str, rounds: int) -> int:
@@ -1343,11 +1412,13 @@ FROM bat b LEFT JOIN dec ON b.vec_id = dec.nd
 """
 
 
-def _assign_to_cells(e: DataFrame, centroids: DataFrame) -> DataFrame:
+def _assign_to_cells(
+    e: DataFrame, centroids: DataFrame, narrow: bool = False
+) -> DataFrame:
     """(vec_id, cid, v): the unified core's _lloyd_assign projected for
     the admission consumers (batch + streaming semantic dedup), which
     key on the cell id and the raw vector but never the distance."""
-    return _lloyd_assign(e, centroids).select(
+    return _lloyd_assign(e, centroids, narrow=narrow).select(
         "vec_id", "cid", F.col("va").alias("v")
     )
 

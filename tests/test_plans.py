@@ -1219,3 +1219,93 @@ def test_bpe_apply_is_narrow(spark, sf_dir):
         assert "doc_id" in s and "text" in s
         for col in ("lang", "source", "n_chars"):
             assert col not in s, f"scan must prune {col}"
+
+
+def test_lloyd_narrow_assign_agrees_with_window(spark, sf_dir):
+    """The two _lloyd_assign strategies — the historical broadcast +
+    row_number window argmin and the narrow literal-array argmin (the
+    streaming path's pattern, hoisted behind ``narrow=True``) — must be
+    BIT-identical: same (vec_id, cid) and the same d2 double bits, at
+    the seed-assign level and through a full train->final-assign loop.
+    This is the agreement pin the staged per-consumer migration
+    (docs/lloyd_narrow_assign_migration.md) rests on: flipping a gated
+    consumer to narrow=True changes its physical plan, never a value."""
+    from multithreaded_mapreduce_library_spark.operators.similarity import (
+        _dvec,
+        _lloyd_assign,
+        _lloyd_seeds,
+        _lloyd_train,
+        _load_embeddings,
+    )
+
+    e = _load_embeddings(spark, sf_dir).select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    seeds = _lloyd_seeds(e)
+    cols = ["vec_id", "cid", "d2"]
+    window = sorted(map(tuple, _lloyd_assign(e, seeds).select(*cols).collect()))
+    narrow = sorted(
+        map(tuple, _lloyd_assign(e, seeds, narrow=True).select(*cols).collect())
+    )
+    assert window and narrow == window
+
+    # full loop: trained centroids then final assignment, both narrow
+    trained_w = _lloyd_assign(e, _lloyd_train(e))
+    trained_n = _lloyd_assign(e, _lloyd_train(e, narrow=True), narrow=True)
+    assert trained_w.select(*cols).dtypes == trained_n.select(*cols).dtypes
+    assert sorted(map(tuple, trained_w.select(*cols).collect())) == sorted(
+        map(tuple, trained_n.select(*cols).collect())
+    )
+
+
+def test_lloyd_narrow_assign_zero_exchange(spark, sf_dir):
+    """narrow=True must compile to a single narrow projection over the
+    input frame: NO Window, NO added Exchange (the only exchange in the
+    plan is the source's own scan rebalance, present in the bare input
+    too), and no join node of any kind — the k centroids live in the
+    plan as literals. This is the 100 TB story of the migration: the
+    window path exchanges N*k rows on vec_id; the narrow path exchanges
+    nothing."""
+    from multithreaded_mapreduce_library_spark.operators.similarity import (
+        _dvec,
+        _lloyd_assign,
+        _lloyd_seeds,
+        _load_embeddings,
+    )
+
+    e = _load_embeddings(spark, sf_dir).select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    base_exchanges = formatted_plan(e).count("Exchange")
+    plan = formatted_plan(_lloyd_assign(e, _lloyd_seeds(e), narrow=True))
+    assert "Window" not in plan, "narrow argmin must not window"
+    assert plan.count("Exchange") == base_exchanges, (
+        "narrow argmin must add zero exchanges over the bare scan"
+    )
+    for join in ("BroadcastNestedLoopJoin", "SortMergeJoin", "CartesianProduct",
+                 "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert join not in plan, f"narrow argmin must not join ({join})"
+    # and the window path REALLY pays the exchange the narrow one removes
+    wplan = formatted_plan(_lloyd_assign(e, _lloyd_seeds(e)))
+    assert "Window" in wplan and wplan.count("Exchange") > base_exchanges
+
+
+def test_lloyd_narrow_assign_empty_centroids(spark, sf_dir):
+    """An empty centroid frame must yield an empty assignment on BOTH
+    strategies with the same schema — the dedup_semantic_incremental /
+    stream_dedup_semantic empty-corpus edge rides this."""
+    from multithreaded_mapreduce_library_spark.operators.similarity import (
+        _dvec,
+        _lloyd_assign,
+        _lloyd_seeds,
+        _load_embeddings,
+    )
+
+    e = _load_embeddings(spark, sf_dir).select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    empty = _lloyd_seeds(e).where("1 = 0")
+    got_w = _lloyd_assign(e, empty)
+    got_n = _lloyd_assign(e, empty, narrow=True)
+    assert got_w.count() == 0 and got_n.count() == 0
+    assert got_w.columns == got_n.columns

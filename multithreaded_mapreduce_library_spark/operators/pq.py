@@ -437,7 +437,7 @@ SELECT query_id, neighbor_id, cosine, rnk FROM (
     ),
 )
 def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cells = _lloyd_final_assignment(spark, sf_dir).select("vec_id", "cid")
+    cells = _lloyd_final_assignment(spark, sf_dir, narrow=True).select("vec_id", "cid")
     assigned, newc = _pq_final(spark, sf_dir)
     codes = _pq_code_arrays(assigned).join(cells, "vec_id")
     qlut = _pq_query_lut(spark, sf_dir, newc).join(

@@ -635,16 +635,18 @@ FROM a2
         "over; the convergence loop is real — _lloyd_final_assignment "
         "takes a rounds parameter (this gated query is rounds=1), and "
         "inertia is pinned monotone non-increasing across rounds. Shuffle "
-        "story: centroids are k rows and BROADCAST both times; the "
-        "argmin window partitions by vec_id with exactly k rows per key "
-        "(bounded, never skewed); the update is a posexplode into "
+        "story (r15 narrow-assign migration): centroids are k rows, "
+        "fetched to the driver and folded into the plan as a LITERAL "
+        "array — assignment is array_min over struct(d2, cid), one "
+        "narrow whole-stage-codegen projection, ZERO exchange (no "
+        "window, no join; plan-pinned); the update is a posexplode into "
         f"(cid, pos) partial-aggregated counters — {K_CELLS}×{DIM} groups "
         "regardless of corpus size. At 100 TB nothing wide ever shuffles: "
         "assignment rides the scan, the update reduces to k×dim cells."
     ),
 )
 def ivf_train_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _lloyd_final_assignment(spark, sf_dir).select(
+    return _lloyd_final_assignment(spark, sf_dir, narrow=True).select(
         "vec_id",
         F.col("cid").cast("long").alias("cell_id"),
         F.floor(F.col("d2") * _FX + F.lit(0.5)).cast("long").alias("d2_fx"),
@@ -870,14 +872,14 @@ WHERE rnk <= 3
         "trained cell and exact-rank by cosine inside it — replacing "
         "sim_topk_ivf's sign-bucket stand-in with the real "
         "train-index-probe sequence. Shuffle story: training as in "
-        "ivf_train_centroids (broadcast centroids, k-row-bounded argmin "
-        "window, k×dim partial-agg update); the probe is one equi-join "
+        "ivf_train_centroids (literal k-centroid argmin, zero-exchange "
+        "narrow assignment; k×dim partial-agg update); the probe is one equi-join "
         "on the trained cell id — candidates stay cell-local, never a "
         "global scan per query, the IVF contract at 100 TB."
     ),
 )
 def sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    asn = _lloyd_final_assignment(spark, sf_dir).select(
+    asn = _lloyd_final_assignment(spark, sf_dir, narrow=True).select(
         "vec_id", "cid", F.col("va").alias("v")
     ).withColumn("norm", F.expr(_SPARK_NORM))
     q = asn.filter(F.col("vec_id") % QUERY_MOD == 0).select(
@@ -977,7 +979,7 @@ def _ivfq_coded(spark: SparkSession, sf_dir: str) -> DataFrame:
     symmetric rule directly with no zero-point shift). Deliberately
     carries NO float column: this frame is everything the candidate
     generation + shortlist stage is allowed to shuffle."""
-    base = _lloyd_final_assignment(spark, sf_dir).select(
+    base = _lloyd_final_assignment(spark, sf_dir, narrow=True).select(
         "vec_id", "cid", F.col("va").alias("v")
     )
     # unit-normalize (zero-norm guard keeps degenerate vectors
@@ -1278,7 +1280,7 @@ FROM asn LEFT JOIN drops d ON asn.vec_id = d.dup_id
         "sequential left fold (bit-identical across engines), so the "
         "threshold compare agrees bit-for-bit; the representative is a "
         "min over ids. Shuffle story: training as in ivf_train_centroids "
-        "(broadcast k centroids, k-row-bounded argmin window, k x dim "
+        "(literal k-centroid argmin, zero-exchange narrow assignment, k x dim "
         "partial-agg update); the pair join is ONE exchange on the cell "
         "id with cell-local pairs — sum over cells of cell^2. NOTE: "
         "K_CELLS is fixed (8) here, so cell-local pair work is ~n^2/k — "
@@ -1292,7 +1294,7 @@ FROM asn LEFT JOIN drops d ON asn.vec_id = d.dup_id
     ),
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    asn = _lloyd_final_assignment(spark, sf_dir)  # (vec_id, cid, d2, va)
+    asn = _lloyd_final_assignment(spark, sf_dir, narrow=True)  # (vec_id, cid, d2, va)
     e = asn.select(
         "vec_id", "cid", F.col("va").alias("v")
     ).withColumn("norm", F.expr(_SPARK_NORM))
@@ -1450,9 +1452,10 @@ def _assign_to_cells(
         "folds, centroid means are fixed-point integer sums — every "
         "stage bit-identical across engines and partitionings. Shuffle "
         "story: training as ivf_train_centroids on the corpus split "
-        "(broadcast k seeds, k-row-bounded argmin, k x dim partial-agg "
-        "update); both assignments broadcast the k trained centroids "
-        "(the corpus never shuffles for assignment); the admission join "
+        "(literal k-centroid argmin, zero-exchange narrow assignment, k x "
+        "dim partial-agg update); both assignments fold the k trained "
+        "centroids into the plan as literals (the corpus never shuffles "
+        "— or joins — for assignment); the admission join "
         "is ONE exchange on the cell id whose LEFT side is only the "
         "batch — work is |batch| x avg cell occupancy, and at 100 TB "
         "the corpus-side assignments are precomputed and stored cell-"
@@ -1473,9 +1476,9 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = e.filter(~is_batch)
     batch = e.filter(is_batch)
-    centroids = _lloyd_train(corpus)
-    idx = _assign_to_cells(corpus, centroids)
-    bat = _assign_to_cells(batch, centroids)
+    centroids = _lloyd_train(corpus, narrow=True)
+    idx = _assign_to_cells(corpus, centroids, narrow=True)
+    bat = _assign_to_cells(batch, centroids, narrow=True)
     a = (
         bat.withColumn("norm", F.expr(_SPARK_NORM))
         .select(

@@ -1402,7 +1402,8 @@ def _register_stream_dedup_semantic():
             "d2/cosine are the shared sequential folds, so every cell "
             "assignment and gate decision agrees bit-for-bit with the "
             "batch path and the shared oracle. Shuffle story: training "
-            "rides the batch side (broadcast k seeds, k x dim update); "
+            "rides the batch side (literal-argmin narrow assignment since "
+            "the r15 migration, k x dim partial-agg update); "
             "the stream side's assignment is a NARROW per-row map (the "
             "k centroids live in the plan, nothing joins before the "
             "cell exchange), then ONE stream-static equi exchange on "
@@ -1422,7 +1423,7 @@ def _register_stream_dedup_semantic():
             "vec_id", _dvec("embedding").alias("v")
         )
         corpus = e.filter(~is_batch)
-        centroids = _lloyd_train(corpus)
+        centroids = _lloyd_train(corpus, narrow=True)
         centroid_rows = [(r["cid"], list(r["vc"])) for r in centroids.collect()]
         schema = (
             "vec_id long, cell_id long, n_cell long, max_cos_fx long,"
@@ -1434,7 +1435,7 @@ def _register_stream_dedup_semantic():
             # contract pinned by the batch twin's empty-corpus edge test
             return spark.createDataFrame([], schema)
         idx = (
-            _assign_to_cells(corpus, centroids)
+            _assign_to_cells(corpus, centroids, narrow=True)
             .withColumn("norm", F.expr(_SPARK_NORM))
             .select(
                 F.col("vec_id").alias("od"), F.col("cid").alias("cid_i"),
@@ -1456,10 +1457,10 @@ def _register_stream_dedup_semantic():
             .alias("max_cos_fx"),
             F.min("dup_raw").alias("dup_raw"),
         )
-        # batch-side assignment of the arriving split (the window argmin,
-        # bit-identical to the stream's literal argmin), for cell ids and
-        # the empty-cell left-join rows
-        bat = _assign_to_cells(e.filter(is_batch), centroids)
+        # batch-side assignment of the arriving split (the same literal
+        # argmin as the stream side since the r15 narrow migration), for
+        # cell ids and the empty-cell left-join rows
+        bat = _assign_to_cells(e.filter(is_batch), centroids, narrow=True)
         return bat.join(dec, bat.vec_id == dec.nd, "left").select(
             "vec_id",
             F.col("cid").cast("long").alias("cell_id"),

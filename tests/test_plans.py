@@ -372,15 +372,32 @@ def test_embedding_quantize_is_narrow(spark, sf_dir):
 
 
 def test_ivf_train_broadcasts_centroids(spark, sf_dir):
-    """Lloyd assignment must broadcast the k centroids both times (never
-    shuffle the corpus against them) and keep the update a partial-
-    aggregated (cid, pos) rollup; no cartesian fallback."""
-    plan = formatted_plan(SPECS["ivf_train_centroids"].builder(spark, sf_dir))
-    assert plan.count("+- BroadcastNestedLoopJoin") >= 2, (
-        "k-row centroid cross joins must broadcast"
+    """ivf_train_centroids' emitted plan after the r15 narrow-assign
+    migration (docs/lloyd_narrow_assign_migration.md): the final
+    assignment is the LITERAL k-centroid argmin — one narrow projection
+    over the scan with ZERO joins, ZERO windows and no exchange beyond
+    the scan's own rebalance. (The training rounds run eagerly at
+    build time through the same zero-exchange assign + the k x dim
+    partial-agg update; the update's partial-agg property and the
+    historical broadcast-window strategy stay pinned by
+    test_lloyd_narrow_assign_agrees_with_window /
+    test_lloyd_narrow_assign_zero_exchange.)"""
+    from multithreaded_mapreduce_library_spark.operators.similarity import (
+        _dvec,
+        _load_embeddings,
     )
-    assert "CartesianProduct" not in plan
-    assert plan.count("HashAggregate") >= 2, "centroid update must partial-aggregate"
+
+    df = SPECS["ivf_train_centroids"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    base = formatted_plan(
+        _load_embeddings(spark, sf_dir).select("vec_id", _dvec("embedding").alias("v"))
+    )
+    for node in ("BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin",
+                 "ShuffledHashJoin", "BroadcastHashJoin", "Window"):
+        assert node not in plan, f"narrow trained assignment must not {node}"
+    assert plan.count("Exchange") == base.count("Exchange"), (
+        "trained assignment must add zero exchanges over the bare scan"
+    )
 
 
 def test_lloyd_multi_round_plan_stays_bounded(spark, sf_dir):

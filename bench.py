@@ -45,6 +45,12 @@ HEADLINE = (
 )
 
 
+# Queries whose BUILDER performs Spark actions (the r15 narrow-assign
+# Lloyd family trains eagerly at plan-build time): their clock starts
+# before the builder so the training jobs are inside the timed region.
+EAGER_BUILD = frozenset({"sim_topk_ivf_quantized"})
+
+
 def bench_ann_serving(spark, sf_dir: str, iters: int) -> dict[str, float]:
     """Train-vs-serve split for the trained-ANN capstone (VERDICT r7 #2):
     the end-to-end sim_topk_ivf_quantized number in `queries` is ~80%
@@ -141,8 +147,23 @@ def main() -> None:
     for name in HEADLINE:
         best = float("inf")
         for _ in range(iters):
-            df = specs[name].builder(spark, sf_dir)
-            t0 = time.perf_counter()
+            # Timed region (r15 protocol note): for PURE-LAZY builders the
+            # clock starts after the builder, as in every prior round —
+            # plan construction/analysis is driver-side Python/Catalyst
+            # work that amortizes completely at 100 TB (corpus_curation's
+            # plan alone costs ~3s to ANALYZE but ~0.5s to RUN at sf0.1)
+            # and was never part of the 14-round series. For builders that
+            # run Spark JOBS eagerly (the narrow-assign Lloyd family
+            # trains via k-row centroid collects at build time) the clock
+            # starts BEFORE the builder, so training is counted; that
+            # conservatively includes their analysis time too — the
+            # reported number can only be high, never low.
+            if name in EAGER_BUILD:
+                t0 = time.perf_counter()
+                df = specs[name].builder(spark, sf_dir)
+            else:
+                df = specs[name].builder(spark, sf_dir)
+                t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)

@@ -726,29 +726,26 @@ def _lloyd_assign(
                 )
                 .where(F.lit(False))
             )
-        d2 = (
-            "aggregate(zip_with(va, c.vc, (x, y) -> (x - y) * (x - y)), "
-            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-        )
-        cents = F.array(
-            *[
-                F.struct(
-                    F.lit(int(r["cid"])).cast("long").alias("cid"),
-                    F.array(*[F.lit(float(x)) for x in r["vc"]]).alias("vc"),
-                )
-                for r in rows
-            ]
+        # ONE SQL string, not k*dim F.lit calls: each Column call is a
+        # py4j round trip, and at k=8 x dim=64 the F.lit formulation
+        # spent ~0.5s of driver time per build vs ~0.1s for a single
+        # parsed expression (measured r15; values bit-identical —
+        # repr() is the shortest round-trip string and Spark's
+        # decimal/exponent literal -> DOUBLE conversions are correctly
+        # rounded, the streaming twin's long-standing precedent).
+        def arr(vc) -> str:
+            return "array(" + ",".join(repr(float(x)) for x in vc) + ")"
+
+        terms = ",".join(
+            f"struct(aggregate(zip_with(va, {arr(r['vc'])},"
+            " (x, y) -> (x - y) * (x - y)),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) AS d2,"
+            f" CAST({int(r['cid'])} AS BIGINT) AS cid)"
+            for r in rows
         )
         return (
             e.select("vec_id", F.col("v").alias("va"))
-            .withColumn("_cents", cents)
-            .withColumn(
-                "_best",
-                F.expr(
-                    f"array_min(transform(_cents, c -> struct({d2} AS d2,"
-                    " c.cid AS cid)))"
-                ),
-            )
+            .withColumn("_best", F.expr(f"array_min(array({terms}))"))
             .select(
                 "vec_id",
                 F.col("_best.cid").alias("cid"),

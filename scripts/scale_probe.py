@@ -27,6 +27,18 @@ import duckdb
 
 BASE = "/root/testdata/sf0.1"
 DIMS = ("region", "nation", "customer", "supplier", "part")
+# Builders that run Spark actions at plan-build time (the r15
+# narrow-assign Lloyd family trains via k-row centroid collects): their
+# clock starts before the builder so training is inside the timed region.
+EAGER_BUILD = frozenset({
+    "ivf_train_centroids",
+    "sim_topk_ivf_trained",
+    "sim_topk_ivf_quantized",
+    "sim_topk_ivfpq",
+    "dedup_semantic",
+    "dedup_semantic_incremental",
+})
+
 PROBE = (
     "wordcount",
     "pricing_summary",
@@ -209,8 +221,16 @@ def time_queries(
     for name in probe:
         best = float("inf")
         for _ in range(iters):
-            df = specs[name].builder(spark, sf_dir)
-            t0 = time.perf_counter()
+            # builder inside the clock for EAGER builders only (the r15
+            # narrow-assign Lloyd family runs its training jobs at
+            # plan-build time); pure-lazy builders keep the historical
+            # exec-only clock — see bench.py's protocol note
+            if name in EAGER_BUILD:
+                t0 = time.perf_counter()
+                df = specs[name].builder(spark, sf_dir)
+            else:
+                df = specs[name].builder(spark, sf_dir)
+                t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         out[name] = round(best, 3)

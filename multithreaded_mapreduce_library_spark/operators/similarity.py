@@ -706,7 +706,8 @@ def _lloyd_assign(
       comparison is field-lexicographic, so the (d2, cid) tiebreak is
       IDENTICAL to the window's ORDER BY, computed in one narrow
       whole-stage-codegen projection with ZERO exchange.  Doubles
-      round-trip collect -> F.lit losslessly (IEEE bits preserved), so
+      round-trip collect -> repr -> SQL literal losslessly (shortest
+      round-trip strings, correctly-rounded parses), so
       d2 and the assignment agree bit-for-bit with the window path.
 
     Migration note (docs/lloyd_narrow_assign_migration.md): gated

@@ -16,7 +16,12 @@ arithmetic) plus a staleness forecast for the round after next. Purely
 advisory: registry.py stays the single source of truth, and the pinned
 tests still validate whatever is committed.
 
-Usage: python scripts/rotate_prefix.py [--apply] changed_query [...]
+Usage: python scripts/rotate_prefix.py [--apply|--preview] [changed_query ...]
+
+An EMPTY changed set (a pure re-verification round, e.g. r16) is valid:
+pass ``--apply`` alone, or ``--preview`` alone to review the blocks.
+Bare invocation with no flags and no names prints this help instead of
+silently rotating, so a typo'd flag can't masquerade as an empty set.
 
 With ``--apply``, the name region of registry._PRIORITY (everything from
 the ``# (1) new/changed`` marker to the tuple's closing paren) is patched
@@ -105,7 +110,9 @@ def fmt(names: list[str], indent: str = "    ") -> str:
 
 def build_blocks(changed, prefix, tail, last_green, this_round):
     """Canonical _PRIORITY name-region text (comments + wrapped names)."""
-    out = [f"    # (1) new/changed in r{this_round} ({len(changed)}):", fmt(changed)]
+    out = [f"    # (1) new/changed in r{this_round} ({len(changed)}):"]
+    if changed:  # fmt([]) would emit a stray blank line
+        out.append(fmt(changed))
     by_round: dict[int, list[str]] = {}
     for n in prefix[len(changed):]:
         by_round.setdefault(last_green[n], []).append(n)
@@ -141,8 +148,8 @@ def apply_blocks(repo: str, blocks: str) -> None:
 def main() -> None:
     args = sys.argv[1:]
     apply = "--apply" in args
-    changed = [a for a in args if a != "--apply"]
-    if not changed:
+    changed = [a for a in args if a not in ("--apply", "--preview")]
+    if not args:
         raise SystemExit(__doc__)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     from multithreaded_mapreduce_library_spark.registry import load_all
@@ -168,7 +175,8 @@ def main() -> None:
         by_round.setdefault(last_green[n], []).append(n)
     print(f"# --- round-{this_round} gate prefix ({len(prefix)}) ---")
     print(f"# (1) new/changed ({len(changed)}):")
-    print(fmt(changed))
+    if changed:
+        print(fmt(changed))
     for rnd in sorted(by_round):
         print(f"# (2) last green in r{rnd} ({len(by_round[rnd])}):")
         print(fmt(by_round[rnd]))

@@ -64,6 +64,20 @@ def test_query_matches_oracle_on_second_seed(spark, seed7_dir, name):
     compare_query(spark, SPECS[name], seed7_dir)
 
 
+def test_lloyd_narrow_assign_agrees_on_second_seed(spark, seed7_dir):
+    """r15 verdict item 5: the narrow/window bit-identity agreement pin
+    (tests/test_plans.py::test_lloyd_narrow_assign_agrees_with_window)
+    previously ran only on the checked-in seed-42 fixture; re-running the
+    identical assertion body on the sweep fixture closes the last
+    fixture-coupling corner of the narrow-assign migration — a literal
+    argmin subtly calibrated to one embedding distribution would diverge
+    here. The plan-shape pins (zero-exchange, no-window) are
+    data-independent and stay in test_plans.py."""
+    from tests.test_plans import test_lloyd_narrow_assign_agrees_with_window
+
+    test_lloyd_narrow_assign_agrees_with_window(spark, seed7_dir)
+
+
 def test_second_seed_vec_ids_dense_from_zero(seed7_dir):
     """INFORMATIONAL fixture-shape pin (demoted in r15, twin of
     test_maintenance_edges.py::test_fixture_vec_ids_dense_from_zero):

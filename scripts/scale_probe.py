@@ -174,7 +174,7 @@ OFF = 100_000_000  # key offset per copy — far above any base key
 # Per-table SELECT template; {k} is the copy index, the offset column
 # keeps every key unique across copies while dims stay shared.
 _SCALED = {
-    "documents": "SELECT doc_id + {k} * {off} AS doc_id, text, lang, source,"
+    "documents": "SELECT doc_id + {koff} AS doc_id, text, lang, source,"
     " n_chars FROM read_parquet('{base}/documents.parquet')",
     # Copies k>0 get a deterministic large perturbation per component:
     # replicating embeddings VERBATIM would make every copy an exact
@@ -182,19 +182,19 @@ _SCALED = {
     # whose true answer (and therefore any correct plan's output) grows
     # quadratically in N. Perturbed copies model the real thing: a bigger
     # corpus of DISTINCT vectors spread across buckets/cells.
-    "embeddings": "SELECT vec_id + {k} * {off} AS vec_id,"
+    "embeddings": "SELECT vec_id + {koff} AS vec_id,"
     " CASE WHEN {k} = 0 THEN embedding ELSE"
     " list_transform(embedding, x -> CAST(x + sin(x * 12.9898 + {k} * 1.618)"
     " AS FLOAT)) END AS embedding, label"
     " FROM read_parquet('{base}/embeddings.parquet')",
-    "orders": "SELECT o_orderkey + {k} * {off} AS o_orderkey, o_custkey,"
+    "orders": "SELECT o_orderkey + {koff} AS o_orderkey, o_custkey,"
     " o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
     " FROM read_parquet('{base}/orders.parquet')",
-    "lineitem": "SELECT l_orderkey + {k} * {off} AS l_orderkey, l_partkey,"
+    "lineitem": "SELECT l_orderkey + {koff} AS l_orderkey, l_partkey,"
     " l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount,"
     " l_tax, l_returnflag, l_linestatus, l_shipdate"
     " FROM read_parquet('{base}/lineitem.parquet')",
-    "events": "SELECT event_id + {k} * {off} AS event_id, ts, user_id,"
+    "events": "SELECT event_id + {koff} AS event_id, ts, user_id,"
     " event_type, value, props FROM read_parquet('{base}/events.parquet')",
 }
 
@@ -206,7 +206,7 @@ def build_scaled(n: int, out_dir: str) -> None:
         shutil.copy(f"{BASE}/{t}.parquet", f"{out_dir}/{t}.parquet")
     for t, tpl in _SCALED.items():
         union = " UNION ALL ".join(
-            tpl.format(k=k, off=OFF, base=BASE) for k in range(n)
+            tpl.format(k=k, koff=k * OFF, base=BASE) for k in range(n)
         )
         con.execute(
             f"COPY ({union}) TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)"

@@ -1003,3 +1003,109 @@ def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram language-model predictability scoring (landed r17; staged+validated
+# r16 in operators/staging.py per the pre-landing protocol — oracle
+# differential on seeds 42 AND 99, hand-checked micro-corpus, plan pins)
+# ---------------------------------------------------------------------------
+
+LM_BIGRAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {duck_tokens('text')} AS t FROM documents
+),
+bg AS (
+  SELECT doc_id, bgs.w1 AS w1, bgs.w2 AS w2 FROM (
+    SELECT doc_id, unnest(list_transform(range(2, len(t) + 1),
+                          i -> {{'w1': t[i-1], 'w2': t[i]}})) AS bgs
+    FROM toks WHERE len(t) >= 2
+  )
+),
+c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS vocab
+      FROM (SELECT unnest(t) AS w FROM toks))
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       floor(CAST(CAST(sum(CAST(floor(
+           (c2.c12 + 1) / CAST(c1.c1 + v.vocab AS DOUBLE) * 1000000 + 0.5
+         ) AS BIGINT)) AS BIGINT) AS DOUBLE) / count(*) + 0.5) / 1000000
+         AS avg_bigram_p
+FROM bg b
+JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+JOIN c1 ON b.w1 = c1.w1
+CROSS JOIN v
+GROUP BY b.doc_id
+"""
+
+
+@register(
+    "lm_bigram_score",
+    oracle=LM_BIGRAM_ORACLE,
+    tags=("text", "llm-pipeline", "quality"),
+    doc=(
+        "Corpus-trained bigram-LM predictability score per document — the "
+        "perplexity-filter quality signal of CCNet/Gopher-style pipelines, "
+        "re-expressed without transcendentals so the fixed-point hash is "
+        "exact. Tokens are the reference tokenizer (distwc.c:7-21 split + "
+        "empty drop, shared with wordcount); for every document with >= 2 "
+        "tokens, score = mean over its bigrams of the add-1-smoothed "
+        "P(w2|w1) = (c(w1,w2)+1) / (c_ctx(w1)+V), with V the whole-corpus "
+        "distinct-unigram vocabulary (1-token docs included, both engines). "
+        "Exactness: each per-bigram probability is ONE IEEE double division "
+        "of exact integers (< 2^53), correctly rounded on both engines, so "
+        "floor(p*1e6+0.5) is bit-identical; the per-doc mean rides the "
+        "fixed-point integer-sum convention. Mean PROBABILITY (not mean "
+        "log-prob) precisely because Math.log/std::log are only ~1-ulp and "
+        "could flip a boundary rounding. Shuffle story (100 TB): tokenize + "
+        "bigram explode narrow; model = TWO keyed agg exchanges ((w1,w2) "
+        "and w1, map-side partials); scoring = two keyed joins against the "
+        "vocab-sized model tables (AQE broadcasts when small) + a 1-row "
+        "broadcast V; final mean ONE agg exchange on doc_id. Skew: stopword "
+        "contexts are hot keys, but both model sides are PRE-AGGREGATED so "
+        "the hot key carries one row per distinct bigram, not per "
+        "occurrence; the occurrence-side fanout is per-document-partition, "
+        "AQE skew-join splits if needed. Plan pins: no CartesianProduct; "
+        "exactly one BroadcastNestedLoopJoin (the 1-row V attach); both "
+        "model joins equi-joins (tests/test_text_lm.py)."
+    ),
+)
+def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens("text").alias("t"))
+    # vocabulary over ALL tokens (1-token docs included), matching the
+    # oracle's v CTE — computed BEFORE the >=2-token bigram filter
+    v = toks.select(F.explode("t").alias("w")).agg(
+        F.count_distinct("w").alias("vocab")
+    )
+    bg = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+                    " (a, b) -> struct(a AS w1, b AS w2))"
+                )
+            ).alias("bgs"),
+        )
+        .select("doc_id", "bgs.w1", "bgs.w2")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    p = (F.col("c12") + F.lit(1)) / (F.col("c1") + F.col("vocab")).cast("double")
+    scored = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(v))
+        .withColumn("p_fx", F.floor(p * F.lit(1000000) + F.lit(0.5)).cast("long"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        (
+            F.floor(
+                F.sum("p_fx").cast("double") / F.count("*") + F.lit(0.5)
+            ) / F.lit(1000000)
+        ).alias("avg_bigram_p"),
+    )

@@ -1,4 +1,4 @@
-"""Validation for STAGED (unregistered) r17 flagship candidates.
+"""Validation for STAGED (unregistered) flagship candidates.
 
 operators/staging.py is not in registry._OPERATOR_MODULES — nothing here
 touches the driver-gated surface. These tests are the pre-landing
@@ -6,9 +6,14 @@ evidence the r15 verdict prescribes for new flagships ("pre-staged with a
 validated oracle ... the way the seeds alignment was"): the oracle
 differential must be green on the checked-in fixture AND on a freshly
 generated different-seed fixture (the forcing test — a constant silently
-calibrated to one corpus distribution fails on the second), and the plan
-must have the shape the docstring claims before the query is ever
-registered.
+calibrated to one corpus distribution fails on the second). Per-query
+known-values and plan-shape pins live alongside each staged spec and
+migrate with it on landing (lm_bigram_score's are now in
+tests/test_text_lm.py).
+
+Both tests parametrize over whatever staged_specs() returns, so an empty
+queue (e.g. right after a landing) costs nothing and a new staged spec
+gets the differential evidence automatically.
 """
 
 from __future__ import annotations
@@ -17,9 +22,17 @@ import pytest
 
 from multithreaded_mapreduce_library_spark.operators.staging import staged_specs
 from tests.oracle import compare_query
-from tests.test_plans import formatted_plan
 
 SPECS = staged_specs()
+
+
+def test_staged_specs_not_registered():
+    """A staged spec must not leak into the gated surface: landing means
+    MOVING it under @register, not double-registering."""
+    from multithreaded_mapreduce_library_spark.registry import load_all
+
+    clash = set(SPECS) & set(load_all())
+    assert not clash, f"staged specs already registered: {sorted(clash)}"
 
 
 @pytest.mark.parametrize("name", sorted(SPECS))
@@ -29,68 +42,14 @@ def test_staged_matches_oracle(spark, sf_dir, name):
 
 @pytest.mark.parametrize("name", sorted(SPECS))
 def test_staged_matches_oracle_on_fresh_seed(spark, tmp_path_factory, name):
-    """The forcing test: regenerate the fixture at seed 99 (never used by
-    any sweep — 7/73/307/509/641 are taken) and re-run the differential.
-    Runs unconditionally (unlike the env-gated full sweep): one staged
-    query on one 500-doc fixture costs seconds, and landing r17 without
-    this evidence would repeat the pre-r15 seeds-CTE hazard."""
+    """The forcing test: regenerate the fixture at an unburned seed and
+    re-run the differential (burned by sweeps/forcing so far:
+    7/73/307/509/641/99). Runs unconditionally (unlike the env-gated full
+    sweep): one staged query on one 500-doc fixture costs seconds, and
+    landing without this evidence would repeat the pre-r15 seeds-CTE
+    hazard."""
     from scripts.gen_fixture import generate
 
-    out = str(tmp_path_factory.mktemp("staging_seed99"))
-    generate(out, seed=99)
+    out = str(tmp_path_factory.mktemp("staging_seed1201"))
+    generate(out, seed=1201)
     compare_query(spark, SPECS[name], out)
-
-
-def test_lm_bigram_score_plan_shape(spark, sf_dir):
-    """Docstring claims, pinned: the only nested-loop join is the 1-row
-    vocabulary broadcast (BroadcastNestedLoopJoin over a literal-free
-    cross of a 1-row aggregate is fine; a CartesianProduct is not), and
-    the model-table joins are equi-joins (hash or sort-merge — never a
-    nested loop carrying the bigram stream)."""
-    import re
-
-    plan = formatted_plan(SPECS["lm_bigram_score"].builder(spark, sf_dir))
-    assert "CartesianProduct" not in plan
-    # "formatted" mode names each node twice (tree + numbered detail);
-    # count nodes via the numbered detail entries only
-    def nodes(kind: str) -> int:
-        return len(re.findall(rf"^\(\d+\) {kind}", plan, re.M))
-
-    # the two model joins + the V cross: exactly ONE nested-loop node,
-    # and it must be the broadcast variant (the 1-row V attach)
-    assert nodes("BroadcastNestedLoopJoin") == 1
-    assert (
-        nodes("SortMergeJoin") + nodes("ShuffledHashJoin") + nodes("BroadcastHashJoin")
-        >= 2
-    ), "both model-table joins must be equi-joins"
-
-
-def test_lm_bigram_score_known_values(spark, tmp_path):
-    """Hand-checked micro-corpus: 2 docs over a 3-word vocabulary.
-    docs: 'a b a b' and 'b c'. Bigrams: (a,b)x2, (b,a)x1, (b,c)x1.
-    c_ctx: a->2, b->2. V=3.
-    P(b|a)=(2+1)/(2+3)=0.6  P(a|b)=(1+1)/(2+3)=0.4  P(c|b)=(1+1)/(2+3)=0.4
-    doc0 mean = (0.6+0.4+0.6)/3 = 0.533333(3) -> fx sum 1600000/3 ->
-    floor(533333.33..+0.5)=533333 -> 0.533333; doc1 = 0.4 exactly."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    d = tmp_path / "micro"
-    d.mkdir()
-    pq.write_table(
-        pa.table(
-            {
-                "doc_id": pa.array([0, 1], type=pa.int64()),
-                "text": ["a b a b", "b c"],
-                "lang": ["en", "en"],
-                "source": ["s", "s"],
-                "n_chars": pa.array([7, 3], type=pa.int64()),
-            }
-        ),
-        str(d / "documents.parquet"),
-    )
-    got = {
-        r["doc_id"]: (r["n_bigrams"], r["avg_bigram_p"])
-        for r in SPECS["lm_bigram_score"].builder(spark, str(d)).collect()
-    }
-    assert got == {0: (3, 0.533333), 1: (1, 0.4)}

@@ -44,7 +44,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from scripts.scale_probe import build_scaled  # noqa: E402
+from scripts.scale_probe import ensure_scaled  # noqa: E402
 
 N_COPIES = 16
 ITERS = 2
@@ -52,15 +52,7 @@ ITERS = 2
 
 def main() -> None:
     ks = [int(a) for a in sys.argv[1:]] or [8, 16, 32, 64]
-    scaled_dir = f"/tmp/spark_graft_scale_{N_COPIES}x"
-    marker = f"{scaled_dir}/.complete"
-    if not os.path.exists(marker):
-        import shutil
-
-        if os.path.exists(scaled_dir):
-            shutil.rmtree(scaled_dir)
-        build_scaled(N_COPIES, scaled_dir)
-        open(marker, "w").close()
+    scaled_dir = ensure_scaled(N_COPIES)
 
     from multithreaded_mapreduce_library_spark import session
     from multithreaded_mapreduce_library_spark.operators import similarity as sim
@@ -78,8 +70,10 @@ def main() -> None:
         try:
             row: dict[str, float | bool] = {}
             for label, narrow in (("narrow", True), ("window", False)):
-                best_total = float("inf")
-                best_build = float("inf")
+                # (total, build) recorded as a PAIR from the best-total
+                # iteration — independent minima could pair a build time
+                # with a total it never belonged to (ADVICE r16)
+                best = (float("inf"), float("inf"))
                 for _ in range(ITERS):
                     t0 = time.perf_counter()  # builder INSIDE the clock
                     df = sim._lloyd_assign(
@@ -87,10 +81,9 @@ def main() -> None:
                     )
                     t_build = time.perf_counter() - t0
                     df.write.format("noop").mode("overwrite").save()
-                    best_total = min(best_total, time.perf_counter() - t0)
-                    best_build = min(best_build, t_build)
-                row[f"{label}_total_s"] = round(best_total, 3)
-                row[f"{label}_build_s"] = round(best_build, 3)
+                    best = min(best, (time.perf_counter() - t0, t_build))
+                row[f"{label}_total_s"] = round(best[0], 3)
+                row[f"{label}_build_s"] = round(best[1], 3)
             # bit-identity at this k (the test_plans agreement pin, swept)
             cols = ["vec_id", "cid", "d2"]
             nrows = sorted(

@@ -147,8 +147,16 @@ def apply_blocks(repo: str, blocks: str) -> None:
 
 def main() -> None:
     args = sys.argv[1:]
-    apply = "--apply" in args
-    changed = [a for a in args if a not in ("--apply", "--preview")]
+    flags = [a for a in args if a.startswith("--")]
+    unknown = [a for a in flags if a not in ("--apply", "--preview")]
+    if unknown:
+        # a typo'd flag must not fall through into the changed-name list,
+        # where the registry check would reject it with a confusing message
+        raise SystemExit(f"unrecognized flag(s): {unknown} (valid: --apply, --preview)")
+    if "--apply" in flags and "--preview" in flags:
+        raise SystemExit("--apply and --preview are mutually exclusive")
+    apply = "--apply" in flags
+    changed = [a for a in args if not a.startswith("--")]
     if not args:
         raise SystemExit(__doc__)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -167,6 +167,13 @@ PROBE = (
     "dedup_semantic",
     "sim_topk_ivf_quantized",
     "sim_topk_ivfpq",
+    # r17: lm_bigram_score = two keyed agg exchanges (bigram + context
+    # counts, map-side partials) + two keyed model joins + one doc-mean
+    # agg — the first probe whose hot keys are natural-language stopwords
+    # (skew the other probes lack). Ratio-only: VERBATIM doc replication
+    # multiplies every count by N while V stays fixed, so the SCORES
+    # change with N by design (assert ~Nx growth, never values).
+    "lm_bigram_score",
 )
 OFF = 100_000_000  # key offset per copy — far above any base key
 
@@ -214,6 +221,23 @@ def build_scaled(n: int, out_dir: str) -> None:
     con.close()
 
 
+def ensure_scaled(n: int) -> str:
+    """Build (or reuse) the cached Nx fixture and return its directory.
+    The ONLY place that knows the cache path + '.complete' marker
+    protocol — probe_lloyd_k_sweep.py reuses it so the two probes can
+    never silently measure different fixtures (ADVICE r16). Done-marker,
+    not a table file: an interrupted build must not leave a
+    complete-looking cache missing its later tables."""
+    scaled_dir = f"/tmp/spark_graft_scale_{n}x"
+    marker = f"{scaled_dir}/.complete"
+    if not os.path.exists(marker):
+        if os.path.exists(scaled_dir):
+            shutil.rmtree(scaled_dir)
+        build_scaled(n, scaled_dir)
+        open(marker, "w").close()
+    return scaled_dir
+
+
 def time_queries(
     spark, specs, sf_dir: str, iters: int = 3, probe=PROBE
 ) -> dict[str, float]:
@@ -250,15 +274,7 @@ def main() -> None:
     from multithreaded_mapreduce_library_spark.registry import load_all
     from multithreaded_mapreduce_library_spark.session import get_spark
 
-    scaled_dir = f"/tmp/spark_graft_scale_{n}x"
-    # done-marker, not a table file: an interrupted build must not leave a
-    # complete-looking cache missing its later tables
-    marker = f"{scaled_dir}/.complete"
-    if not os.path.exists(marker):
-        if os.path.exists(scaled_dir):
-            shutil.rmtree(scaled_dir)
-        build_scaled(n, scaled_dir)
-        open(marker, "w").close()
+    scaled_dir = ensure_scaled(n)
     spark = get_spark(app_name="scale_probe")
     specs = load_all()
     specs["agg_stats"].builder(spark, BASE).write.format("noop").mode("overwrite").save()

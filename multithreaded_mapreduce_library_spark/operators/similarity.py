@@ -559,6 +559,14 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- IVF centroid training (one exact Lloyd refinement) --------------------
 K_CELLS = 8
+# Measured narrow-argmin envelope (scripts/probe_lloyd_k_sweep.py, PERF.md
+# r16: k-sweep 8/16/32/64 on the 16x fixture): the literal argmin's
+# driver-side eager build grows with k and crosses ABOVE the window path
+# at k ~ 16 under single consumption, while both stay bit-identical at
+# every k. Callers that don't choose a strategy get narrow only inside
+# this envelope; explicit narrow=True/False always wins (the gated k=8
+# consumers pass narrow=True and are untouched by the default).
+NARROW_K_MAX = 16
 _FX = 1_000_000  # centroid/assignment fixed-point scale (1e-6)
 
 # Squared-L2 distance as the same sequential left fold as cosine above:
@@ -682,7 +690,7 @@ def _lloyd_seeds(e: DataFrame) -> DataFrame:
 
 
 def _lloyd_assign(
-    e: DataFrame, centroids: DataFrame, narrow: bool = False
+    e: DataFrame, centroids: DataFrame, narrow: bool | None = None
 ) -> DataFrame:
     """(vec_id, cid, d2, va): nearest-centroid assignment of an
     embeddings frame (vec_id, v) to a k-row centroid frame (cid, vc).
@@ -713,7 +721,14 @@ def _lloyd_assign(
     Migration note (docs/lloyd_narrow_assign_migration.md): gated
     consumers flip to ``narrow=True`` in rotation-cap-sized waves;
     flipping a consumer changes its physical plan only — never a value.
+
+    ``narrow=None`` (the default) encodes the measured envelope: narrow
+    iff K_CELLS <= NARROW_K_MAX (read at call time, same as the k-sweep's
+    monkeypatch point). Tests/probes that mean the WINDOW path pass
+    ``narrow=False`` explicitly.
     """
+    if narrow is None:
+        narrow = K_CELLS <= NARROW_K_MAX
     if narrow:
         rows = sorted(centroids.collect(), key=lambda r: r["cid"])
         if not rows:
@@ -794,7 +809,9 @@ def _lloyd_update(a: DataFrame) -> DataFrame:
     )
 
 
-def _lloyd_train(e: DataFrame, rounds: int = 1, narrow: bool = False) -> DataFrame:
+def _lloyd_train(
+    e: DataFrame, rounds: int = 1, narrow: bool | None = None
+) -> DataFrame:
     """(cid, vc) after ``rounds`` Lloyd refinements over an ARBITRARY
     embeddings frame (vec_id, v) — seed with the K_CELLS smallest
     vec_ids present, then alternate assign/update. The fixed-point-means
@@ -821,7 +838,7 @@ def _lloyd_train(e: DataFrame, rounds: int = 1, narrow: bool = False) -> DataFra
 
 
 def _lloyd_final_assignment(
-    spark: SparkSession, sf_dir: str, rounds: int = 1, narrow: bool = False
+    spark: SparkSession, sf_dir: str, rounds: int = 1, narrow: bool | None = None
 ) -> DataFrame:
     """(vec_id, cid, d2, va) after ``rounds`` Lloyd refinements of the
     full embeddings table — the Spark twin of _DUCK_LLOYD_CTES at
@@ -1413,7 +1430,7 @@ FROM bat b LEFT JOIN dec ON b.vec_id = dec.nd
 
 
 def _assign_to_cells(
-    e: DataFrame, centroids: DataFrame, narrow: bool = False
+    e: DataFrame, centroids: DataFrame, narrow: bool | None = None
 ) -> DataFrame:
     """(vec_id, cid, v): the unified core's _lloyd_assign projected for
     the admission consumers (batch + streaming semantic dedup), which

@@ -95,7 +95,14 @@ def main() -> None:
                 )
             )
             wrows = sorted(
-                map(tuple, sim._lloyd_assign(e, sim._lloyd_train(e)).select(*cols).collect())
+                map(
+                    tuple,
+                    sim._lloyd_assign(
+                        e, sim._lloyd_train(e, narrow=False), narrow=False
+                    )
+                    .select(*cols)
+                    .collect(),
+                )
             )
             row["agree"] = bool(nrows) and nrows == wrows
             row["cells_used"] = len({r[1] for r in nrows})

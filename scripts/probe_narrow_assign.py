@@ -70,7 +70,9 @@ def main() -> None:
     # --- 1. assign-level bit-identity -----------------------------------
     cur = {
         r["vec_id"]: (r["cid"], r["d2"])
-        for r in S._lloyd_assign(e, seeds).select("vec_id", "cid", "d2").collect()
+        for r in S._lloyd_assign(e, seeds, narrow=False)
+        .select("vec_id", "cid", "d2")
+        .collect()
     }
     new = {
         r["vec_id"]: (r["cid"], r["d2"])
@@ -89,7 +91,7 @@ def main() -> None:
 
     want = sorted(
         tuple(r)
-        for r in S._lloyd_final_assignment(spark, sf_dir)
+        for r in S._lloyd_final_assignment(spark, sf_dir, narrow=False)
         .select("vec_id", "cid", "d2")
         .collect()
     )

@@ -411,7 +411,9 @@ def test_lloyd_multi_round_plan_stays_bounded(spark, sf_dir):
         _lloyd_final_assignment,
     )
 
-    plan2 = formatted_plan(_lloyd_final_assignment(spark, sf_dir, rounds=2))
+    plan2 = formatted_plan(
+        _lloyd_final_assignment(spark, sf_dir, rounds=2, narrow=False)
+    )
     assert "CartesianProduct" not in plan2
     assert "BroadcastNestedLoopJoin" in plan2, "centroids must broadcast"
     # lineage truncation: the checkpointed centroids appear as a scanned
@@ -469,7 +471,9 @@ def test_lloyd_assign_is_broadcast_argmin_on_any_frame(spark, sf_dir):
         .select("vec_id", _dvec("embedding").alias("v"))
         .filter(~is_batch)
     )
-    plan = formatted_plan(_lloyd_assign(corpus, _lloyd_train(corpus)))
+    plan = formatted_plan(
+        _lloyd_assign(corpus, _lloyd_train(corpus, narrow=False), narrow=False)
+    )
     assert "BroadcastNestedLoopJoin" in plan, "centroids must broadcast"
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan, "corpus must never shuffle against k rows"
@@ -1260,14 +1264,16 @@ def test_lloyd_narrow_assign_agrees_with_window(spark, sf_dir):
     )
     seeds = _lloyd_seeds(e)
     cols = ["vec_id", "cid", "d2"]
-    window = sorted(map(tuple, _lloyd_assign(e, seeds).select(*cols).collect()))
+    window = sorted(
+        map(tuple, _lloyd_assign(e, seeds, narrow=False).select(*cols).collect())
+    )
     narrow = sorted(
         map(tuple, _lloyd_assign(e, seeds, narrow=True).select(*cols).collect())
     )
     assert window and narrow == window
 
     # full loop: trained centroids then final assignment, both narrow
-    trained_w = _lloyd_assign(e, _lloyd_train(e))
+    trained_w = _lloyd_assign(e, _lloyd_train(e, narrow=False), narrow=False)
     trained_n = _lloyd_assign(e, _lloyd_train(e, narrow=True), narrow=True)
     assert trained_w.select(*cols).dtypes == trained_n.select(*cols).dtypes
     assert sorted(map(tuple, trained_w.select(*cols).collect())) == sorted(
@@ -1303,7 +1309,7 @@ def test_lloyd_narrow_assign_zero_exchange(spark, sf_dir):
                  "ShuffledHashJoin", "BroadcastHashJoin"):
         assert join not in plan, f"narrow argmin must not join ({join})"
     # and the window path REALLY pays the exchange the narrow one removes
-    wplan = formatted_plan(_lloyd_assign(e, _lloyd_seeds(e)))
+    wplan = formatted_plan(_lloyd_assign(e, _lloyd_seeds(e), narrow=False))
     assert "Window" in wplan and wplan.count("Exchange") > base_exchanges
 
 
@@ -1322,7 +1328,7 @@ def test_lloyd_narrow_assign_empty_centroids(spark, sf_dir):
         "vec_id", _dvec("embedding").alias("v")
     )
     empty = _lloyd_seeds(e).where("1 = 0")
-    got_w = _lloyd_assign(e, empty)
+    got_w = _lloyd_assign(e, empty, narrow=False)
     got_n = _lloyd_assign(e, empty, narrow=True)
     assert got_w.count() == 0 and got_n.count() == 0
     assert got_w.columns == got_n.columns

@@ -13,27 +13,311 @@ anything returned by ``staged_specs()``):
 - builder + oracle in the registry's own ``QuerySpec`` shape;
 - oracle differential green on the checked-in seed-42 fixture AND on a
   freshly generated different-seed fixture (the forcing test; burned
-  seeds so far: 7/73/307/509/641/99 — pick elsewhere);
+  seeds so far: 7/73/307/509/641/99/1201 — pick elsewhere);
 - a hand-checked known-values micro-corpus test and plan-shape pins,
   added per-query alongside the staged spec;
 - landing = move the pair under ``@register`` in its operator module,
-  ``scripts/rotate_prefix.py --apply <name>``, migrate the per-query
+  ``scripts/rotate_prefix.py --apply <name>...``, migrate the per-query
   tests to the registered spec, and empty this queue.
 
 History: ``lm_bigram_score`` staged r16 here, landed r17 in
 operators/text.py (its micro-corpus + plan pins moved to
-tests/test_text_lm.py). Current queue below.
+tests/test_text_lm.py).
+
+Staged in r17, to land in r18 (changed-set cap 4 per the _PRIORITY
+forecast; these are THREE names, leaving one slot of margin):
+
+doc_ngram_novelty — per-document cross-corpus trigram novelty: the
+fraction of a document's DISTINCT word trigrams that appear in no other
+document. The boilerplate/memorization diversity signal of training-data
+curation (a low-novelty doc is assembled from phrases the corpus already
+has; a high-novelty doc contributes new text). Exact integer counting
+end-to-end; the one division rides the fixed-point convention. Lands in
+operators/text.py.
+
+source_divergence — per-source total-variation distance between the
+source's unigram distribution and the whole-corpus distribution:
+TV(p_s, q) = 0.5 * sum_w |p_s(w) - q(w)|. The mixture-design /
+distribution-shift signal (which sources differ most from the corpus
+they're blended into — DoReMi-style reweighting starts from exactly this
+table). No transcendentals (deliberately TV, not KL: KL needs log, whose
+last-ulp differs across engines); each term is correctly-rounded IEEE
+divisions/subtractions of exact integers, fixed-pointed per term and
+integer-summed. Absent-word terms (w in corpus, not in s: |0 - q(w)| =
+q(w)) are handled WITHOUT materializing source x vocab: sum over absent
+= qsum_fx - qs_fx with the identical per-term fx formula on both
+engines. Lands in operators/text.py.
+
+embedding_outliers — per-cell far-from-centroid ranking over the shared
+Lloyd cells (_DUCK_LLOYD_CTES, K_CELLS=8, 1 refinement — the exact same
+trained cells as the IVF family): top-5 vectors by squared-L2 distance
+DESC per cell (vec_id tiebreak). The SemDeDup-style embedding-space
+pruning signal: cluster outliers are the noise/off-distribution
+candidates a curation pass drops first. d2 is the bit-identical
+sequential fold, so ranking and the 1e-6-floored d2_r are exact. Lands
+in operators/similarity.py.
 """
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from multithreaded_mapreduce_library_spark.functions import duck_tokens, tokens
 from multithreaded_mapreduce_library_spark.registry import QuerySpec
+from multithreaded_mapreduce_library_spark.sources import load_table
+
+# --- doc_ngram_novelty ------------------------------------------------------
+
+DOC_NGRAM_NOVELTY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {duck_tokens('text')} AS t FROM documents
+),
+tri AS (
+  SELECT DISTINCT doc_id, tg.w1 AS w1, tg.w2 AS w2, tg.w3 AS w3 FROM (
+    SELECT doc_id, unnest(list_transform(range(3, len(t) + 1),
+                          i -> {{'w1': t[i-2], 'w2': t[i-1], 'w3': t[i]}})) AS tg
+    FROM toks WHERE len(t) >= 3
+  )
+),
+df AS (
+  SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS df
+  FROM tri GROUP BY w1, w2, w3
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_trigrams,
+       CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       floor(CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) * 1000000 + 0.5) / 1000000 AS novel_frac
+FROM tri t
+JOIN df d ON t.w1 = d.w1 AND t.w2 = d.w2 AND t.w3 = d.w3
+GROUP BY t.doc_id
+"""
+
+
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle story (100 TB): trigram explode is narrow; per-doc
+    DISTINCT is one exchange on (doc_id, trigram); the df table is ONE
+    keyed re-agg of that distinct set (map-side partials — the hot
+    boilerplate trigram carries one row per distinct doc, already
+    deduped); the df join is keyed on the trigram (AQE broadcasts when
+    the df table is small, shuffles when vocab-scale); the final mean is
+    one agg exchange on doc_id. No all-pairs anywhere — novelty needs
+    only per-trigram document frequency, never doc x doc comparison."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens("text").alias("t"))
+    tri = (
+        toks.filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 2),"
+                    " i -> struct(element_at(t, i) AS w1,"
+                    " element_at(t, i + 1) AS w2,"
+                    " element_at(t, i + 2) AS w3))"
+                )
+            ).alias("tg"),
+        )
+        .select("doc_id", "tg.w1", "tg.w2", "tg.w3")
+        .distinct()
+    )
+    df = tri.groupBy("w1", "w2", "w3").agg(F.count("*").alias("df"))
+    novel = F.sum(
+        F.when(F.col("df") == 1, F.lit(1)).otherwise(F.lit(0)).cast("long")
+    )
+    agg = (
+        tri.join(df, ["w1", "w2", "w3"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_trigrams"), novel.alias("n_novel"))
+    )
+    return agg.select(
+        "doc_id",
+        "n_trigrams",
+        "n_novel",
+        (
+            F.floor(
+                F.col("n_novel").cast("double") / F.col("n_trigrams")
+                * F.lit(1000000) + F.lit(0.5)
+            ) / F.lit(1000000)
+        ).alias("novel_frac"),
+    )
+
+
+# --- source_divergence ------------------------------------------------------
+
+# fx(x) must be the IDENTICAL formula everywhere it appears (present
+# terms, qs_fx, qsum_fx) so the absent-word algebra cancels exactly.
+_SD_FX = 1_000_000
+
+SOURCE_DIVERGENCE_ORACLE = f"""
+WITH tok AS (
+  SELECT source, unnest({duck_tokens('text')}) AS w FROM documents
+),
+sw AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY source, w
+),
+stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM sw GROUP BY source),
+wc AS (SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM sw GROUP BY w),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM sw),
+qfx AS (
+  SELECT CAST(sum(CAST(floor(CAST(cw AS DOUBLE) / n * {_SD_FX} + 0.5)
+                       AS BIGINT)) AS BIGINT) AS qsum_fx
+  FROM wc CROSS JOIN tot
+),
+per AS (
+  SELECT s.source,
+         CAST(sum(CAST(floor(abs(CAST(s.c AS DOUBLE) / t.ns
+                                 - CAST(w.cw AS DOUBLE) / o.n)
+                             * {_SD_FX} + 0.5) AS BIGINT)) AS BIGINT)
+           AS present_fx,
+         CAST(sum(CAST(floor(CAST(w.cw AS DOUBLE) / o.n * {_SD_FX} + 0.5)
+                       AS BIGINT)) AS BIGINT) AS qs_fx
+  FROM sw s
+  JOIN stot t ON s.source = t.source
+  JOIN wc w ON s.w = w.w
+  CROSS JOIN tot o
+  GROUP BY s.source
+)
+SELECT p.source, t.ns AS n_tokens,
+       CAST(p.present_fx + (q.qsum_fx - p.qs_fx) AS DOUBLE) / {2 * _SD_FX}
+         AS tv_distance
+FROM per p
+JOIN stot t ON p.source = t.source
+CROSS JOIN qfx q
+"""
+
+
+def source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle story (100 TB): token explode narrow; ONE keyed agg
+    exchange on (source, w); stot / wc / tot are RE-AGGREGATIONS of that
+    pre-aggregated table (map-side partials, never a second pass over
+    raw tokens); the scoring join is keyed on w against the vocab-sized
+    wc (AQE broadcasts when small) plus a handful-of-rows stot join and
+    two 1-row broadcasts (tot, qsum). Skew: stopword rows are already
+    collapsed to one row per (source, w) before any join. Output is one
+    row per source."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(tokens("text")).alias("w"))
+    sw = tok.groupBy("source", "w").agg(F.count("*").alias("c"))
+    stot = sw.groupBy("source").agg(F.sum("c").alias("ns"))
+    wc = sw.groupBy("w").agg(F.sum("c").alias("cw"))
+    tot = sw.agg(F.sum("c").alias("n"))
+
+    def fx(col):
+        return F.floor(col * F.lit(_SD_FX) + F.lit(0.5)).cast("long")
+
+    qv = F.col("cw").cast("double") / F.col("n")
+    qfx = (
+        wc.crossJoin(F.broadcast(tot)).agg(F.sum(fx(qv)).alias("qsum_fx"))
+    )
+    per = (
+        sw.join(stot, ["source"])
+        .join(wc, ["w"])
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.sum(
+                fx(F.abs(F.col("c").cast("double") / F.col("ns") - qv))
+            ).alias("present_fx"),
+            F.sum(fx(qv)).alias("qs_fx"),
+        )
+    )
+    return (
+        per.join(stot, ["source"])
+        .crossJoin(F.broadcast(qfx))
+        .select(
+            "source",
+            F.col("ns").alias("n_tokens"),
+            (
+                (
+                    F.col("present_fx")
+                    + (F.col("qsum_fx") - F.col("qs_fx"))
+                ).cast("double") / F.lit(2 * _SD_FX)
+            ).alias("tv_distance"),
+        )
+    )
+
+
+# --- embedding_outliers -----------------------------------------------------
+
+TOP_OUTLIERS = 5
+
+
+def _embedding_outliers_oracle() -> str:
+    # late import so THIS module's import stays registration-free even
+    # though similarity.py registers queries on import; the oracle string
+    # is built once at staged_specs() time
+    from multithreaded_mapreduce_library_spark.operators.similarity import (
+        _DUCK_LLOYD_CTES,
+    )
+
+    return f"""
+WITH {_DUCK_LLOYD_CTES}
+SELECT cid, vec_id,
+       floor(d2 * 1000000 + 0.5) / 1000000 AS d2_r,
+       rnk
+FROM (
+  SELECT cid, vec_id, d2,
+         row_number() OVER (PARTITION BY cid ORDER BY d2 DESC, vec_id) AS rnk
+  FROM a2
+)
+WHERE rnk <= {TOP_OUTLIERS}
+"""
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle story (100 TB): training + assignment are the shared
+    Lloyd core (TakeOrdered seeds, zero-exchange literal argmin, k x dim
+    partial-agg update); the only NEW exchange is the per-cell ranking
+    window on cid. At the gated k=8 the window has 8 partitions — fine
+    at fixture scale; at real scale k ~ sqrt(N) cells keep partitions
+    balanced, and a top-5-per-cell pre-aggregation under AQE bounds the
+    sort. No joins on the data path at all."""
+    from multithreaded_mapreduce_library_spark.operators.similarity import (
+        _lloyd_final_assignment,
+    )
+
+    asn = _lloyd_final_assignment(spark, sf_dir, narrow=True)
+    w = W.partitionBy("cid").orderBy(F.col("d2").desc(), "vec_id")
+    return (
+        asn.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_OUTLIERS)
+        .select(
+            "cid",
+            "vec_id",
+            (
+                F.floor(F.col("d2") * F.lit(1000000) + F.lit(0.5))
+                / F.lit(1000000)
+            ).alias("d2_r"),
+            "rnk",
+        )
+    )
 
 
 def staged_specs() -> dict[str, QuerySpec]:
     """The staged (NOT registered) specs, in the registry's own shape so
-    tests/oracle.py::compare_query can validate them verbatim. Empty when
-    nothing is queued (r17: lm_bigram_score landed; r19 candidates are
-    staged here during r17/r18 per the rotation forecast — r18 is the
-    cap-0 all-refresh round, so anything new staged now lands in r19)."""
-    return {}
+    tests/oracle.py::compare_query can validate them verbatim."""
+    return {
+        "doc_ngram_novelty": QuerySpec(
+            name="doc_ngram_novelty",
+            builder=doc_ngram_novelty,
+            oracle=DOC_NGRAM_NOVELTY_ORACLE,
+            tags=("text", "dedup", "llm-pipeline", "staged-r18"),
+            doc=doc_ngram_novelty.__doc__ or "",
+        ),
+        "source_divergence": QuerySpec(
+            name="source_divergence",
+            builder=source_divergence,
+            oracle=SOURCE_DIVERGENCE_ORACLE,
+            tags=("text", "mixture", "llm-pipeline", "staged-r18"),
+            doc=source_divergence.__doc__ or "",
+        ),
+        "embedding_outliers": QuerySpec(
+            name="embedding_outliers",
+            builder=embedding_outliers,
+            oracle=_embedding_outliers_oracle(),
+            tags=("similarity", "kmeans", "quality", "llm-pipeline", "staged-r18"),
+            doc=embedding_outliers.__doc__ or "",
+        ),
+    }

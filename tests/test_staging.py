@@ -40,16 +40,175 @@ def test_staged_matches_oracle(spark, sf_dir, name):
     compare_query(spark, SPECS[name], sf_dir)
 
 
-@pytest.mark.parametrize("name", sorted(SPECS))
-def test_staged_matches_oracle_on_fresh_seed(spark, tmp_path_factory, name):
-    """The forcing test: regenerate the fixture at an unburned seed and
-    re-run the differential (burned by sweeps/forcing so far:
-    7/73/307/509/641/99). Runs unconditionally (unlike the env-gated full
-    sweep): one staged query on one 500-doc fixture costs seconds, and
-    landing without this evidence would repeat the pre-r15 seeds-CTE
-    hazard."""
+@pytest.fixture(scope="session")
+def fresh_seed_dir(tmp_path_factory):
+    """One seed-1201 fixture shared by every staged differential (the
+    seed is burned for staging forcing tests — the sweep seeds are
+    7/73/307/509/641, and 99 was burned by lm_bigram_score's r16
+    staging)."""
     from scripts.gen_fixture import generate
 
     out = str(tmp_path_factory.mktemp("staging_seed1201"))
     generate(out, seed=1201)
-    compare_query(spark, SPECS[name], out)
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(SPECS))
+def test_staged_matches_oracle_on_fresh_seed(spark, fresh_seed_dir, name):
+    """The forcing test: regenerate the fixture at an unburned seed and
+    re-run the differential. Runs unconditionally (unlike the env-gated
+    full sweep): a few staged queries on one 500-doc fixture cost
+    seconds, and landing without this evidence would repeat the pre-r15
+    seeds-CTE hazard."""
+    compare_query(spark, SPECS[name], fresh_seed_dir)
+
+
+# --- per-query known-values + plan pins (migrate with each spec on landing)
+
+
+def _write_docs(path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "text": [r[1] for r in rows],
+                "lang": ["en"] * len(rows),
+                "source": [r[2] for r in rows],
+                "n_chars": pa.array(
+                    [len(r[1]) for r in rows], type=pa.int64()
+                ),
+            }
+        ),
+        str(path / "documents.parquet"),
+    )
+
+
+def test_doc_ngram_novelty_known_values(spark, tmp_path):
+    """Hand-checked: doc0 'a b c d' -> distinct trigrams {abc, bcd};
+    doc1 'a b c' -> {abc}; doc2 'x' excluded (<3 tokens); doc3
+    'p q p q p' -> raw trigrams pqp,qpq,pqp -> DISTINCT {pqp, qpq}.
+    df: abc=2, bcd=1, pqp=1, qpq=1. doc0: n=2 novel=1 frac=0.5;
+    doc1: n=1 novel=0 frac=0.0; doc3: n=2 novel=2 frac=1.0."""
+    d = tmp_path / "micro"
+    d.mkdir()
+    _write_docs(
+        d, [(0, "a b c d", "s"), (1, "a b c", "s"), (2, "x", "s"), (3, "p q p q p", "s")]
+    )
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["n_novel"], r["novel_frac"])
+        for r in SPECS["doc_ngram_novelty"].builder(spark, str(d)).collect()
+    }
+    assert got == {0: (2, 1, 0.5), 1: (1, 0, 0.0), 3: (2, 2, 1.0)}
+
+
+def test_doc_ngram_novelty_plan_shape(spark, sf_dir):
+    """No all-pairs anywhere: the df join is an equi-join on the trigram
+    key — never a nested loop or cartesian carrying doc x doc work."""
+    from tests.test_plans import formatted_plan
+
+    plan = formatted_plan(SPECS["doc_ngram_novelty"].builder(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_source_divergence_known_values(spark, tmp_path):
+    """Hand-checked: source s1 tokens [a a b] (ns=3), s2 [b] (ns=1);
+    corpus a:2 b:2 N=4, q_a=q_b=0.5 so fx(q)=500000 each, qsum=1000000.
+    s1 present: |2/3-1/2|=|1/3-1/2|=1/6 -> fx=166667 each -> 333334;
+    qs=1000000 -> absent 0 -> tv=333334/2e6=0.166667.
+    s2 present: |1-1/2| -> fx=500000; qs=500000 -> absent 500000 ->
+    tv=1000000/2e6=0.5 (exact TV of (0,1) vs (.5,.5))."""
+    d = tmp_path / "micro"
+    d.mkdir()
+    _write_docs(d, [(0, "a a b", "s1"), (1, "b", "s2")])
+    got = {
+        r["source"]: (r["n_tokens"], r["tv_distance"])
+        for r in SPECS["source_divergence"].builder(spark, str(d)).collect()
+    }
+    assert got == {"s1": (3, 0.166667), "s2": (1, 0.5)}
+
+
+def test_source_divergence_plan_shape(spark, sf_dir):
+    """The only nested-loop joins are the three 1-row broadcasts (tot
+    twice, qsum once); the scoring joins are equi-joins on w/source."""
+    import re
+
+    from tests.test_plans import formatted_plan
+
+    plan = formatted_plan(SPECS["source_divergence"].builder(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+    def nodes(kind: str) -> int:
+        return len(re.findall(rf"^\(\d+\) {kind}", plan, re.M))
+
+    assert nodes("BroadcastNestedLoopJoin") == 3
+    assert (
+        nodes("SortMergeJoin") + nodes("ShuffledHashJoin") + nodes("BroadcastHashJoin")
+        >= 3
+    ), "sw-stot, sw-wc and per-stot must be equi-joins"
+
+
+def test_embedding_outliers_known_values(spark, tmp_path):
+    """Hand-checked 9-vector corpus (dim 2 — the builder is
+    dimension-agnostic; only the DuckDB oracle pins DIM): v0=(0,0),
+    vk=(100k,0) for k=1..7, v8=(2,0). Seeds = 8 smallest vec_ids (0..7).
+    Round 1: v8 joins cell 0 (d2 4 vs 9604+); update moves c0 to the
+    exact fixed-point mean (1,0), others stay on themselves. Re-assign:
+    v0 and v8 both d2=1.0 in cell 0 (tie -> vec_id order), vk d2=0 in
+    their own cells."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "micro"
+    d.mkdir()
+    vecs = [[0.0, 0.0]] + [[100.0 * k, 0.0] for k in range(1, 8)] + [[2.0, 0.0]]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(9), type=pa.int64()),
+                "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+                "label": ["l"] * 9,
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    got = sorted(
+        (r["cid"], r["vec_id"], r["d2_r"], r["rnk"])
+        for r in SPECS["embedding_outliers"].builder(spark, str(d)).collect()
+    )
+    want = sorted(
+        [(0, 0, 1.0, 1), (0, 8, 1.0, 2)]
+        + [(k, k, 0.0, 1) for k in range(1, 8)]
+    )
+    assert got == want
+
+
+def test_embedding_outliers_plan_shape(spark, sf_dir):
+    """Training + assignment ride the zero-exchange narrow argmin, so
+    the whole query has NO join nodes; the only new exchange over the
+    bare scan is the per-cell ranking window, and Spark pushes the
+    rnk<=5 filter into a WindowGroupLimit (each partition keeps top-5
+    before the final sort — the property that bounds the sort at
+    scale)."""
+    import re
+
+    from tests.test_plans import formatted_plan
+
+    plan = formatted_plan(SPECS["embedding_outliers"].builder(spark, sf_dir))
+
+    def nodes(kind: str) -> int:
+        return len(re.findall(rf"^\(\d+\) {kind}\b", plan, re.M))
+
+    for join in (
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+        "SortMergeJoin",
+        "ShuffledHashJoin",
+        "BroadcastHashJoin",
+    ):
+        assert join not in plan, f"outliers must not join ({join})"
+    assert nodes("Window") == 1
+    assert "WindowGroupLimit" in plan, "rank limit must push into the window"

@@ -12,8 +12,9 @@ Protocol (tests/test_staging.py enforces the evidence automatically for
 anything returned by ``staged_specs()``):
 - builder + oracle in the registry's own ``QuerySpec`` shape;
 - oracle differential green on the checked-in seed-42 fixture AND on a
-  freshly generated different-seed fixture (the forcing test; burned
-  seeds so far: 7/73/307/509/641/99/1201 — pick elsewhere);
+  freshly generated different-seed fixture (the forcing test; pick a
+  seed outside scripts/gen_fixture.py::BURNED_SEEDS — the canonical
+  registry — and record it there in the same commit);
 - a hand-checked known-values micro-corpus test and plan-shape pins,
   added per-query alongside the staged spec;
 - landing = move the pair under ``@register`` in its operator module,

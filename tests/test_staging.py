@@ -40,16 +40,27 @@ def test_staged_matches_oracle(spark, sf_dir, name):
     compare_query(spark, SPECS[name], sf_dir)
 
 
+FORCING_SEED = 1201  # must be recorded in gen_fixture.BURNED_SEEDS
+
+
+def test_forcing_seed_is_registered_as_burned():
+    """The canonical burned-seed list lives in scripts/gen_fixture.py
+    (r16 verdict hygiene item); a forcing seed that isn't recorded there
+    could be re-picked later as a 'fresh' sweep seed."""
+    from scripts.gen_fixture import BURNED_SEEDS
+
+    assert FORCING_SEED in BURNED_SEEDS
+
+
 @pytest.fixture(scope="session")
 def fresh_seed_dir(tmp_path_factory):
-    """One seed-1201 fixture shared by every staged differential (the
-    seed is burned for staging forcing tests — the sweep seeds are
-    7/73/307/509/641, and 99 was burned by lm_bigram_score's r16
-    staging)."""
+    """One forcing-seed fixture shared by every staged differential (99
+    was burned by lm_bigram_score's r16 staging; see
+    gen_fixture.BURNED_SEEDS for the full registry)."""
     from scripts.gen_fixture import generate
 
-    out = str(tmp_path_factory.mktemp("staging_seed1201"))
-    generate(out, seed=1201)
+    out = str(tmp_path_factory.mktemp(f"staging_seed{FORCING_SEED}"))
+    generate(out, seed=FORCING_SEED)
     return out
 
 

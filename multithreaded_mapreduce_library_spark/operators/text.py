@@ -1059,10 +1059,13 @@ GROUP BY b.doc_id
         "fixed-point integer-sum convention. Mean PROBABILITY (not mean "
         "log-prob) precisely because Math.log/std::log are only ~1-ulp and "
         "could flip a boundary rounding. Shuffle story (100 TB): tokenize + "
-        "bigram explode narrow; model = TWO keyed agg exchanges ((w1,w2) "
-        "and w1, map-side partials); scoring = two keyed joins against the "
-        "vocab-sized model tables (AQE broadcasts when small) + a 1-row "
-        "broadcast V; final mean ONE agg exchange on doc_id. Skew: stopword "
+        "bigram explode narrow; model = ONE corpus-scale keyed agg exchange "
+        "on (w1,w2), map-side partials, then c_ctx derived as a VOCAB-scale "
+        "re-agg of that output (sum_w2 c12 — never a second corpus pass); "
+        "scoring = two keyed joins against the vocab-sized model tables "
+        "(AQE broadcasts when small) + a 1-row broadcast V; final mean ONE "
+        "agg exchange on doc_id. Two corpus passes total (model agg + "
+        "scoring join), vs three with a direct GROUP BY w1. Skew: stopword "
         "contexts are hot keys, but both model sides are PRE-AGGREGATED so "
         "the hot key carries one row per distinct bigram, not per "
         "occurrence; the occurrence-side fanout is per-document-partition, "
@@ -1093,7 +1096,12 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "bgs.w1", "bgs.w2")
     )
     c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    # c_ctx(w1) = sum_w2 c(w1, w2): derive it from c2's vocab-sized
+    # output instead of re-aggregating the corpus-scale bigram stream —
+    # one fewer scan+tokenize+explode pass over the corpus (the oracle
+    # keeps the direct GROUP BY w1 formulation, which is the stronger
+    # differential: independent derivations must agree exactly)
+    c1 = c2.groupBy("w1").agg(F.sum("c12").alias("c1"))
     p = (F.col("c12") + F.lit(1)) / (F.col("c1") + F.col("vocab")).cast("double")
     scored = (
         bg.join(c2, ["w1", "w2"])

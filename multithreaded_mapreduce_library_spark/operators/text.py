@@ -1060,8 +1060,9 @@ GROUP BY b.doc_id
         "log-prob) precisely because Math.log/std::log are only ~1-ulp and "
         "could flip a boundary rounding. Shuffle story (100 TB): tokenize + "
         "bigram explode narrow; model = ONE corpus-scale keyed agg exchange "
-        "on (w1,w2), map-side partials, then c_ctx derived as a VOCAB-scale "
-        "re-agg of that output (sum_w2 c12 — never a second corpus pass); "
+        "on (w1,w2), map-side partials, AQE-REUSED (ReusedExchange, pinned) "
+        "by the VOCAB-scale c_ctx re-agg (sum_w2 c12 — never a second "
+        "corpus pass); "
         "scoring = two keyed joins against the vocab-sized model tables "
         "(AQE broadcasts when small) + a 1-row broadcast V; final mean ONE "
         "agg exchange on doc_id. Two corpus passes total (model agg + "
@@ -1094,13 +1095,23 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bgs"),
         )
         .select("doc_id", "bgs.w1", "bgs.w2")
+        # semantically a no-op (tokens are non-null by construction) but
+        # load-bearing for the plan: the inner joins below push
+        # isnotnull(w1) AND isnotnull(w2) into THEIR c2 subtree while the
+        # c1 re-agg's subtree only infers isnotnull(w1) — asymmetric
+        # filters break canonical plan equality and AQE then runs the
+        # corpus-scale (w1,w2) shuffle TWICE. With the filter explicit on
+        # bg, both c2 subtrees canonicalize equal and the final plan
+        # shows a ReusedExchange (pinned in tests/test_text_lm.py).
+        .filter(F.col("w1").isNotNull() & F.col("w2").isNotNull())
     )
     c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     # c_ctx(w1) = sum_w2 c(w1, w2): derive it from c2's vocab-sized
     # output instead of re-aggregating the corpus-scale bigram stream —
-    # one fewer scan+tokenize+explode pass over the corpus (the oracle
-    # keeps the direct GROUP BY w1 formulation, which is the stronger
-    # differential: independent derivations must agree exactly)
+    # with the shared c2 exchange reused, the model build costs ONE
+    # corpus pass instead of two (the oracle keeps the direct GROUP BY
+    # w1 formulation, which is the stronger differential: independent
+    # derivations must agree exactly)
     c1 = c2.groupBy("w1").agg(F.sum("c12").alias("c1"))
     p = (F.col("c12") + F.lit(1)) / (F.col("c1") + F.col("vocab")).cast("double")
     scored = (

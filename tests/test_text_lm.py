@@ -42,6 +42,20 @@ def test_lm_bigram_score_plan_shape(spark, sf_dir):
     ), "both model-table joins must be equi-joins"
 
 
+def test_lm_bigram_score_reuses_model_exchange(spark, sf_dir):
+    """The c_ctx re-agg must REUSE the corpus-scale (w1,w2) shuffle
+    rather than recompute it: the explicit not-null filter on bg keeps
+    the two c2 subtrees canonically equal (inner-join null-filter
+    inference would otherwise make them differ and AQE would run the
+    corpus aggregation twice). Reuse only materializes in the FINAL
+    adaptive plan, so execute first."""
+    df = SPEC.builder(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, "model exchange must be reused, not recomputed"
+
+
 def test_lm_bigram_score_known_values(spark, tmp_path):
     """Hand-checked micro-corpus: 2 docs over a 3-word vocabulary.
     docs: 'a b a b' and 'b c'. Bigrams: (a,b)x2, (b,a)x1, (b,c)x1.

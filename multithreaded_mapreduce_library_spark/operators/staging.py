@@ -153,7 +153,10 @@ _SD_FX = 1_000_000
 
 SOURCE_DIVERGENCE_ORACLE = f"""
 WITH tok AS (
-  SELECT source, unnest({duck_tokens('text')}) AS w FROM documents
+  SELECT source, w FROM (
+    SELECT source, unnest({duck_tokens('text')}) AS w
+    FROM documents WHERE source IS NOT NULL
+  ) WHERE w IS NOT NULL
 ),
 sw AS (
   SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY source, w
@@ -199,7 +202,19 @@ def source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapsed to one row per (source, w) before any join. Output is one
     row per source."""
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("source", F.explode(tokens("text")).alias("w"))
+    # The not-null filter is semantically a no-op on real data (tokens
+    # are non-null by construction; a null source would be excluded by
+    # the inner joins below on BOTH engines anyway — and the oracle's
+    # tok CTE carries the same WHERE so the corpus totals agree even on
+    # hypothetical null-source rows). It is load-bearing for the plan:
+    # the joins infer isnotnull(source)/isnotnull(w) into SOME of sw's
+    # four consumer subtrees but not others (wc/tot see no keys), which
+    # breaks canonical equality and makes AQE re-run the corpus-scale
+    # (source, w) aggregation. Explicit and uniform, all four consumers
+    # reuse ONE exchange — a single corpus pass (pinned).
+    tok = d.select("source", F.explode(tokens("text")).alias("w")).filter(
+        F.col("source").isNotNull() & F.col("w").isNotNull()
+    )
     sw = tok.groupBy("source", "w").agg(F.count("*").alias("c"))
     stot = sw.groupBy("source").agg(F.sum("c").alias("ns"))
     wc = sw.groupBy("w").agg(F.sum("c").alias("cw"))

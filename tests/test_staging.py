@@ -125,6 +125,33 @@ def test_doc_ngram_novelty_plan_shape(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def _final_adaptive_plan(df) -> str:
+    """Execute and return the FINAL adaptive plan section only (reuse
+    and the true scan count only materialize there; the toString also
+    re-prints the initial plan below a marker, which would double-count
+    scans)."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    return plan.split("== Initial Plan ==")[0]
+
+
+@pytest.mark.parametrize(
+    "name", ["doc_ngram_novelty", "source_divergence"]
+)
+def test_staged_text_queries_are_one_corpus_pass(spark, sf_dir, name):
+    """Both text candidates must read documents EXACTLY ONCE in the
+    executed plan: every downstream consumer (df table; stot/wc/tot and
+    the scoring join) rides a ReusedExchange of the first corpus-scale
+    aggregation. For source_divergence this is load-bearing code (the
+    explicit not-null filter keeps the four sw subtrees canonically
+    equal — without it AQE re-runs the corpus agg); for novelty it
+    pins the symmetric-inference status quo."""
+    final = _final_adaptive_plan(SPECS[name].builder(spark, sf_dir))
+    assert final.count("FileScan parquet") == 1, "documents must scan once"
+    assert "ReusedExchange" in final
+
+
 def test_source_divergence_known_values(spark, tmp_path):
     """Hand-checked: source s1 tokens [a a b] (ns=3), s2 [b] (ns=1);
     corpus a:2 b:2 N=4, q_a=q_b=0.5 so fx(q)=500000 each, qsum=1000000.

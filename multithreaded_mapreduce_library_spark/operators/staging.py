@@ -26,7 +26,9 @@ operators/text.py (its micro-corpus + plan pins moved to
 tests/test_text_lm.py).
 
 Staged in r17, to land in r18 (changed-set cap 4 per the _PRIORITY
-forecast; these are THREE names, leaving one slot of margin):
+forecast; THREE primary names + ONE optional — land the optional
+`stream_lm_score` only if no r17 gate query needs the slot for a
+re-fix; a red query's re-verification always outranks a new landing):
 
 doc_ngram_novelty — per-document cross-corpus trigram novelty: the
 fraction of a document's DISTINCT word trigrams that appear in no other
@@ -57,6 +59,15 @@ pruning signal: cluster outliers are the noise/off-distribution
 candidates a curation pass drops first. d2 is the bit-identical
 sequential fold, so ranking and the 1e-6-floored d2_r are exact. Lands
 in operators/similarity.py.
+
+stream_lm_score (OPTIONAL 4th) — the online half of lm_bigram_score:
+bigram model trained on the CORPUS split (h31 % INC_SPLIT_MOD, the
+incremental-family convention), held static; arriving batch-split
+documents stream in and are scored per micro-batch via stream-static
+LEFT joins (unseen transitions fall back to the add-1 floor 1/V — the
+deployed perplexity-filter semantics, where the model is frozen at
+serving time and V covers corpus vocabulary only). Lands in
+streaming/queries.py.
 """
 
 from __future__ import annotations
@@ -336,4 +347,170 @@ def staged_specs() -> dict[str, QuerySpec]:
             tags=("similarity", "kmeans", "quality", "llm-pipeline", "staged-r18"),
             doc=embedding_outliers.__doc__ or "",
         ),
+        "stream_lm_score": QuerySpec(
+            name="stream_lm_score",
+            builder=stream_lm_score,
+            oracle=_stream_lm_oracle(),
+            tags=(
+                "streaming", "text", "quality", "incremental",
+                "llm-pipeline", "staged-r18-optional",
+            ),
+            doc=stream_lm_score.__doc__ or "",
+        ),
     }
+
+
+# --- stream_lm_score --------------------------------------------------------
+
+# same explode as the batch twin (operators/text.py lm_bigram_score)
+_BG_EXPR = (
+    "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+    " (a, b) -> struct(a AS w1, b AS w2))"
+)
+
+
+def lm_score_stream_transform(
+    s: DataFrame, c2: DataFrame, c1: DataFrame, vocab_n: int
+) -> DataFrame:
+    """Streaming-legal scoring of an arriving document stream against a
+    STATIC corpus-trained bigram model: per-row tokenize + bigram explode
+    (narrow), stream-static LEFT equi-joins against the model tables
+    (unseen bigrams/contexts coalesce to 0 and ride the same add-1
+    smoothing: P = (c12+1)/(c_ctx+V), so a fully-novel transition scores
+    1/V), V folded in as a literal (the streaming-twin precedent for
+    constant model state — stream_dedup_semantic's centroid literals),
+    then ONE keyed update-mode aggregation per arriving doc emitting
+    monotone (n_bigrams, sum_fx) counters."""
+    toks = s.select("doc_id", tokens("text").alias("t"))
+    bg = (
+        toks.filter(F.size("t") >= 2)
+        .select("doc_id", F.explode(F.expr(_BG_EXPR)).alias("bgs"))
+        .select("doc_id", "bgs.w1", "bgs.w2")
+        .filter(F.col("w1").isNotNull() & F.col("w2").isNotNull())
+    )
+    p = (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1)) / (
+        F.coalesce(F.col("c1"), F.lit(0)) + F.lit(int(vocab_n))
+    ).cast("double")
+    return (
+        bg.join(c2, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .withColumn("p_fx", F.floor(p * F.lit(1000000) + F.lit(0.5)).cast("long"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("p_fx").alias("sum_fx"))
+    )
+
+
+def _stream_lm_oracle() -> str:
+    from multithreaded_mapreduce_library_spark.operators.dedup import (
+        _INC_BATCH_COND,
+    )
+
+    return f"""
+WITH corpus AS (SELECT text FROM documents WHERE NOT {_INC_BATCH_COND}),
+batch AS (SELECT doc_id, text FROM documents WHERE {_INC_BATCH_COND}),
+tc AS (SELECT {duck_tokens('text')} AS t FROM corpus),
+v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS vocab
+      FROM (SELECT unnest(t) AS w FROM tc)),
+bgc AS (
+  SELECT bgs.w1 AS w1, bgs.w2 AS w2 FROM (
+    SELECT unnest(list_transform(range(2, len(t) + 1),
+                  i -> {{'w1': t[i-1], 'w2': t[i]}})) AS bgs
+    FROM tc WHERE len(t) >= 2
+  )
+),
+c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bgc GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bgc GROUP BY w1),
+tb AS (SELECT doc_id, {duck_tokens('text')} AS t FROM batch),
+bgb AS (
+  SELECT doc_id, bgs.w1 AS w1, bgs.w2 AS w2 FROM (
+    SELECT doc_id, unnest(list_transform(range(2, len(t) + 1),
+                          i -> {{'w1': t[i-1], 'w2': t[i]}})) AS bgs
+    FROM tb WHERE len(t) >= 2
+  )
+)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       floor(CAST(CAST(sum(CAST(floor(
+           (COALESCE(c2.c12, 0) + 1)
+           / CAST(COALESCE(c1.c1, 0) + v.vocab AS DOUBLE) * 1000000 + 0.5
+         ) AS BIGINT)) AS BIGINT) AS DOUBLE) / count(*) + 0.5) / 1000000
+         AS avg_bigram_p
+FROM bgb b
+LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+LEFT JOIN c1 ON b.w1 = c1.w1
+CROSS JOIN v
+WHERE v.vocab > 0
+GROUP BY b.doc_id
+"""
+
+
+def stream_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quality gate — the online half of lm_bigram_score: train
+    the add-1-smoothed bigram model on the CORPUS split (the standard
+    h31 % INC_SPLIT_MOD incremental convention), hold it static, and
+    score ARRIVING documents (the batch split) as they stream in. The
+    deployed perplexity-filter shape: the model is fixed at serving
+    time, V covers corpus vocabulary only, and novel transitions in
+    arriving text fall back to the smoothed floor — so scores are
+    comparable across micro-batches. Shuffle story (100 TB): model =
+    lm_bigram_score's one corpus-scale (w1,w2) agg + vocab-scale c_ctx
+    re-agg, built once per deployment (persist it as a table in
+    production — here it rides the replay); per micro-batch the arriving
+    docs pay narrow explode + two stream-static keyed joins (vocab-sized
+    static sides, broadcast when small) + one keyed update agg whose
+    state is a (count, sum) pair per in-flight doc. Work scales with the
+    batch, never the corpus. Finalize is the twins' defensive monoid
+    merge (counters only grow across update emissions)."""
+    from multithreaded_mapreduce_library_spark.operators.dedup import (
+        INC_SPLIT_MOD,
+    )
+    from multithreaded_mapreduce_library_spark.functions import h31
+    from multithreaded_mapreduce_library_spark.streaming.queries import (
+        run_to_memory,
+        table_stream,
+    )
+
+    is_batch = (
+        F.pmod(h31(F.col("doc_id").cast("string")), F.lit(INC_SPLIT_MOD)) == 0
+    )
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(~is_batch)
+    toks_c = corpus.select(tokens("text").alias("t"))
+    vocab_n = (
+        toks_c.select(F.explode("t").alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+        .collect()[0]["v"]
+    )
+    schema = "doc_id long, n_bigrams long, avg_bigram_p double"
+    if not vocab_n:
+        # all-batch corpus (or token-free corpus): no trained model =>
+        # no scores on either engine (the oracle's WHERE v.vocab > 0)
+        return spark.createDataFrame([], schema)
+    bgc = (
+        toks_c.filter(F.size("t") >= 2)
+        .select(F.explode(F.expr(_BG_EXPR)).alias("bgs"))
+        .select("bgs.w1", "bgs.w2")
+        .filter(F.col("w1").isNotNull() & F.col("w2").isNotNull())
+    )
+    c2 = bgc.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    # derived c_ctx (the batch twin's shape); the oracle derives it
+    # directly from the bigram stream — independent derivations must
+    # agree exactly
+    c1 = c2.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    stream = table_stream(spark, sf_dir, "documents").filter(is_batch)
+    settled = run_to_memory(
+        lm_score_stream_transform(stream, c2, c1, vocab_n), "update"
+    )
+    fin = settled.groupBy("doc_id").agg(
+        F.max("n_bigrams").cast("long").alias("n_bigrams"),
+        F.max("sum_fx").cast("long").alias("sum_fx"),
+    )
+    return fin.select(
+        "doc_id",
+        "n_bigrams",
+        (
+            F.floor(
+                F.col("sum_fx").cast("double") / F.col("n_bigrams") + F.lit(0.5)
+            ) / F.lit(1000000)
+        ).alias("avg_bigram_p"),
+    )

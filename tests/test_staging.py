@@ -19,6 +19,7 @@ gets the differential evidence automatically.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from multithreaded_mapreduce_library_spark.operators.staging import staged_specs
 from tests.oracle import compare_query
@@ -250,3 +251,135 @@ def test_embedding_outliers_plan_shape(spark, sf_dir):
         assert join not in plan, f"outliers must not join ({join})"
     assert nodes("Window") == 1
     assert "WindowGroupLimit" in plan, "rank limit must push into the window"
+
+
+def test_stream_lm_score_known_values(spark, tmp_path):
+    """Hand-checked with the REAL h31 split (doc_ids 0/3/4 land in the
+    arriving batch, 1/2 in the corpus — verified against the md5
+    arithmetic offline). Corpus: 'a b a b' + 'b c' -> c2: ab=2, ba=1,
+    bc=1; c_ctx: a=2, b=2; V={a,b,c}=3. Arriving: doc0 'a b x' ->
+    P(b|a)=0.6, P(x|b) unseen bigram seen context = (0+1)/(2+3)=0.2 ->
+    avg 0.4; doc3 'c' (1 token, excluded); doc4 'x y' -> fully novel
+    transition = (0+1)/(0+3) -> fx floor(333333.33+0.5)=333333 ->
+    0.333333."""
+    d = tmp_path / "micro"
+    d.mkdir()
+    _write_docs(
+        d,
+        [
+            (0, "a b x", "s"),
+            (1, "a b a b", "s"),
+            (2, "b c", "s"),
+            (3, "c", "s"),
+            (4, "x y", "s"),
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_bigram_p"])
+        for r in SPECS["stream_lm_score"].builder(spark, str(d)).collect()
+    }
+    assert got == {0: (2, 0.4), 4: (1, 0.333333)}
+
+
+def test_stream_lm_score_multibatch_settles_to_single_batch(spark, sf_dir, tmp_path):
+    """Cross-batch state transitions, the streaming-twin obligation: split
+    the arriving docs into 2 part files, replay with maxFilesPerTrigger=1
+    (several data batches), drive the SAME transform + monoid finalize,
+    and require the result equal the gated single-batch settle. Each doc
+    arrives whole (files split on row boundaries), so update-mode state
+    transitions happen across docs, and the max-merge finalize must be
+    batching-invariant."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    from multithreaded_mapreduce_library_spark.functions import h31, tokens
+    from multithreaded_mapreduce_library_spark.operators.dedup import INC_SPLIT_MOD
+    from multithreaded_mapreduce_library_spark.operators.staging import (
+        _BG_EXPR,
+        lm_score_stream_transform,
+    )
+    from multithreaded_mapreduce_library_spark.sources import load_table
+
+    single = {
+        tuple(r)
+        for r in SPECS["stream_lm_score"].builder(spark, sf_dir).collect()
+    }
+    assert single, "fixture must score at least one arriving doc"
+
+    # rebuild the static model exactly as the builder does
+    is_batch = (
+        F.pmod(h31(F.col("doc_id").cast("string")), F.lit(INC_SPLIT_MOD)) == 0
+    )
+    d = load_table(spark, sf_dir, "documents")
+    toks_c = d.filter(~is_batch).select(tokens("text").alias("t"))
+    vocab_n = (
+        toks_c.select(F.explode("t").alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+        .collect()[0]["v"]
+    )
+    bgc = (
+        toks_c.filter(F.size("t") >= 2)
+        .select(F.explode(F.expr(_BG_EXPR)).alias("bgs"))
+        .select("bgs.w1", "bgs.w2")
+        .filter(F.col("w1").isNotNull() & F.col("w2").isNotNull())
+    )
+    c2 = bgc.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = c2.groupBy("w1").agg(F.sum("c12").alias("c1"))
+
+    # split documents.parquet into 2 time-ordered part files
+    out = tmp_path / "docs_multi"
+    out.mkdir()
+    t = pq_.read_table(os.path.join(sf_dir, "documents.parquet"))
+    n = t.num_rows
+    import time as time_
+
+    t0 = time_.time() - 600
+    for i, (lo, hi) in enumerate([(0, n // 2), (n // 2, n)]):
+        p = str(out / f"part-{i:02d}.parquet")
+        pq_.write_table(t.slice(lo, hi - lo), p)
+        os.utime(p, (t0 + 30 * i, t0 + 30 * i))
+
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(out))
+        .filter(is_batch)
+    )
+    name = "stream_lm_mb_sink"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            lm_score_stream_transform(stream, c2, c1, vocab_n)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_data_batches = sum(1 for p in q.recentProgress if p.numInputRows > 0)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert n_data_batches >= 2, "replay must be genuinely multi-batch"
+    settled = spark.table(name)
+    fin = settled.groupBy("doc_id").agg(
+        F.max("n_bigrams").cast("long").alias("n_bigrams"),
+        F.max("sum_fx").cast("long").alias("sum_fx"),
+    )
+    multi = {
+        tuple(r)
+        for r in fin.select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.floor(
+                    F.col("sum_fx").cast("double") / F.col("n_bigrams")
+                    + F.lit(0.5)
+                ) / F.lit(1000000)
+            ).alias("avg_bigram_p"),
+        ).collect()
+    }
+    assert multi == single

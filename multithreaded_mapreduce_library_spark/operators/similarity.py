@@ -724,13 +724,30 @@ def _lloyd_assign(
 
     ``narrow=None`` (the default) encodes the measured envelope: narrow
     iff K_CELLS <= NARROW_K_MAX (read at call time, same as the k-sweep's
-    monkeypatch point). Tests/probes that mean the WINDOW path pass
-    ``narrow=False`` explicitly.
+    monkeypatch point). The envelope is therefore only meaningful for a
+    K_CELLS-sized centroid frame — deciding from the frame's own row
+    count would cost an extra count() job on the window path, so instead
+    the narrow path (which collects the frame anyway) hard-asserts the
+    actual k is inside the measured envelope when the strategy was
+    envelope-resolved: a caller assigning against a custom-k frame
+    without adjusting K_CELLS fails loudly instead of silently building
+    an oversized literal argmin the k-sweep never certified. Callers
+    with a deliberate off-envelope k pass ``narrow=`` explicitly
+    (explicit flags always win, unasserted). Tests/probes that mean the
+    WINDOW path pass ``narrow=False`` explicitly.
     """
+    envelope_resolved = narrow is None
     if narrow is None:
         narrow = K_CELLS <= NARROW_K_MAX
     if narrow:
         rows = sorted(centroids.collect(), key=lambda r: r["cid"])
+        if envelope_resolved:
+            assert len(rows) <= NARROW_K_MAX, (
+                f"narrow=None resolved narrow for K_CELLS={K_CELLS} but the "
+                f"centroid frame has {len(rows)} rows (> NARROW_K_MAX="
+                f"{NARROW_K_MAX}) — the measured envelope does not apply; "
+                "pass narrow= explicitly (or set K_CELLS) for custom-k frames"
+            )
         if not rows:
             # window path: cross join with an empty broadcast => empty
             return (

@@ -1065,8 +1065,12 @@ GROUP BY b.doc_id
         "corpus pass); "
         "scoring = two keyed joins against the vocab-sized model tables "
         "(AQE broadcasts when small) + a 1-row broadcast V; final mean ONE "
-        "agg exchange on doc_id. Two corpus passes total (model agg + "
-        "scoring join), vs three with a direct GROUP BY w1. Skew: stopword "
+        "agg exchange on doc_id. THREE corpus passes total — model agg, "
+        "scoring join, and the vocabulary distinct-agg (V's subtree is an "
+        "independent scan+tokenize: its key is the unigram, so it cannot "
+        "share the (w1,w2) exchange; counted honestly, and cheap — a "
+        "count_distinct with map-side partials) — vs four with a direct "
+        "GROUP BY w1 for c_ctx. Skew: stopword "
         "contexts are hot keys, but both model sides are PRE-AGGREGATED so "
         "the hot key carries one row per distinct bigram, not per "
         "occurrence; the occurrence-side fanout is per-document-partition, "

@@ -18,6 +18,22 @@ def formatted_plan(df: DataFrame, mode: str = "formatted") -> str:
     return buf.getvalue()
 
 
+def final_adaptive_plan(df: DataFrame) -> str:
+    """Execute ``df`` and return ONLY the final adaptive plan section.
+
+    Exchange reuse and the true per-table scan count only materialize in
+    the EXECUTED plan (AQE re-plans at runtime; the static/formatted plan
+    cannot show a silent recompute — the r17 lm_bigram_score lesson,
+    CLAUDE.md). ``executedPlan().toString()`` also re-prints the initial
+    plan below an ``== Initial Plan ==`` marker, which would double-count
+    scans and can show stale ReusedExchange nodes, so callers must assert
+    against the final section only — this helper slices it out."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    return plan.split("== Initial Plan ==")[0]
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """All non-empty PushedFilters entries from scan nodes."""
     plan = formatted_plan(df)

@@ -1332,3 +1332,35 @@ def test_lloyd_narrow_assign_empty_centroids(spark, sf_dir):
     got_n = _lloyd_assign(e, empty, narrow=True)
     assert got_w.count() == 0 and got_n.count() == 0
     assert got_w.columns == got_n.columns
+
+
+def test_lloyd_envelope_default_rejects_offsize_centroid_frame(spark, sf_dir):
+    """narrow=None resolves the strategy from K_CELLS (the measured
+    k-sweep envelope), NOT from the frame passed in — so a custom-k
+    centroid frame larger than NARROW_K_MAX must fail LOUDLY on the
+    envelope path (r17 ADVICE: previously it silently built an oversized
+    literal argmin the sweep never certified). Explicit narrow=True
+    remains the caller's deliberate, unasserted choice."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from multithreaded_mapreduce_library_spark.operators.similarity import (
+        NARROW_K_MAX,
+        _dvec,
+        _lloyd_assign,
+        _load_embeddings,
+    )
+
+    e = _load_embeddings(spark, sf_dir).select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    oversized = (
+        e.orderBy("vec_id")
+        .limit(NARROW_K_MAX + 1)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("vc"))
+    )
+    with pytest.raises(AssertionError, match="measured envelope"):
+        _lloyd_assign(e, oversized, narrow=None).collect()
+    # the explicit flag is the documented escape hatch — values still exact
+    n = _lloyd_assign(e, oversized, narrow=True).count()
+    assert n == e.count()

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import re
 
+from multithreaded_mapreduce_library_spark.plans import final_adaptive_plan
 from multithreaded_mapreduce_library_spark.registry import load_all
 from tests.test_plans import formatted_plan
 
@@ -48,12 +49,20 @@ def test_lm_bigram_score_reuses_model_exchange(spark, sf_dir):
     the two c2 subtrees canonically equal (inner-join null-filter
     inference would otherwise make them differ and AQE would run the
     corpus aggregation twice). Reuse only materializes in the FINAL
-    adaptive plan, so execute first."""
-    df = SPEC.builder(spark, sf_dir)
-    df.collect()
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "isFinalPlan=true" in plan
-    assert "ReusedExchange" in plan, "model exchange must be reused, not recomputed"
+    adaptive plan, so execute first — and assert on the final section
+    ONLY (the toString re-prints the initial plan, where a stale
+    ReusedExchange or extra scans could mask a recompute regression).
+    Scan budget: exactly THREE FileScans of documents — the model-agg
+    subtree, the bg scoring side, and the vocabulary agg (the docstring's
+    three corpus passes); c_ctx contributes NO fourth scan because its
+    subtree is the pinned ReusedExchange."""
+    final = final_adaptive_plan(SPEC.builder(spark, sf_dir))
+    assert "ReusedExchange" in final, "model exchange must be reused, not recomputed"
+    assert final.count("FileScan parquet") == 3, (
+        "lm_bigram_score must scan documents exactly three times "
+        "(model agg, scoring side, vocab) — a fourth scan means the "
+        "c_ctx exchange reuse regressed"
+    )
 
 
 def test_lm_bigram_score_known_values(spark, tmp_path):

@@ -876,6 +876,69 @@ def lloyd_inertia_fx(spark: SparkSession, sf_dir: str, rounds: int) -> int:
     ).collect()[0]["i"]
 
 
+# --- embedding-space outlier ranking (landed r18; staged+validated r17 in
+# operators/staging.py per the pre-landing protocol — oracle differential
+# on seeds 42 AND 1201, hand-checked 9-vector micro-corpus, plan pins) ----
+
+TOP_OUTLIERS = 5
+
+EMBEDDING_OUTLIERS_ORACLE = f"""
+WITH {_DUCK_LLOYD_CTES}
+SELECT cid, vec_id,
+       floor(d2 * 1000000 + 0.5) / 1000000 AS d2_r,
+       rnk
+FROM (
+  SELECT cid, vec_id, d2,
+         row_number() OVER (PARTITION BY cid ORDER BY d2 DESC, vec_id) AS rnk
+  FROM a2
+)
+WHERE rnk <= {TOP_OUTLIERS}
+"""
+
+
+@register(
+    "embedding_outliers",
+    oracle=EMBEDDING_OUTLIERS_ORACLE,
+    tags=("similarity", "kmeans", "quality", "llm-pipeline"),
+    doc=(
+        "Per-cell far-from-centroid ranking over the shared Lloyd cells "
+        f"(_DUCK_LLOYD_CTES, K_CELLS={K_CELLS}, 1 refinement — the exact "
+        "same trained cells as the IVF family): the top-"
+        f"{TOP_OUTLIERS} vectors by squared-L2 distance DESC per cell "
+        "(vec_id tiebreak). The SemDeDup-style embedding-space pruning "
+        "signal: cluster outliers are the noise/off-distribution "
+        "candidates a curation pass drops first. d2 is the bit-identical "
+        "sequential fold, so the ranking and the 1e-6-floored d2_r are "
+        "exact. Shuffle story (100 TB): training + assignment are the "
+        "shared Lloyd core (TakeOrdered seeds, zero-exchange literal "
+        "argmin, k x dim partial-agg update); the only NEW exchange is "
+        "the per-cell ranking window on cid, and Spark pushes the rnk<=5 "
+        "filter into a WindowGroupLimit (each partition keeps top-5 "
+        "before the final sort — the property that bounds the sort at "
+        "scale; pinned in tests/test_plans.py). At the gated k=8 the "
+        "window has 8 partitions — fine at fixture scale; at real scale "
+        "k ~ sqrt(N) cells keep partitions balanced. No joins on the "
+        "data path at all (pinned)."
+    ),
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    asn = _lloyd_final_assignment(spark, sf_dir, narrow=True)
+    w = W.partitionBy("cid").orderBy(F.col("d2").desc(), "vec_id")
+    return (
+        asn.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_OUTLIERS)
+        .select(
+            "cid",
+            "vec_id",
+            (
+                F.floor(F.col("d2") * F.lit(1000000) + F.lit(0.5))
+                / F.lit(1000000)
+            ).alias("d2_r"),
+            "rnk",
+        )
+    )
+
+
 @register(
     "sim_topk_ivf_trained",
     oracle=f"""

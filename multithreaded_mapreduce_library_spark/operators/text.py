@@ -1132,3 +1132,242 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) / F.lit(1000000)
         ).alias("avg_bigram_p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus trigram novelty (landed r18; staged+validated r17 in
+# operators/staging.py per the pre-landing protocol — oracle differential
+# on seeds 42 AND 1201, hand-checked micro-corpus, plan pins; evidence in
+# docs/r18_plan.md / the r17 PERF.md entry)
+# ---------------------------------------------------------------------------
+
+DOC_NGRAM_NOVELTY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {duck_tokens('text')} AS t FROM documents
+),
+tri AS (
+  SELECT DISTINCT doc_id, tg.w1 AS w1, tg.w2 AS w2, tg.w3 AS w3 FROM (
+    SELECT doc_id, unnest(list_transform(range(3, len(t) + 1),
+                          i -> {{'w1': t[i-2], 'w2': t[i-1], 'w3': t[i]}})) AS tg
+    FROM toks WHERE len(t) >= 3
+  )
+),
+df AS (
+  SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS df
+  FROM tri GROUP BY w1, w2, w3
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_trigrams,
+       CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       floor(CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) * 1000000 + 0.5) / 1000000 AS novel_frac
+FROM tri t
+JOIN df d ON t.w1 = d.w1 AND t.w2 = d.w2 AND t.w3 = d.w3
+GROUP BY t.doc_id
+"""
+
+
+@register(
+    "doc_ngram_novelty",
+    oracle=DOC_NGRAM_NOVELTY_ORACLE,
+    tags=("text", "dedup", "llm-pipeline"),
+    doc=(
+        "Per-document cross-corpus trigram novelty — the boilerplate/"
+        "memorization diversity signal of training-data curation: the "
+        "fraction of a document's DISTINCT word trigrams (reference "
+        "tokenizer, distwc.c:7-21 split + empty drop) that appear in NO "
+        "other document (document frequency 1 over the deduped per-doc "
+        "trigram set). A low-novelty doc is assembled from phrases the "
+        "corpus already has; a high-novelty doc contributes new text. "
+        "Exact integer counting end-to-end; the one division rides the "
+        "fixed-point convention (floor(frac*1e6+0.5)/1e6). Shuffle story "
+        "(100 TB): trigram explode is narrow; per-doc DISTINCT is one "
+        "exchange on (doc_id, trigram); the df table is ONE keyed re-agg "
+        "of that distinct set (map-side partials — a hot boilerplate "
+        "trigram carries one row per distinct doc, already deduped); the "
+        "df join is an equi-join on the trigram key (AQE broadcasts when "
+        "the df table is small, shuffles when vocab-scale); the final "
+        "mean is one agg exchange on doc_id. ONE corpus scan total: "
+        "every consumer (df and the scoring join) rides a ReusedExchange "
+        "of the distinct aggregation — pinned on the EXECUTED plan in "
+        "tests/test_text_lm.py. No all-pairs anywhere — novelty needs "
+        "only per-trigram document frequency, never doc x doc comparison "
+        "(no CartesianProduct / nested-loop join, pinned)."
+    ),
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens("text").alias("t"))
+    tri = (
+        toks.filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 2),"
+                    " i -> struct(element_at(t, i) AS w1,"
+                    " element_at(t, i + 1) AS w2,"
+                    " element_at(t, i + 2) AS w3))"
+                )
+            ).alias("tg"),
+        )
+        .select("doc_id", "tg.w1", "tg.w2", "tg.w3")
+        .distinct()
+    )
+    df = tri.groupBy("w1", "w2", "w3").agg(F.count("*").alias("df"))
+    novel = F.sum(
+        F.when(F.col("df") == 1, F.lit(1)).otherwise(F.lit(0)).cast("long")
+    )
+    agg = (
+        tri.join(df, ["w1", "w2", "w3"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_trigrams"), novel.alias("n_novel"))
+    )
+    return agg.select(
+        "doc_id",
+        "n_trigrams",
+        "n_novel",
+        (
+            F.floor(
+                F.col("n_novel").cast("double") / F.col("n_trigrams")
+                * F.lit(1000000) + F.lit(0.5)
+            ) / F.lit(1000000)
+        ).alias("novel_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-source distribution divergence (landed r18; staged+validated r17 —
+# same protocol and evidence as doc_ngram_novelty above)
+# ---------------------------------------------------------------------------
+
+# fx(x) must be the IDENTICAL formula everywhere it appears (present
+# terms, qs_fx, qsum_fx) so the absent-word algebra cancels exactly.
+_SD_FX = 1_000_000
+
+SOURCE_DIVERGENCE_ORACLE = f"""
+WITH tok AS (
+  SELECT source, w FROM (
+    SELECT source, unnest({duck_tokens('text')}) AS w
+    FROM documents WHERE source IS NOT NULL
+  ) WHERE w IS NOT NULL
+),
+sw AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY source, w
+),
+stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM sw GROUP BY source),
+wc AS (SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM sw GROUP BY w),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM sw),
+qfx AS (
+  SELECT CAST(sum(CAST(floor(CAST(cw AS DOUBLE) / n * {_SD_FX} + 0.5)
+                       AS BIGINT)) AS BIGINT) AS qsum_fx
+  FROM wc CROSS JOIN tot
+),
+per AS (
+  SELECT s.source,
+         CAST(sum(CAST(floor(abs(CAST(s.c AS DOUBLE) / t.ns
+                                 - CAST(w.cw AS DOUBLE) / o.n)
+                             * {_SD_FX} + 0.5) AS BIGINT)) AS BIGINT)
+           AS present_fx,
+         CAST(sum(CAST(floor(CAST(w.cw AS DOUBLE) / o.n * {_SD_FX} + 0.5)
+                       AS BIGINT)) AS BIGINT) AS qs_fx
+  FROM sw s
+  JOIN stot t ON s.source = t.source
+  JOIN wc w ON s.w = w.w
+  CROSS JOIN tot o
+  GROUP BY s.source
+)
+SELECT p.source, t.ns AS n_tokens,
+       CAST(p.present_fx + (q.qsum_fx - p.qs_fx) AS DOUBLE) / {2 * _SD_FX}
+         AS tv_distance
+FROM per p
+JOIN stot t ON p.source = t.source
+CROSS JOIN qfx q
+"""
+
+
+@register(
+    "source_divergence",
+    oracle=SOURCE_DIVERGENCE_ORACLE,
+    tags=("text", "mixture", "llm-pipeline"),
+    doc=(
+        "Per-source total-variation distance between the source's unigram "
+        "distribution and the whole-corpus distribution: TV(p_s, q) = "
+        "0.5 * sum_w |p_s(w) - q(w)| — the mixture-design / distribution-"
+        "shift signal (which sources differ most from the corpus they're "
+        "blended into; DoReMi-style reweighting starts from exactly this "
+        "table). Deliberately TV, not KL: KL needs log, whose last ulp "
+        "differs across engines; each TV term is correctly-rounded IEEE "
+        "divisions/subtractions of exact integers, fixed-pointed per term "
+        "(the fx formula is IDENTICAL everywhere it appears) and integer-"
+        "summed. Absent-word terms (w in corpus, not in s: |0-q(w)| = "
+        "q(w)) are handled WITHOUT materializing source x vocab: sum over "
+        "absent = qsum_fx - qs_fx with the same per-term fx on both "
+        "engines. Shuffle story (100 TB): token explode narrow; ONE "
+        "corpus-scale keyed agg exchange on (source, w); stot / wc / tot "
+        "are RE-AGGREGATIONS of that pre-aggregated table (map-side "
+        "partials, never a second pass over raw tokens) — the explicit "
+        "uniform not-null filter below the agg keeps all four consumer "
+        "subtrees canonically equal so AQE reuses ONE exchange (the r17 "
+        "lm_bigram_score lesson applied BY CONSTRUCTION; single corpus "
+        "scan pinned on the EXECUTED plan in tests/test_text_lm.py); the "
+        "scoring join is keyed on w against the vocab-sized wc (AQE "
+        "broadcasts when small) plus a handful-of-rows stot join and two "
+        "1-row broadcasts (tot, qsum). Skew: stopword rows are already "
+        "collapsed to one row per (source, w) before any join. Output is "
+        "one row per source."
+    ),
+)
+def source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # The not-null filter is semantically a no-op on real data (tokens
+    # are non-null by construction; a null source would be excluded by
+    # the inner joins below on BOTH engines anyway — and the oracle's
+    # tok CTE carries the same WHERE so the corpus totals agree even on
+    # hypothetical null-source rows). It is load-bearing for the plan:
+    # the joins infer isnotnull(source)/isnotnull(w) into SOME of sw's
+    # four consumer subtrees but not others (wc/tot see no keys), which
+    # breaks canonical equality and makes AQE re-run the corpus-scale
+    # (source, w) aggregation. Explicit and uniform, all four consumers
+    # reuse ONE exchange — a single corpus pass (pinned).
+    tok = d.select("source", F.explode(tokens("text")).alias("w")).filter(
+        F.col("source").isNotNull() & F.col("w").isNotNull()
+    )
+    sw = tok.groupBy("source", "w").agg(F.count("*").alias("c"))
+    stot = sw.groupBy("source").agg(F.sum("c").alias("ns"))
+    wc = sw.groupBy("w").agg(F.sum("c").alias("cw"))
+    tot = sw.agg(F.sum("c").alias("n"))
+
+    def fx(col):
+        return F.floor(col * F.lit(_SD_FX) + F.lit(0.5)).cast("long")
+
+    qv = F.col("cw").cast("double") / F.col("n")
+    qfx = (
+        wc.crossJoin(F.broadcast(tot)).agg(F.sum(fx(qv)).alias("qsum_fx"))
+    )
+    per = (
+        sw.join(stot, ["source"])
+        .join(wc, ["w"])
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.sum(
+                fx(F.abs(F.col("c").cast("double") / F.col("ns") - qv))
+            ).alias("present_fx"),
+            F.sum(fx(qv)).alias("qs_fx"),
+        )
+    )
+    return (
+        per.join(stot, ["source"])
+        .crossJoin(F.broadcast(qfx))
+        .select(
+            "source",
+            F.col("ns").alias("n_tokens"),
+            (
+                (
+                    F.col("present_fx")
+                    + (F.col("qsum_fx") - F.col("qs_fx"))
+                ).cast("double") / F.lit(2 * _SD_FX)
+            ).alias("tv_distance"),
+        )
+    )

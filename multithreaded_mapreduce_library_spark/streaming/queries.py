@@ -38,7 +38,7 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from multithreaded_mapreduce_library_spark.functions import fixed_point
+from multithreaded_mapreduce_library_spark.functions import fixed_point, tokens
 from multithreaded_mapreduce_library_spark.operators.events import (
     FUNNEL_CTES,
     SESSION_ISLANDS_CTES,
@@ -1474,3 +1474,181 @@ def _register_stream_dedup_semantic():
 
 
 _register_stream_dedup_semantic()
+
+
+# ---------------------------------------------------------------------------
+# streaming bigram-LM quality gate (landed r18; staged+validated r17 in
+# operators/staging.py — oracle differential on seeds 42 AND 1201,
+# hand-checked micro-corpus with the real h31 split, multi-batch settle
+# pinned in tests/test_streaming.py)
+# ---------------------------------------------------------------------------
+
+# same explode as the batch twin (operators/text.py lm_bigram_score)
+_BG_EXPR = (
+    "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+    " (a, b) -> struct(a AS w1, b AS w2))"
+)
+
+
+def lm_score_stream_transform(
+    s: DataFrame, c2: DataFrame, c1: DataFrame, vocab_n: int
+) -> DataFrame:
+    """Streaming-legal scoring of an arriving document stream against a
+    STATIC corpus-trained bigram model: per-row tokenize + bigram explode
+    (narrow), stream-static LEFT equi-joins against the model tables
+    (unseen bigrams/contexts coalesce to 0 and ride the same add-1
+    smoothing: P = (c12+1)/(c_ctx+V), so a fully-novel transition scores
+    1/V), V folded in as a literal (the streaming-twin precedent for
+    constant model state — stream_dedup_semantic's centroid literals),
+    then ONE keyed update-mode aggregation per arriving doc emitting
+    monotone (n_bigrams, sum_fx) counters."""
+    toks = s.select("doc_id", tokens("text").alias("t"))
+    bg = (
+        toks.filter(F.size("t") >= 2)
+        .select("doc_id", F.explode(F.expr(_BG_EXPR)).alias("bgs"))
+        .select("doc_id", "bgs.w1", "bgs.w2")
+        .filter(F.col("w1").isNotNull() & F.col("w2").isNotNull())
+    )
+    p = (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1)) / (
+        F.coalesce(F.col("c1"), F.lit(0)) + F.lit(int(vocab_n))
+    ).cast("double")
+    return (
+        bg.join(c2, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .withColumn("p_fx", F.floor(p * F.lit(1000000) + F.lit(0.5)).cast("long"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("p_fx").alias("sum_fx"))
+    )
+
+
+def _register_stream_lm_score():
+    from multithreaded_mapreduce_library_spark.functions import duck_tokens, h31
+    from multithreaded_mapreduce_library_spark.operators.dedup import (
+        _INC_BATCH_COND,
+        INC_SPLIT_MOD,
+    )
+    from multithreaded_mapreduce_library_spark.sources import load_table
+
+    oracle = f"""
+WITH corpus AS (SELECT text FROM documents WHERE NOT {_INC_BATCH_COND}),
+batch AS (SELECT doc_id, text FROM documents WHERE {_INC_BATCH_COND}),
+tc AS (SELECT {duck_tokens('text')} AS t FROM corpus),
+v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS vocab
+      FROM (SELECT unnest(t) AS w FROM tc)),
+bgc AS (
+  SELECT bgs.w1 AS w1, bgs.w2 AS w2 FROM (
+    SELECT unnest(list_transform(range(2, len(t) + 1),
+                  i -> {{'w1': t[i-1], 'w2': t[i]}})) AS bgs
+    FROM tc WHERE len(t) >= 2
+  )
+),
+c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bgc GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bgc GROUP BY w1),
+tb AS (SELECT doc_id, {duck_tokens('text')} AS t FROM batch),
+bgb AS (
+  SELECT doc_id, bgs.w1 AS w1, bgs.w2 AS w2 FROM (
+    SELECT doc_id, unnest(list_transform(range(2, len(t) + 1),
+                          i -> {{'w1': t[i-1], 'w2': t[i]}})) AS bgs
+    FROM tb WHERE len(t) >= 2
+  )
+)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       floor(CAST(CAST(sum(CAST(floor(
+           (COALESCE(c2.c12, 0) + 1)
+           / CAST(COALESCE(c1.c1, 0) + v.vocab AS DOUBLE) * 1000000 + 0.5
+         ) AS BIGINT)) AS BIGINT) AS DOUBLE) / count(*) + 0.5) / 1000000
+         AS avg_bigram_p
+FROM bgb b
+LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+LEFT JOIN c1 ON b.w1 = c1.w1
+CROSS JOIN v
+WHERE v.vocab > 0
+GROUP BY b.doc_id
+"""
+
+    @register(
+        "stream_lm_score",
+        oracle=oracle,
+        tags=("streaming", "text", "quality", "incremental", "llm-pipeline"),
+        doc=(
+            "Streaming quality gate — the online half of lm_bigram_score: "
+            "train the add-1-smoothed bigram model on the CORPUS split "
+            "(the standard h31 % INC_SPLIT_MOD incremental convention), "
+            "hold it static, and score ARRIVING documents (the batch "
+            "split) as they stream in. The deployed perplexity-filter "
+            "shape: the model is fixed at serving time, V covers corpus "
+            "vocabulary only, and novel transitions in arriving text fall "
+            "back to the smoothed floor — so scores are comparable across "
+            "micro-batches. Exactness as the batch twin (one IEEE double "
+            "division of exact integers per bigram, fixed-point per-doc "
+            "mean); the oracle derives c_ctx directly from the bigram "
+            "stream while the builder re-aggregates c2 — independent "
+            "derivations must agree exactly. Shuffle story (100 TB): "
+            "model = lm_bigram_score's one corpus-scale (w1,w2) agg + "
+            "vocab-scale c_ctx re-agg, built once per deployment (persist "
+            "it as a table in production — here it rides the replay); per "
+            "micro-batch the arriving docs pay narrow explode + two "
+            "stream-static keyed LEFT joins (vocab-sized static sides, "
+            "broadcast when small) + one keyed update agg whose state is "
+            "a (count, sum) pair per in-flight doc. The PER-MICRO-BATCH "
+            "executed plan is pinned in tests/test_streaming.py: both "
+            "model joins BroadcastHashJoin (arriving rows never shuffle "
+            "for the joins — their only exchange is the stateful doc_id "
+            "agg), exactly ONE corpus-side FileScan with c_ctx riding a "
+            "ReusedExchange of the (w1,w2) model agg (the batch twin's "
+            "r17 exchange-reuse lesson holds inside each micro-batch "
+            "plan). Work scales with the BATCH, never the corpus. "
+            "Finalize is the twins' defensive monoid merge (counters "
+            "only grow across update emissions)."
+        ),
+    )
+    def stream_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+        is_batch = (
+            F.pmod(h31(F.col("doc_id").cast("string")), F.lit(INC_SPLIT_MOD)) == 0
+        )
+        d = load_table(spark, sf_dir, "documents")
+        corpus = d.filter(~is_batch)
+        toks_c = corpus.select(tokens("text").alias("t"))
+        vocab_n = (
+            toks_c.select(F.explode("t").alias("w"))
+            .agg(F.count_distinct("w").alias("v"))
+            .collect()[0]["v"]
+        )
+        schema = "doc_id long, n_bigrams long, avg_bigram_p double"
+        if not vocab_n:
+            # all-batch corpus (or token-free corpus): no trained model =>
+            # no scores on either engine (the oracle's WHERE v.vocab > 0)
+            return spark.createDataFrame([], schema)
+        bgc = (
+            toks_c.filter(F.size("t") >= 2)
+            .select(F.explode(F.expr(_BG_EXPR)).alias("bgs"))
+            .select("bgs.w1", "bgs.w2")
+            .filter(F.col("w1").isNotNull() & F.col("w2").isNotNull())
+        )
+        c2 = bgc.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+        # derived c_ctx (the batch twin's shape); the oracle derives it
+        # directly from the bigram stream — independent derivations must
+        # agree exactly
+        c1 = c2.groupBy("w1").agg(F.sum("c12").alias("c1"))
+        stream = table_stream(spark, sf_dir, "documents").filter(is_batch)
+        settled = run_to_memory(
+            lm_score_stream_transform(stream, c2, c1, vocab_n), "update"
+        )
+        fin = settled.groupBy("doc_id").agg(
+            F.max("n_bigrams").cast("long").alias("n_bigrams"),
+            F.max("sum_fx").cast("long").alias("sum_fx"),
+        )
+        return fin.select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.floor(
+                    F.col("sum_fx").cast("double") / F.col("n_bigrams")
+                    + F.lit(0.5)
+                ) / F.lit(1000000)
+            ).alias("avg_bigram_p"),
+        )
+
+
+_register_stream_lm_score()

@@ -37,6 +37,7 @@ EAGER_BUILD = frozenset({
     "sim_topk_ivfpq",
     "dedup_semantic",
     "dedup_semantic_incremental",
+    "embedding_outliers",
 })
 
 PROBE = (
@@ -174,6 +175,25 @@ PROBE = (
     # multiplies every count by N while V stays fixed, so the SCORES
     # change with N by design (assert ~Nx growth, never values).
     "lm_bigram_score",
+    # r18 landings (ratio-only, the 16x pre-landing probes are the
+    # anchors — 7.78 / 5.52 / 1.65 at 16x, all sub-linear):
+    # doc_ngram_novelty — VERBATIM replication makes every trigram's df
+    # a multiple of N, so n_novel collapses to 0 by design (assert
+    # growth, never values); the work is one (doc_id, trigram) distinct
+    # exchange + a keyed re-agg + one equi-join — expect ~Nx.
+    # source_divergence — counts multiply by N while every p_s(w)/q(w)
+    # ratio is invariant (tv fixed by design); ONE corpus agg reused by
+    # all four consumers + vocab-scale joins — expect ~Nx or below.
+    # embedding_outliers — the Lloyd family's cell-local bound: training
+    # is linear (literal argmin rides the scan, k x dim update), the
+    # ranking window input grows Nx with constant k partitions and the
+    # WindowGroupLimit caps per-partition state at top-5 — expect ~Nx.
+    # (stream_lm_score is excluded by construction like every streaming
+    # op — its builder executes the availableNow replay internally; its
+    # batch core IS lm_bigram_score, probed above.)
+    "doc_ngram_novelty",
+    "source_divergence",
+    "embedding_outliers",
 )
 OFF = 100_000_000  # key offset per copy — far above any base key
 

@@ -1364,3 +1364,71 @@ def test_lloyd_envelope_default_rejects_offsize_centroid_frame(spark, sf_dir):
     # the explicit flag is the documented escape hatch — values still exact
     n = _lloyd_assign(e, oversized, narrow=True).count()
     assert n == e.count()
+
+
+# --- embedding_outliers (landed r18; pins migrated from test_staging.py) --
+
+
+def test_embedding_outliers_known_values(spark, tmp_path):
+    """Hand-checked 9-vector corpus (dim 2 — the builder is
+    dimension-agnostic; only the DuckDB oracle pins DIM): v0=(0,0),
+    vk=(100k,0) for k=1..7, v8=(2,0). Seeds = 8 smallest vec_ids (0..7).
+    Round 1: v8 joins cell 0 (d2 4 vs 9604+); update moves c0 to the
+    exact fixed-point mean (1,0), others stay on themselves. Re-assign:
+    v0 and v8 both d2=1.0 in cell 0 (tie -> vec_id order), vk d2=0 in
+    their own cells."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from multithreaded_mapreduce_library_spark.registry import load_all
+
+    d = tmp_path / "micro"
+    d.mkdir()
+    vecs = [[0.0, 0.0]] + [[100.0 * k, 0.0] for k in range(1, 8)] + [[2.0, 0.0]]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(9), type=pa.int64()),
+                "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+                "label": ["l"] * 9,
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    got = sorted(
+        (r["cid"], r["vec_id"], r["d2_r"], r["rnk"])
+        for r in load_all()["embedding_outliers"].builder(spark, str(d)).collect()
+    )
+    want = sorted(
+        [(0, 0, 1.0, 1), (0, 8, 1.0, 2)]
+        + [(k, k, 0.0, 1) for k in range(1, 8)]
+    )
+    assert got == want
+
+
+def test_embedding_outliers_plan_shape(spark, sf_dir):
+    """Training + assignment ride the zero-exchange narrow argmin, so
+    the whole query has NO join nodes; the only new exchange over the
+    bare scan is the per-cell ranking window, and Spark pushes the
+    rnk<=5 filter into a WindowGroupLimit (each partition keeps top-5
+    before the final sort — the property that bounds the sort at
+    scale)."""
+    import re
+
+    from multithreaded_mapreduce_library_spark.registry import load_all
+
+    plan = formatted_plan(load_all()["embedding_outliers"].builder(spark, sf_dir))
+
+    def nodes(kind: str) -> int:
+        return len(re.findall(rf"^\(\d+\) {kind}\b", plan, re.M))
+
+    for join in (
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+        "SortMergeJoin",
+        "ShuffledHashJoin",
+        "BroadcastHashJoin",
+    ):
+        assert join not in plan, f"outliers must not join ({join})"
+    assert nodes("Window") == 1
+    assert "WindowGroupLimit" in plan, "rank limit must push into the window"

@@ -1825,3 +1825,185 @@ def test_multibatch_semantic_admission_settles_to_batch(spark, sf_dir, tmp_path)
             ), f"vec {r['vec_id']} diverged"
         else:
             assert r["vec_id"] not in dec
+
+
+# --- stream_lm_score (landed r18; pins migrated from test_staging.py) ------
+
+
+def _lm_static_model(spark, sf_dir):
+    """Rebuild stream_lm_score's static sides exactly as the builder does:
+    corpus-split bigram counts c2, derived c_ctx c1, and the corpus
+    vocabulary size."""
+    from pyspark.sql import functions as F
+
+    from multithreaded_mapreduce_library_spark.functions import h31, tokens
+    from multithreaded_mapreduce_library_spark.operators.dedup import INC_SPLIT_MOD
+    from multithreaded_mapreduce_library_spark.sources import load_table
+    from multithreaded_mapreduce_library_spark.streaming.queries import _BG_EXPR
+
+    is_batch = (
+        F.pmod(h31(F.col("doc_id").cast("string")), F.lit(INC_SPLIT_MOD)) == 0
+    )
+    d = load_table(spark, str(sf_dir), "documents")
+    toks_c = d.filter(~is_batch).select(tokens("text").alias("t"))
+    vocab_n = (
+        toks_c.select(F.explode("t").alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+        .collect()[0]["v"]
+    )
+    bgc = (
+        toks_c.filter(F.size("t") >= 2)
+        .select(F.explode(F.expr(_BG_EXPR)).alias("bgs"))
+        .select("bgs.w1", "bgs.w2")
+        .filter(F.col("w1").isNotNull() & F.col("w2").isNotNull())
+    )
+    c2 = bgc.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = c2.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    return c2, c1, vocab_n, is_batch
+
+
+def test_stream_lm_score_known_values(spark, tmp_path):
+    """Hand-checked with the REAL h31 split (doc_ids 0/3/4 land in the
+    arriving batch, 1/2 in the corpus — verified against the md5
+    arithmetic offline). Corpus: 'a b a b' + 'b c' -> c2: ab=2, ba=1,
+    bc=1; c_ctx: a=2, b=2; V={a,b,c}=3. Arriving: doc0 'a b x' ->
+    P(b|a)=0.6, P(x|b) unseen bigram seen context = (0+1)/(2+3)=0.2 ->
+    avg 0.4; doc3 'c' (1 token, excluded); doc4 'x y' -> fully novel
+    transition = (0+1)/(0+3) -> fx floor(333333.33+0.5)=333333 ->
+    0.333333."""
+    from tests.test_text_lm import _write_docs
+
+    d = tmp_path / "micro"
+    d.mkdir()
+    _write_docs(
+        d,
+        [
+            (0, "a b x", "s"),
+            (1, "a b a b", "s"),
+            (2, "b c", "s"),
+            (3, "c", "s"),
+            (4, "x y", "s"),
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_bigram_p"])
+        for r in SPECS["stream_lm_score"].builder(spark, str(d)).collect()
+    }
+    assert got == {0: (2, 0.4), 4: (1, 0.333333)}
+
+
+def test_stream_lm_score_microbatch_plan_is_broadcast_model(spark, sf_dir):
+    """The docstring's per-micro-batch claims, pinned on the EXECUTED
+    micro-batch plan (q.explain after the settled replay): both model
+    joins are BroadcastHashJoin (arriving rows never shuffle for the
+    joins — never a SortMergeJoin carrying the stream side), exactly TWO
+    FileScans total (the arriving split + ONE corpus scan: c_ctx's
+    subtree is a ReusedExchange of the corpus-scale (w1,w2) model agg —
+    the batch twin's r17 exchange-reuse lesson holding inside the
+    micro-batch plan), and the stream side's only exchange requirement
+    is the stateful doc_id aggregation."""
+    import contextlib
+    import io
+
+    from multithreaded_mapreduce_library_spark.streaming.queries import (
+        lm_score_stream_transform,
+        table_stream,
+    )
+
+    c2, c1, vocab_n, is_batch = _lm_static_model(spark, sf_dir)
+    stream = table_stream(spark, str(sf_dir), "documents").filter(is_batch)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            lm_score_stream_transform(stream, c2, c1, vocab_n)
+            .writeStream.format("memory")
+            .queryName("lm_plan_pin_sink")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            q.explain(True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    phys = buf.getvalue().split("== Physical Plan ==")[-1]
+    assert phys.count("BroadcastHashJoin") == 2, "both model joins must broadcast"
+    assert "SortMergeJoin" not in phys, "the stream side must never sort-merge"
+    assert phys.count("FileScan") == 2, (
+        "exactly two scans per micro-batch: the arriving split + ONE "
+        "corpus model scan (a third means the c_ctx exchange reuse broke)"
+    )
+    assert "ReusedExchange" in phys, "c_ctx must reuse the (w1,w2) model agg"
+    assert "StateStoreSave" in phys, "update-mode keyed agg must be stateful"
+
+
+def test_multibatch_stream_lm_score_settles_to_single_batch(spark, sf_dir, tmp_path):
+    """Cross-batch state transitions, the streaming-twin obligation: split
+    the arriving docs into 2 part files, replay with maxFilesPerTrigger=1
+    (several data batches), drive the SAME transform + monoid finalize,
+    and require the result equal the gated single-batch settle. Each doc
+    arrives whole (files split on row boundaries), so update-mode state
+    transitions happen across docs, and the max-merge finalize must be
+    batching-invariant."""
+    import time as time_
+
+    import pyarrow.parquet as pq_
+    from pyspark.sql import functions as F
+
+    from multithreaded_mapreduce_library_spark.streaming.queries import (
+        lm_score_stream_transform,
+    )
+
+    single = {
+        tuple(r)
+        for r in SPECS["stream_lm_score"].builder(spark, str(sf_dir)).collect()
+    }
+    assert single, "fixture must score at least one arriving doc"
+
+    c2, c1, vocab_n, is_batch = _lm_static_model(spark, sf_dir)
+
+    # split documents.parquet into 2 time-ordered part files
+    out = tmp_path / "docs_multi"
+    out.mkdir()
+    t = pq_.read_table(_os.path.join(str(sf_dir), "documents.parquet"))
+    n = t.num_rows
+    t0 = time_.time() - 600
+    for i, (lo, hi) in enumerate([(0, n // 2), (n // 2, n)]):
+        p = str(out / f"part-{i:02d}.parquet")
+        pq_.write_table(t.slice(lo, hi - lo), p)
+        _os.utime(p, (t0 + 30 * i, t0 + 30 * i))
+
+    schema = spark.read.parquet(
+        _os.path.join(str(sf_dir), "documents.parquet")
+    ).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(out))
+        .filter(is_batch)
+    )
+    settled, n_batches = _run_multi(
+        lm_score_stream_transform(stream, c2, c1, vocab_n), "update"
+    )
+    assert n_batches >= 2, "replay must be genuinely multi-batch"
+    fin = settled.groupBy("doc_id").agg(
+        F.max("n_bigrams").cast("long").alias("n_bigrams"),
+        F.max("sum_fx").cast("long").alias("sum_fx"),
+    )
+    multi = {
+        tuple(r)
+        for r in fin.select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.floor(
+                    F.col("sum_fx").cast("double") / F.col("n_bigrams")
+                    + F.lit(0.5)
+                ) / F.lit(1000000)
+            ).alias("avg_bigram_p"),
+        ).collect()
+    }
+    assert multi == single

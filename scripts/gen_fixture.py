@@ -32,7 +32,9 @@ import pyarrow.parquet as pq
 # 7 is the =1 sweep alias; the rest are recorded sweep seeds or staging
 # forcing-test seeds (tests/test_staging.py). Pick NEW sweep/forcing
 # seeds outside this set, then add them here in the same commit.
-BURNED_SEEDS = frozenset({7, 42, 73, 99, 307, 509, 641, 1201, 1783, 2311, 3499})
+BURNED_SEEDS = frozenset(
+    {7, 42, 73, 99, 307, 509, 641, 1201, 1783, 2311, 3499, 4421, 5903}
+)
 
 N_CUSTOMER = 150
 N_SUPPLIER = 10

@@ -1432,3 +1432,20 @@ def test_embedding_outliers_plan_shape(spark, sf_dir):
         assert join not in plan, f"outliers must not join ({join})"
     assert nodes("Window") == 1
     assert "WindowGroupLimit" in plan, "rank limit must push into the window"
+
+
+def test_embedding_outliers_final_plan_scans_once(spark, sf_dir):
+    """The executed-plan half of the r18 landing pins (the lm_bigram /
+    novelty / divergence precedent): the FINAL assignment+ranking query
+    reads embeddings EXACTLY ONCE — the trained centroids live in the
+    plan as literals (narrow argmin), so there is no second scan for
+    assignment and nothing to reuse or recompute. (The training
+    iterations ran eagerly at build time as separate jobs — this pins
+    the SERVED plan, the one that runs per deployment at 100 TB.)"""
+    from multithreaded_mapreduce_library_spark.plans import final_adaptive_plan
+    from multithreaded_mapreduce_library_spark.registry import load_all
+
+    final = final_adaptive_plan(
+        load_all()["embedding_outliers"].builder(spark, sf_dir)
+    )
+    assert final.count("FileScan parquet") == 1, "embeddings must scan once"

@@ -2007,3 +2007,21 @@ def test_multibatch_stream_lm_score_settles_to_single_batch(spark, sf_dir, tmp_p
         ).collect()
     }
     assert multi == single
+
+
+def test_stream_lm_score_empty_corpus_split(spark, tmp_path):
+    """Edge: every doc hashes into the ARRIVING split (doc_ids 0/3/4 are
+    batch under the real h31 % INC_SPLIT_MOD) — no corpus, no model, no
+    vocabulary. The builder must return an EMPTY frame with the gated
+    schema without starting a stream (the oracle's WHERE v.vocab > 0
+    agrees: zero rows on both engines)."""
+    from tests.test_text_lm import _write_docs
+
+    d = tmp_path / "micro"
+    d.mkdir()
+    _write_docs(d, [(0, "a b x", "s"), (3, "c d", "s"), (4, "x y", "s")])
+    got = SPECS["stream_lm_score"].builder(spark, str(d))
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == [
+        "doc_id", "n_bigrams", "avg_bigram_p",
+    ]

@@ -189,6 +189,35 @@ def test_source_divergence_known_values(spark, tmp_path):
     assert got == {"s1": (3, 0.166667), "s2": (1, 0.5)}
 
 
+def test_doc_ngram_novelty_duplicate_docs_score_zero(spark, tmp_path):
+    """Edge: two VERBATIM duplicate docs — every trigram has df=2, so
+    both score novel_frac 0.0 (the signal a boilerplate-heavy corpus
+    produces; also the reason the 16x/64x probes are ratio-only)."""
+    d = tmp_path / "micro"
+    d.mkdir()
+    _write_docs(d, [(0, "a b c d", "s"), (1, "a b c d", "s")])
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["n_novel"], r["novel_frac"])
+        for r in QUERIES["doc_ngram_novelty"].builder(spark, str(d)).collect()
+    }
+    assert got == {0: (2, 0, 0.0), 1: (2, 0, 0.0)}
+
+
+def test_source_divergence_single_source_is_zero(spark, tmp_path):
+    """Edge: with ONE source, p_s == q identically, so TV must be an
+    exact 0.0 — every present term is |x - x| and the absent-mass
+    algebra cancels to qsum - qs = 0 (any nonzero here would mean the
+    fx formula differs between the qsum and qs paths)."""
+    d = tmp_path / "micro"
+    d.mkdir()
+    _write_docs(d, [(0, "a a b", "s1"), (1, "b c a", "s1")])
+    got = [
+        (r["source"], r["n_tokens"], r["tv_distance"])
+        for r in QUERIES["source_divergence"].builder(spark, str(d)).collect()
+    ]
+    assert got == [("s1", 6, 0.0)]
+
+
 def test_source_divergence_plan_shape(spark, sf_dir):
     """The only nested-loop joins are the three 1-row broadcasts (tot
     twice, qsum once); the scoring joins are equi-joins on w/source."""

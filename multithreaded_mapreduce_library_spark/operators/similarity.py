@@ -727,8 +727,9 @@ def _lloyd_assign(
     monkeypatch point). The envelope is therefore only meaningful for a
     K_CELLS-sized centroid frame — deciding from the frame's own row
     count would cost an extra count() job on the window path, so instead
-    the narrow path (which collects the frame anyway) hard-asserts the
-    actual k is inside the measured envelope when the strategy was
+    the narrow path (which collects the frame anyway) raises ValueError
+    (-O-proof, unlike an assert) when the actual k is outside the
+    measured envelope and the strategy was
     envelope-resolved: a caller assigning against a custom-k frame
     without adjusting K_CELLS fails loudly instead of silently building
     an oversized literal argmin the k-sweep never certified. Callers
@@ -741,8 +742,10 @@ def _lloyd_assign(
         narrow = K_CELLS <= NARROW_K_MAX
     if narrow:
         rows = sorted(centroids.collect(), key=lambda r: r["cid"])
-        if envelope_resolved:
-            assert len(rows) <= NARROW_K_MAX, (
+        if envelope_resolved and len(rows) > NARROW_K_MAX:
+            # ValueError, not assert: python -O strips asserts, and this
+            # guard is the documented fail-loudly property (r18 ADVICE)
+            raise ValueError(
                 f"narrow=None resolved narrow for K_CELLS={K_CELLS} but the "
                 f"centroid frame has {len(rows)} rows (> NARROW_K_MAX="
                 f"{NARROW_K_MAX}) — the measured envelope does not apply; "

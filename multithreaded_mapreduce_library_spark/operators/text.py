@@ -1146,11 +1146,15 @@ WITH toks AS (
   SELECT doc_id, {duck_tokens('text')} AS t FROM documents
 ),
 tri AS (
+  -- the not-null predicate mirrors the builder's load-bearing (but
+  -- semantically no-op) uniform filter below the distinct, so the two
+  -- engines agree even on hypothetical null trigram components
   SELECT DISTINCT doc_id, tg.w1 AS w1, tg.w2 AS w2, tg.w3 AS w3 FROM (
     SELECT doc_id, unnest(list_transform(range(3, len(t) + 1),
                           i -> {{'w1': t[i-2], 'w2': t[i-1], 'w3': t[i]}})) AS tg
     FROM toks WHERE len(t) >= 3
   )
+  WHERE tg.w1 IS NOT NULL AND tg.w2 IS NOT NULL AND tg.w3 IS NOT NULL
 ),
 df AS (
   SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS df
@@ -1189,7 +1193,10 @@ GROUP BY t.doc_id
         "the df table is small, shuffles when vocab-scale); the final "
         "mean is one agg exchange on doc_id. ONE corpus scan total: "
         "every consumer (df and the scoring join) rides a ReusedExchange "
-        "of the distinct aggregation — pinned on the EXECUTED plan in "
+        "of the distinct aggregation — held BY CONSTRUCTION via the "
+        "explicit uniform not-null filter below the distinct (the "
+        "lm_bigram_score/source_divergence lesson; r18 ADVICE) and "
+        "pinned on the EXECUTED plan in "
         "tests/test_text_lm.py. No all-pairs anywhere — novelty needs "
         "only per-trigram document frequency, never doc x doc comparison "
         "(no CartesianProduct / nested-loop join, pinned)."
@@ -1212,6 +1219,20 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tg"),
         )
         .select("doc_id", "tg.w1", "tg.w2", "tg.w3")
+        # Semantically a no-op (element_at over the valid 1..size(t)-2
+        # range never yields null) but load-bearing for the plan, same
+        # as lm_bigram_score/source_divergence: the scoring join infers
+        # isnotnull(w1,w2,w3) into ITS subtrees while a bare df re-agg
+        # infers nothing — explicit and uniform BELOW the distinct, both
+        # consumers' subtrees canonicalize equal by construction and the
+        # distinct exchange is reused regardless of which inferences a
+        # given Spark/AQE version pushes (r18 ADVICE; previously the
+        # reuse held only by symmetric-inference coincidence, pinned).
+        .filter(
+            F.col("w1").isNotNull()
+            & F.col("w2").isNotNull()
+            & F.col("w3").isNotNull()
+        )
         .distinct()
     )
     df = tri.groupBy("w1", "w2", "w3").agg(F.count("*").alias("df"))

@@ -1359,7 +1359,9 @@ def test_lloyd_envelope_default_rejects_offsize_centroid_frame(spark, sf_dir):
         .limit(NARROW_K_MAX + 1)
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("vc"))
     )
-    with pytest.raises(AssertionError, match="measured envelope"):
+    # ValueError (not AssertionError): the guard must survive python -O,
+    # which strips asserts (r18 ADVICE)
+    with pytest.raises(ValueError, match="measured envelope"):
         _lloyd_assign(e, oversized, narrow=None).collect()
     # the explicit flag is the documented escape hatch — values still exact
     n = _lloyd_assign(e, oversized, narrow=True).count()

@@ -158,10 +158,13 @@ def test_landed_text_queries_are_one_corpus_pass(spark, sf_dir, name):
     """Both r18 text flagships must read documents EXACTLY ONCE in the
     executed plan: every downstream consumer (novelty's df table;
     divergence's stot/wc/tot and the scoring join) rides a ReusedExchange
-    of the first corpus-scale aggregation. For source_divergence this is
-    load-bearing code (the explicit not-null filter keeps the four sw
-    subtrees canonically equal — without it AQE re-runs the corpus agg);
-    for novelty it pins the symmetric-inference status quo. Final
+    of the first corpus-scale aggregation. BOTH hold by construction via
+    the explicit uniform not-null filter below the first agg (for
+    source_divergence it keeps the four sw subtrees canonically equal;
+    for novelty — since the r18 ADVICE fix — it makes the df and
+    scoring-join subtrees equal regardless of which isnotnull inferences
+    the optimizer pushes, instead of pinning a symmetric-inference
+    coincidence). Final
     adaptive section only — the full toString re-prints the initial plan
     and would double-count scans."""
     final = final_adaptive_plan(QUERIES[name].builder(spark, sf_dir))

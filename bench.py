@@ -98,6 +98,25 @@ def _time_once(fn) -> float:
     return time.perf_counter() - t0
 
 
+def _py_loop_once() -> float:
+    """Interpreter-throughput canary payload. scripts/canary.py imports
+    this (like _blas_once) so the standalone probe and the in-bench one
+    share ONE payload definition and can never drift (ADVICE r19)."""
+    return _time_once(lambda: sum(i * i for i in range(2_000_000)))
+
+
+def _canary_pair() -> dict[str, float]:
+    """Best-of-3 probe pair. Recorded at bench START and END: r19 proved
+    VM-level steal can burst mid-run on a clean-start box, so a single
+    leading canary cannot certify a total — trust a run only when BOTH
+    brackets are clean (py_loop in the host band, blas at or below the
+    quiet ceiling ~0.030)."""
+    return {
+        "py_loop_sec": round(min(_py_loop_once() for _ in range(3)), 4),
+        "blas_matmul_sec": round(min(_blas_once() for _ in range(3)), 4),
+    }
+
+
 def _blas_once() -> float:
     import numpy as np
 
@@ -136,12 +155,7 @@ def main() -> None:
     # fixed single-process workloads (interpreter loop + BLAS matmul)
     # alongside every bench makes the next shift self-diagnosing: if the
     # canaries move with the query times, it's the host, not the code.
-    canary = {
-        "py_loop_sec": round(
-            min(_time_once(lambda: sum(i * i for i in range(2_000_000))) for _ in range(3)), 4
-        ),
-        "blas_matmul_sec": round(min(_blas_once() for _ in range(3)), 4),
-    }
+    canary = _canary_pair()
     t_start = time.time()
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -170,6 +184,13 @@ def main() -> None:
 
     ann_serving = bench_ann_serving(spark, sf_dir, iters)
 
+    # Trailing canary (r19 lesson, VERDICT r19 #3): steal bursts WITHIN a
+    # run on this host class, so the closing-number protocol brackets
+    # every run — a total is certifiable only if start AND end canaries
+    # are both clean; otherwise re-run and take the best clean-bracket
+    # total. Dirty-bracket totals are recorded but never the anchor.
+    canary_end = _canary_pair()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -184,6 +205,7 @@ def main() -> None:
                 "ann_serving": ann_serving,
                 "sf": sf,
                 "cpu_canary": canary,
+                "cpu_canary_end": canary_end,
                 "load_avg_start": [round(x, 2) for x in load_start],
                 "load_avg_end": [round(x, 2) for x in os.getloadavg()],
                 "wall_start_unix": round(t_start, 1),

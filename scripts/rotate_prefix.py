@@ -61,6 +61,25 @@ def tracked_correctness(repo: str) -> dict[int, dict]:
     for f in files:
         rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
         rounds[rnd] = json.load(open(f))
+    # Guard (VERDICT r19 #1): the driver drops CORRECTNESS_r{N}.json
+    # UNTRACKED at round close; rotating before it is committed computes
+    # the PREVIOUS round's cohort and corrupts the rotation math. This
+    # recurred two rounds running — refuse instead of silently rotating.
+    if rounds:
+        tracked = set(map(os.path.abspath, files))
+        stray = [
+            f
+            for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+            if os.path.abspath(f) not in tracked
+            and int(re.search(r"r(\d+)", os.path.basename(f)).group(1)) > max(rounds)
+        ]
+        if stray:
+            raise SystemExit(
+                f"untracked CORRECTNESS file(s) newer than the tracked max "
+                f"r{max(rounds)}: {[os.path.basename(f) for f in stray]} — "
+                "commit them first, or the rotation will refresh the wrong "
+                "cohort."
+            )
     return rounds
 
 

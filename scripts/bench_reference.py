@@ -39,6 +39,13 @@ def main() -> int:
 
 
 def _run(scratch: str, sf_dir: str, n_files: int) -> int:
+    # r20 closing-number protocol: bracket the head-to-head with the same
+    # canary pair bench.py records — both legs share one host, so a dirty
+    # bracket taints the SPEEDUP ratio, not just the absolute times
+    # (r19: the reference leg alone swung 21.3s -> 41.8s between runs).
+    from bench import _canary_pair
+
+    canary_start = _canary_pair()
     build, data, run = (os.path.join(scratch, d) for d in ("build", "data", "run"))
     os.makedirs(data)
     os.makedirs(run)
@@ -91,6 +98,7 @@ def _run(scratch: str, sf_dir: str, n_files: int) -> int:
     )
     spark.stop()
 
+    canary_end = _canary_pair()
     identical = ref_counts == ours
     print(
         f"reference wordcount : {ref_wall:.2f}s  ({len(ref_counts)} words, "
@@ -99,6 +107,7 @@ def _run(scratch: str, sf_dir: str, n_files: int) -> int:
     print(f"this engine         : {spark_wall:.2f}s  (best-of-3, noop sink)")
     print(f"speedup             : {ref_wall / spark_wall:.0f}x")
     print(f"counts identical    : {identical}")
+    print(f"canary bracket      : start {canary_start} end {canary_end}")
     return 0 if identical else 1
 
 

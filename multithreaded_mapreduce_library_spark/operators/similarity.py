@@ -1076,30 +1076,62 @@ def _ivfq_coded(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``array<tinyint>`` (range [-127, 127], so the signed byte holds the
     symmetric rule directly with no zero-point shift). Deliberately
     carries NO float column: this frame is everything the candidate
-    generation + shortlist stage is allowed to shuffle."""
-    base = _lloyd_final_assignment(spark, sf_dir, narrow=True).select(
-        "vec_id", "cid", F.col("va").alias("v")
-    )
+    generation + shortlist stage is allowed to shuffle.
+
+    r21 optimization (guide §2.3/§2.4): the global scale
+    s = 127 / max|u_i| is collected to the driver and folded into the
+    plan as ONE double literal instead of the old
+    crossJoin(broadcast(gs)) — the 1-row agg subtree was re-planned on
+    BOTH shortlist sides (2 extra corpus scans + 2 agg exchanges + 2
+    BroadcastNestedLoopJoins in the capstone plan). Both reductions
+    (per-vector greatest of |min|/|max|, corpus max) are
+    order-independent, so the double is cross-engine exact, and a
+    collected double round-trips repr -> SQL literal losslessly (the
+    k-row centroid-fetch precedent — same constant-size driver-fetch
+    class). The scale is independent of the cell assignment, so its agg
+    is UNIONED into the seeds TakeOrdered collect: the two independent
+    subtrees run as concurrent stages of ONE job — the eager build still
+    pays exactly two Spark jobs (seeds+scale, then centroid update),
+    same as before the optimization. Past the assignment the codes
+    projection is narrow and zero-exchange, riding the scan."""
+    e = _load_embeddings(spark, sf_dir).select("vec_id", _dvec("embedding").alias("v"))
     # unit-normalize (zero-norm guard keeps degenerate vectors
     # deterministic: unit := v, codes all zero after scaling)
-    base = base.withColumn("norm", F.expr(_SPARK_NORM)).withColumn(
+    u = e.withColumn("norm", F.expr(_SPARK_NORM)).withColumn(
         "uv", F.expr("transform(v, x -> x / IF(norm = 0.0D, 1.0D, norm))")
     )
-    # one global symmetric scale: max|u_i| over the corpus via
-    # greatest(|min|, |max|) per vector (order-independent reductions →
-    # cross-engine exact), broadcast back as a 1-row frame
     gmax = F.max(
         F.greatest(F.abs(F.expr("array_min(uv)")), F.abs(F.expr("array_max(uv)")))
     )
-    gs = base.agg(
+    gs_row = u.agg(
         (F.lit(127.0) / F.when(gmax == 0.0, 1.0).otherwise(gmax)).alias("s")
+    ).select(F.lit(None).cast("long").alias("cid"), F.array("s").alias("vc"))
+    # ONE job: TakeOrdered seeds ∥ global-scale agg (cid NULL marks the
+    # scale row — seed cids are vec_ids, never NULL)
+    rows = _lloyd_seeds(e).unionByName(gs_row).collect()
+    s_vals = [r["vc"][0] for r in rows if r["cid"] is None]
+    seed_rows = [(int(r["cid"]), list(r["vc"])) for r in rows if r["cid"] is not None]
+    # empty corpus: the agg still yields one row with s NULL and there are
+    # no seeds — any finite literal gives the same (empty) output frame
+    s = 1.0 if not s_vals or s_vals[0] is None else float(s_vals[0])
+    seeds = spark.createDataFrame(seed_rows, "cid long, vc array<double>")
+    a = _lloyd_assign(e, seeds, narrow=True)
+    base = _lloyd_assign(e, _lloyd_update(a), narrow=True).select(
+        "vec_id", "cid", F.col("va").alias("v")
     )
-    return base.crossJoin(F.broadcast(gs)).select(
+    base = base.withColumn("norm", F.expr(_SPARK_NORM)).withColumn(
+        "uv", F.expr("transform(v, x -> x / IF(norm = 0.0D, 1.0D, norm))")
+    )
+    # CAST(<repr> AS DOUBLE): repr is the shortest round-trip string and
+    # the decimal-literal -> DOUBLE conversion is correctly rounded, so
+    # the literal is the exact collected double (narrow-assign precedent)
+    return base.select(
         "vec_id",
         "cid",
-        F.expr("transform(uv, x -> CAST(floor(x * s + 0.5) AS TINYINT))").alias(
-            "codes"
-        ),
+        F.expr(
+            f"transform(uv, x -> CAST(floor(x * CAST({s!r} AS DOUBLE) + 0.5)"
+            " AS TINYINT))"
+        ).alias("codes"),
     )
 
 
@@ -1269,8 +1301,11 @@ SELECT query_id, neighbor_id, cosine, rnk FROM (
         "list against the embeddings scan — the corpus itself never "
         "shuffles for the rerank. Shuffle story: training as in "
         "ivf_train_centroids (k centroids broadcast, kxdim partial-agg "
-        "update); ONE extra 1-row global-scale aggregation broadcast "
-        "back (the documented tiny-stats crossJoin pattern); the probe "
+        "update); ONE extra 1-row global-scale aggregation whose double "
+        "is collected and folded into the plan as a literal (r21: the "
+        "old crossJoin(broadcast(gs)) form re-planned that agg subtree "
+        "on both shortlist sides — two extra corpus scans; the literal "
+        "is bit-identical, see _ivfq_global_scale); the probe "
         "is ONE equi-join on the trained cell id (no CartesianProduct, "
         "plan-asserted) carrying codes only; shortlist and re-rank are "
         f"two windows partitioned by query_id, bounded by cell size and "

@@ -606,42 +606,48 @@ def waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     suppliers and exactly 1 distinct R-supplier — in which case every
     R-line in the order belongs to that single supplier, so numwait is the
     order's R-line count attributed to it. Row-for-row identical to the
-    stacked-EXISTS SQL.
+    stacked-EXISTS SQL. Both distinct-cardinality tests only need the
+    1-vs-many distinction, so they are computed as min/max comparisons
+    (countDistinct == 1 ⟺ min == max over non-nulls; > 1 ⟺ min != max),
+    which removes the count-distinct Expand/double-exchange entirely and
+    lets BOTH tests ride ONE groupBy(l_orderkey) over ONE lineitem scan
+    (conditional min/max/count on the R subset).
 
-    Shuffle story: two aggs on l_orderkey (R-stats on the R-subset, and
-    supplier-count) whose outputs join co-partitioned on orderkey with no
-    extra exchange; the F-orders side prunes to bare keys and BROADCASTS
-    into the semi join (~15% faster than shuffling it — measured best-of-3
-    at sf0.1: two-agg+broadcast 1.10s vs single-pass collect_set 1.24s vs
-    single-pass twin-countDistinct 2.11s, the Expand duplication making
-    the one-pass variants net losers); supplier broadcasts; final agg on
-    s_name. 100 TB note: the orders-keys broadcast only holds while the
-    pruned F-subset fits the broadcast threshold; at full fact-table scale
-    drop the hint and let AQE pick shuffle-vs-broadcast from runtime stats
-    (the rest of the plan is scale-invariant).
+    Shuffle story (r21, guide §2.3/§2.4 — was: two aggs on l_orderkey,
+    2 exchanges each from countDistinct, two lineitem scans, 5 exchanges
+    total): ONE agg exchange on l_orderkey carrying five small columns,
+    then the F-orders side prunes to bare keys and BROADCASTS into the
+    semi join; supplier broadcasts; final agg on s_name. 2 exchanges,
+    1 lineitem scan. 100 TB note: the orders-keys broadcast only holds
+    while the pruned F-subset fits the broadcast threshold; at full
+    fact-table scale drop the hint and let AQE pick shuffle-vs-broadcast
+    from runtime stats (the rest of the plan is scale-invariant).
     """
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey")
-    r_stats = (
-        li.filter(F.col("l_returnflag") == "R")
-        .groupBy("l_orderkey")
-        .agg(
-            F.countDistinct("l_suppkey").alias("n_r_supp"),
-            F.max("l_suppkey").alias("sole_suppkey"),
-            F.count("*").alias("n_r_lines"),
-        )
-    )
-    supp_counts = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp")
+    is_r = F.col("l_returnflag") == "R"
+    r_supp = F.when(is_r, F.col("l_suppkey"))
+    stats = li.groupBy("l_orderkey").agg(
+        F.min("l_suppkey").alias("min_supp"),
+        F.max("l_suppkey").alias("max_supp"),
+        F.min(r_supp).alias("min_r_supp"),
+        F.max(r_supp).alias("max_r_supp"),
+        F.count(F.when(is_r, F.lit(1))).alias("n_r_lines"),
     )
     return (
-        r_stats.join(supp_counts, "l_orderkey")
-        .filter((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
+        stats.filter(
+            # n_supp > 1 ⟺ min != max; n_r_supp == 1 ⟺ R-min == R-max
+            # (null-safe by construction: an order with no non-null
+            # R-suppkey yields NULL min/max → the equality is NULL →
+            # filtered, exactly like countDistinct == 1 failing at 0)
+            (F.col("min_supp") != F.col("max_supp"))
+            & (F.col("min_r_supp") == F.col("max_r_supp"))
+        )
         .join(F.broadcast(o), F.col("l_orderkey") == o.o_orderkey, "left_semi")
-        .join(F.broadcast(s), F.col("sole_suppkey") == s.s_suppkey)
+        .join(F.broadcast(s), F.col("max_r_supp") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.sum("n_r_lines").alias("numwait"))
     )

@@ -525,11 +525,17 @@ def test_quantized_topk_broadcasts_queries(spark, sf_dir):
 def test_ivf_quantized_serving_path_is_cell_local(spark, sf_dir):
     """The capstone serving query must generate candidates through the
     cell equi-join only — no cartesian fallback anywhere in the composed
-    train+quantize+probe+rerank plan — and keep the centroid broadcasts
-    from the training stage."""
+    train+quantize+probe+rerank plan. Since r21 the global code scale is
+    an eagerly-collected literal (_ivfq_global_scale) and the training
+    centroids are the narrow literal argmin, so the plan must contain NO
+    nested-loop join at all (the old crossJoin(broadcast(gs)) planned as
+    BroadcastNestedLoopJoin on BOTH shortlist sides — the subtree the
+    r21 optimization removed)."""
     plan = formatted_plan(SPECS["sim_topk_ivf_quantized"].builder(spark, sf_dir))
     assert "CartesianProduct" not in plan, "probe must stay cell-local"
-    assert "BroadcastNestedLoopJoin" in plan, "training centroids must broadcast"
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        "the literal global scale must not re-grow a nested-loop join"
+    )
 
 
 def test_ivf_quantized_shortlist_carries_no_floats(spark, sf_dir):

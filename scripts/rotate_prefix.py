@@ -67,12 +67,15 @@ def tracked_correctness(repo: str) -> dict[int, dict]:
     # recurred two rounds running — refuse instead of silently rotating.
     if rounds:
         tracked = set(map(os.path.abspath, files))
-        stray = [
-            f
-            for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
-            if os.path.abspath(f) not in tracked
-            and int(re.search(r"r(\d+)", os.path.basename(f)).group(1)) > max(rounds)
-        ]
+        stray = []
+        for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+            if os.path.abspath(f) in tracked:
+                continue
+            m = re.search(r"r(\d+)", os.path.basename(f))
+            # ADVICE r20: a digit-less suffix (CORRECTNESS_rtmp.json) must
+            # refuse with the clear message, not crash on .group(1) of None
+            if m is None or int(m.group(1)) > max(rounds):
+                stray.append(f)
         if stray:
             raise SystemExit(
                 f"untracked CORRECTNESS file(s) newer than the tracked max "

@@ -43,6 +43,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # r21 A/B note: coalescePartitions.parallelismFirst=false
+        # (size-based post-shuffle coalescing, guide §2.2) was measured
+        # against the default over two clean-canary-bracket bench runs
+        # per arm — sum of per-query bests 7.722s vs 7.715s, a wash at
+        # sf0.1 (AQE already coalesces the tiny local shuffles; the
+        # post-shuffle stages here are small aggs either way), so the
+        # Spark default stands. Revisit on a real cluster where reduce
+        # partition sizing matters (OPTIMIZATION_r21.md).
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")

@@ -150,6 +150,80 @@ def _pq_assign(sub: DataFrame, codebooks: DataFrame) -> DataFrame:
     )
 
 
+def _pq_codebook_literal(rows) -> str:
+    """SQL literal for a collected codebook: an array indexed by subspace
+    m of array<struct<c: array<double>, cid: bigint>>. Doubles round-trip
+    collect -> repr -> SQL literal losslessly (shortest round-trip
+    strings, correctly-rounded decimal-literal -> DOUBLE conversions —
+    the similarity._lloyd_assign narrow-argmin precedent), so the
+    literal codewords are bit-identical to the broadcast-frame values
+    the window path joins. Codewords are emitted sorted by (m, cid) for
+    deterministic expression text; array_min's (d2, cid) struct
+    comparison is order-independent regardless."""
+    by_m: dict[int, list] = {m: [] for m in range(PQ_M)}
+    for r in rows:
+        by_m[int(r["m"])].append((int(r["cid"]), [float(x) for x in r["vc"]]))
+
+    def arr(vs) -> str:
+        return "array(" + ",".join(repr(x) for x in vs) + ")"
+
+    subs = []
+    for m in range(PQ_M):
+        cws = ",".join(
+            f"struct({arr(vc)} AS c, CAST({cid} AS BIGINT) AS cid)"
+            for cid, vc in sorted(by_m[m])
+        )
+        subs.append(f"array({cws})")
+    return "array(" + ",".join(subs) + ")"
+
+
+# Shared narrow squared-L2 fold against a literal codeword — textually the
+# same sequential fold as _SPARK_D2 (identical operand order => identical
+# doubles), with the codeword coming from the literal instead of a column.
+_PQ_D2_CW = (
+    "aggregate(zip_with(sv, cw.c, (x, y) -> (x - y) * (x - y)),"
+    " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+)
+
+
+def _pq_assign_narrow(sub: DataFrame, rows) -> DataFrame:
+    """(vec_id, m, cid, d2, sv) — the zero-exchange literal-argmin twin of
+    _pq_assign (r21 optimization; agreement pinned by
+    tests/test_pq.py::test_pq_narrow_assign_agrees_with_window): the
+    M×k collected codebook rows fold into the plan as a literal, each
+    row picks array_min over the k codewords OF ITS OWN SUBSPACE
+    (element_at by m), and struct comparison reproduces the window
+    path's (d2, cid) ORDER BY exactly. The assignment rides the scan —
+    no broadcast join, no N×M×k window exchange+sort; at 100 TB the
+    only remaining wide work per assignment pass is the narrow map
+    itself. PQ_M×PQ_K = {0} literal codewords of {1} doubles — the same
+    driver-literal volume class as the accepted K_CELLS×DIM Lloyd
+    argmin.""".format(PQ_M * PQ_K, SUB)
+    if not rows:
+        # window-path twin: joining an empty broadcast yields no rows
+        return (
+            sub.select(
+                "vec_id",
+                "m",
+                F.lit(None).cast("long").alias("cid"),
+                F.lit(None).cast("double").alias("d2"),
+                "sv",
+            ).where(F.lit(False))
+        )
+    cbs = _pq_codebook_literal(rows)
+    best = (
+        f"array_min(transform(element_at({cbs}, m + 1), "
+        f"cw -> struct({_PQ_D2_CW} AS d2, cw.cid AS cid)))"
+    )
+    return sub.withColumn("_best", F.expr(best)).select(
+        "vec_id",
+        "m",
+        F.col("_best.cid").alias("cid"),
+        F.col("_best.d2").alias("d2"),
+        "sv",
+    )
+
+
 def _pq_codebooks(assigned: DataFrame) -> DataFrame:
     """Fixed-point per-(subspace, codeword) component means — the update
     step. Partial-aggregates into M×k×SUB counters regardless of corpus
@@ -175,16 +249,24 @@ def _pq_codebooks(assigned: DataFrame) -> DataFrame:
     )
 
 
-def _pq_final(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """(final assignment, trained codebooks) after one exact refinement —
-    the Spark twin of _DUCK_PQ_CTES (p2, pqnewc)."""
+def _pq_final(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list]:
+    """(final assignment, trained codebook ROWS) after one exact
+    refinement — the Spark twin of _DUCK_PQ_CTES (p2, pqnewc). r21: both
+    assignment passes use the narrow literal argmin (_pq_assign_narrow),
+    so training pays two small eager collects (the M×k seed subvectors,
+    then the M×k updated codebooks — the same constant-size
+    driver-fetch class as the Lloyd centroid collects) and the
+    assignments themselves ride the scan with ZERO exchanges, instead
+    of two broadcast-join + N×M×k window exchange+sort passes."""
     sub = _pq_sub(spark, sf_dir)
-    seeds = sub.filter(F.col("vec_id") < PQ_K).select(
-        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("vc")
+    seed_rows = (
+        sub.filter(F.col("vec_id") < PQ_K)
+        .select("m", F.col("vec_id").alias("cid"), F.col("sv").alias("vc"))
+        .collect()
     )
-    a1 = _pq_assign(sub, seeds)
-    newc = _pq_codebooks(a1)
-    return _pq_assign(sub, newc), newc
+    a1 = _pq_assign_narrow(sub, seed_rows)
+    newc_rows = _pq_codebooks(a1).collect()
+    return _pq_assign_narrow(sub, newc_rows), newc_rows
 
 
 def _pq_code_arrays(assigned: DataFrame) -> DataFrame:
@@ -200,34 +282,36 @@ def _pq_code_arrays(assigned: DataFrame) -> DataFrame:
     )
 
 
-def _pq_query_lut(spark: SparkSession, sf_dir: str, newc: DataFrame) -> DataFrame:
+def _pq_query_lut(spark: SparkSession, sf_dir: str, newc_rows: list) -> DataFrame:
     """(query_id, lut) — per-query ADC lookup table as an array of
     cid-keyed maps (lut[m][cid] = fixed-point squared-L2 from the
     query's m-th subvector to codeword cid), so the candidate-side score
     is a pure projection. Queries x M x k rows total — tiny, built for
-    broadcast."""
+    broadcast. r21: the codebook is the collected literal, so each
+    (query, m) row builds its whole map in ONE narrow projection —
+    the old broadcast join + per-(query, m) agg exchange are gone; the
+    only exchange left is the final per-query assembly."""
     qsub = _pq_sub(spark, sf_dir).filter(F.col("vec_id") % QUERY_MOD == 0)
-    lut_rows = (
-        qsub.select(F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("va"))
-        .join(
-            F.broadcast(newc.select(F.col("m").alias("m2"), "cid", "vc")),
-            F.col("m") == F.col("m2"),
+    if not newc_rows:
+        return (
+            qsub.select(
+                F.col("vec_id").alias("query_id"),
+                F.expr("CAST(array() AS array<map<int,bigint>>)").alias("lut"),
+            ).where(F.lit(False))
         )
-        .withColumn(
-            "d2fx", F.floor(F.expr(_SPARK_D2) * _FX + F.lit(0.5)).cast("long")
-        )
-    )
+    cbs = _pq_codebook_literal(newc_rows)
     # cid-KEYED map, not a positional array: a codeword that ends up
     # with zero members after the first assignment is absent from newc,
     # and a positionally-indexed row would silently shift every higher
     # cid's distance (and overflow the last one). Codes can only hold
     # cids present in newc, so the map lookup is always defined.
-    per_m = lut_rows.groupBy("query_id", "m").agg(
-        F.map_from_entries(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("cid").cast("int").alias("cid"), "d2fx"))
-            )
-        ).alias("row")
+    row_expr = (
+        f"map_from_entries(transform(element_at({cbs}, m + 1), "
+        f"cw -> struct(CAST(cw.cid AS INT) AS cid, "
+        f"CAST(floor({_PQ_D2_CW} * {_FX} + 0.5) AS BIGINT) AS d2fx)))"
+    )
+    per_m = qsub.select(
+        F.col("vec_id").alias("query_id"), "m", F.expr(row_expr).alias("row")
     )
     # the outer array is assembled by the m index (dense 0..PQ_M-1 by
     # construction — every subspace exists for every query), because
@@ -272,11 +356,14 @@ FROM p2
         "vector's per-subspace code + fixed-point residual distance. "
         f"A vector is now {PQ_M} tiny code ids ({PQ_M}x3 bits here; "
         f"{PQ_M}x8 at k=256) instead of {DIM} floats — the compression "
-        "an index at 100 TB actually stores. Shuffle story: the "
-        "subvector explode is a narrow map ({PQ_M} rows per vector, "
-        "same bytes); codebooks are M*k rows BROADCAST both "
-        "assignment passes; the argmin window partitions on "
-        "(vec_id, m) with exactly k rows per key; the update partial-"
+        "an index at 100 TB actually stores. Shuffle story (r21): the "
+        f"subvector explode is a narrow map ({PQ_M} rows per vector, "
+        "same bytes); both assignment passes are the narrow LITERAL "
+        "argmin (_pq_assign_narrow — the M×k collected codebook folds "
+        "into the plan, array_min reproduces the window path's (d2, "
+        "cid) ORDER BY bit-for-bit), so assignment rides the scan with "
+        "ZERO exchanges instead of a broadcast join + N×M×k window "
+        "exchange+sort per pass; the update partial-"
         f"aggregates into {PQ_M}x{PQ_K}x{SUB} cells regardless of "
         "corpus size. Nothing wide ever shuffles."
     ),
@@ -328,12 +415,14 @@ SELECT query_id, neighbor_id, adist_fx, rnk FROM (
         f"SUM OF {PQ_M} TABLE LOOKUPS on its stored tinyint codes — "
         f"{PQ_M} integer adds replace a {DIM}-element float dot product. "
         "All-integer scoring makes the differential exact with no float-"
-        "order caveats. Shuffle story: per-vector code arrays need one "
-        "bounded groupBy(vec_id) exchange (M rows per key); the LUT is "
-        "queries x M x k rows, collected into a per-query array-of-"
-        "arrays and BROADCAST into the candidate scan, where the score "
-        "is a pure zip_with/element-lookup projection (no explode, no "
-        "scoring exchange); per-query top-k is the window family's "
+        "order caveats. Shuffle story (r21): per-vector code arrays need "
+        "one bounded groupBy(vec_id) exchange (M rows per key); each "
+        "query's LUT row is built in ONE narrow projection against the "
+        "LITERAL trained codebook (the old broadcast join + per-"
+        "(query, m) agg exchange are gone), assembled per query by one "
+        "tiny exchange and BROADCAST into the candidate scan, where the "
+        "score is a pure zip_with/element-lookup projection (no explode, "
+        "no scoring exchange); per-query top-k is the window family's "
         "single query_id exchange carrying (ids, one BIGINT). At 100 TB "
         "this composes with the trained IVF cells exactly like "
         "sim_topk_ivf_quantized: scan codes cell-locally, rerank "
@@ -425,8 +514,9 @@ SELECT query_id, neighbor_id, cosine, rnk FROM (
         "one plan is precisely the 100 TB serving layout: the index "
         "stores cell id + M bytes per vector, a query touches one "
         "cell's codes, and floats are read for K rows only. Shuffle "
-        "story: both trainings broadcast their k-row codebooks "
-        "(plan-asserted elsewhere); candidate generation is ONE "
+        "story (r21): both trainings fold their k-row codebooks into "
+        "the plan as literals (narrow zero-exchange assignments — "
+        "_lloyd_assign and _pq_assign_narrow); candidate generation is ONE "
         "equi-join of the codes table against the BROADCAST "
         "(query LUT x query cell) frame keyed on the trained cell id — "
         "the candidate side carries (ids, tinyint codes) only, no "

@@ -133,17 +133,56 @@ def test_ivfpq_serving_is_cell_local_and_float_free(spark, sf_dir):
             )
 
 
-def test_pq_plan_broadcasts_and_partial_aggregates(spark, sf_dir):
-    """Training must broadcast the M*k codebooks into both assignment
-    passes (equi-join on the subspace id — BroadcastHashJoin, bounded
-    build side), the LUT must broadcast into the candidate scan (the
-    documented tiny-query-side nested-loop), the update must partial-
-    aggregate, and nothing may fall back to a cartesian product."""
+def test_pq_plan_literal_training_and_broadcast_lut(spark, sf_dir):
+    """r21 narrow-PQ contract: the serving plan contains NO join for the
+    codebook at all (assignment is the literal argmin riding the scan —
+    the only join left is the documented tiny-query-side LUT
+    nested-loop broadcast), the code-array build partial-aggregates,
+    and nothing falls back to a cartesian product or a sort-merge
+    join."""
     plan = formatted_plan(SPECS["sim_topk_pq"].builder(spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan, "codebook joins must broadcast"
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan, (
+        "the literal argmin must not re-grow a codebook join"
+    )
     assert "BroadcastNestedLoopJoin" in plan, "query LUT must broadcast"
-    assert plan.count("HashAggregate") >= 2, "codebook update must partial-aggregate"
+    assert plan.count("HashAggregate") >= 2, "code-array build must partial-aggregate"
+
+
+def test_pq_narrow_assign_agrees_with_window(spark, sf_dir):
+    """The r21 literal-argmin migration's bit-identity claim, pinned the
+    same way as test_lloyd_narrow_assign_agrees_with_window: for both
+    the seed and the refined codebooks, _pq_assign_narrow must return
+    EXACTLY the window path's (vec_id, m, cid, d2) — same argmin, same
+    (d2, cid) tiebreak, bit-identical doubles."""
+    from multithreaded_mapreduce_library_spark.operators.pq import (
+        PQ_K,
+        _pq_assign,
+        _pq_assign_narrow,
+        _pq_codebooks,
+        _pq_sub,
+    )
+
+    sub = _pq_sub(spark, sf_dir)
+    seeds_df = sub.filter(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("vc")
+    )
+    seed_rows = seeds_df.collect()
+
+    def canon(df):
+        return sorted(
+            (r["vec_id"], r["m"], r["cid"], r["d2"]) for r in df.collect()
+        )
+
+    a1_window = _pq_assign(sub, seeds_df)
+    a1_narrow = _pq_assign_narrow(sub, seed_rows)
+    assert canon(a1_narrow) == canon(a1_window), "seed-pass argmin diverged"
+
+    newc_df = _pq_codebooks(a1_window)
+    assert canon(_pq_assign_narrow(sub, newc_df.collect())) == canon(
+        _pq_assign(sub, newc_df)
+    ), "refined-pass argmin diverged"
 
 
 def test_zorder_buckets_are_prunable_envelopes(spark, sf_dir):

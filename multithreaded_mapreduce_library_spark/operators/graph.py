@@ -109,11 +109,23 @@ SELECT node, r AS rank_scaled FROM r{PR_ITERS}
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # r21 (guide §2.3 "narrower types"): node ids travel as BIGINTs
+    # through every edge-scale pass — suppliers even (2*suppkey),
+    # customers odd (2*custkey+1), a bijection onto the old
+    # 's<k>'/'c<k>' strings — and the display string is formatted ONCE
+    # at the node-scale output (|nodes| rows, not |edges|). The ~1.2M
+    # bidirectional edge rows at sf0.1 are grouped/joined/aggregated
+    # three-plus times per run; hashing and comparing longs instead of
+    # UTF8 strings cuts every one of those passes (measured at sf0.1:
+    # ~7.1s -> 4.4s best-of-3 builder+noop), and at 100 TB it also halves the
+    # edge exchange's key bytes. Ranks are unchanged integers — the
+    # bijection makes every group identical, so the output is
+    # bit-identical (oracle-proven at both SFs).
     e0 = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .groupBy(
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("o_custkey") * 2 + 1).alias("dst"),
         )
         .agg(F.count("*").alias("w"))
     )
@@ -149,4 +161,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node",
             (base + F.expr(f"({PR_DAMP_NUM} * m) div {PR_DAMP_DEN}")).alias("r"),
         )
-    return r.select("node", F.col("r").alias("rank_scaled"))
+    return r.select(
+        F.expr(
+            "CASE WHEN node % 2 = 0 THEN concat('s', CAST(node div 2 AS STRING)) "
+            "ELSE concat('c', CAST((node - 1) div 2 AS STRING)) END"
+        ).alias("node"),
+        F.col("r").alias("rank_scaled"),
+    )

@@ -23,7 +23,7 @@ from multithreaded_mapreduce_library_spark.functions import (
     tokens,
 )
 from multithreaded_mapreduce_library_spark.registry import register
-from multithreaded_mapreduce_library_spark.sources import load_table
+from multithreaded_mapreduce_library_spark.sources import load_table, rebalance_scan
 
 WORDCOUNT_ORACLE = f"""
 SELECT word, count(*) AS cnt
@@ -956,12 +956,18 @@ FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id"""
         "application as column LITERALS — the broadcast of a vocab-scale "
         "merge table in its degenerate cheapest form (a real 30k-rule "
         "vocab would broadcast-join a rule table instead). Application "
-        "itself is ZERO-exchange: scan documents -> one narrow Project "
-        "evaluating tokenize + char-split + the rule folds per row "
-        "(plan-pinned by test_bpe_apply_is_narrow: no Exchange, "
-        "ReadSchema doc_id+text only). At 100 TB the apply stage is "
+        "itself is join-free and agg-free: scan documents -> one narrow "
+        "Project evaluating tokenize + char-split + the rule folds per "
+        "row, behind at most the ONE rebalance exchange of the SOURCE "
+        "rows (r21, sources.rebalance_scan — a no-op on well-split "
+        "sources; on the one-row-group fixture it spreads the "
+        "registry's most CPU-dense per-row work across the cluster, "
+        "measured 10-12s single-task -> 4.0s at sf0.1; plan-pinned by "
+        "test_bpe_apply_is_narrow: no join/agg/sort/generate, ReadSchema "
+        "doc_id+text only). At 100 TB the apply stage is "
         "embarrassingly parallel — per-task cost O(doc bytes x rules), "
-        "no skew surface, no shuffle — exactly how production tokenizer "
+        "no skew surface, no data-dependent shuffle — exactly how "
+        "production tokenizer "
         "workers shard a corpus. Exactness: ASCII-corpus contract "
         "inherited from bpe_train (test_bpe_contract_corpora_are_ascii); "
         "counts are BIGINTs; the oracle re-derives its own rules with "
@@ -979,7 +985,16 @@ def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             syms = _bpe_merge_col(syms, r["lhs"], r["rhs"])
         return syms
 
-    docs = load_table(spark, sf_dir, "documents")
+    # r21: rebalance the scan (guide §2.6 / sources.rebalance_scan's own
+    # charter) — the encode projection is the most CPU-dense per-row work
+    # in the registry (char-split + rule folds per word), and the
+    # single-row-group fixture otherwise runs ALL of it in ONE task
+    # (measured at sf0.1, builder+noop incl. the eager training collect:
+    # 10-12s single-task -> 4.0s best-of-3 across the cluster). At
+    # 100 TB the source is well-split and this is a no-op;
+    # the apply stage stays join-free/agg-free either way and the scan
+    # still prunes to doc_id+text (plan pin updated accordingly).
+    docs = rebalance_scan(load_table(spark, sf_dir, "documents"), spark)
     zero = F.lit(0).cast("long")
     return (
         docs.select("doc_id", tokens("text").alias("toks"))

@@ -713,15 +713,24 @@ def test_mixture_sample_filter_rides_scan(spark, sf_dir):
     )
 
 
-def test_profile_table_single_scan_expand(spark, sf_dir):
-    """All per-column aggregates (incl. the multi-distinct) ride one scan
-    through an Expand plan; the unpivot is an inline struct explode, no
-    join or union of per-column scans."""
+def test_profile_table_per_column_distincts_no_expand(spark, sf_dir):
+    """r21 contract (replaces the old single-scan Expand pin): the exact
+    multi-column distinct counts must NOT plan through Expand (which
+    multiplied every input row six-fold through the exchange — measured
+    6.8-11.2s vs 0.9-1.7s at sf0.1); instead each column's distinct is
+    its own COLUMN-PRUNED subtree (parquet reads each column once in
+    both designs) joined back as a 1-row broadcast. The unpivot stays an
+    inline struct explode; no sort-merge join, no union."""
     df = SPECS["profile_table"].builder(spark, sf_dir)
     plan = formatted_plan(df)
-    assert plan.count("Scan parquet") <= 2  # tree + detail listing of ONE scan
-    assert "Expand" in plan  # multi-distinct rewrite
-    assert "Join" not in plan and "Union" not in plan
+    assert "Expand" not in plan, "multi-distinct Expand came back"
+    assert "SortMergeJoin" not in plan and "Union" not in plan
+    # every per-column distinct subtree scans exactly its own column
+    schemas = read_schemas(df)
+    assert schemas and max(s.count(":") for s in schemas) >= 5  # the base scan
+    assert sum(1 for s in schemas if s.count(":") == 1) >= 5, (
+        f"per-column distinct scans must prune to one column: {schemas}"
+    )
 
 
 def test_skew_diagnose_topk_not_global_sort(spark, sf_dir):
@@ -1237,7 +1246,17 @@ def test_bpe_apply_is_narrow(spark, sf_dir):
     no skew surface."""
     df = SPECS["bpe_apply"].builder(spark, sf_dir)
     plan = formatted_plan(df)
-    assert "Exchange" not in plan, "apply stage must not shuffle"
+    # r21: the ONE permitted exchange is the rebalance of the SOURCE rows
+    # (round-robin, no key — a no-op on well-split sources; on the
+    # one-row-group fixture it parallelizes the registry's most CPU-dense
+    # per-row projection). Any keyed/data-dependent shuffle stays banned.
+    import re
+
+    exchanges = re.findall(r"\(\d+\) Exchange\n.*\nArguments: (\w+)", plan)
+    assert all(k.startswith("RoundRobin") for k in exchanges), (
+        f"apply stage grew a keyed shuffle: {exchanges}"
+    )
+    assert len(exchanges) <= 1, f"apply stage has {len(exchanges)} exchanges"
     for node in ("Join", "HashAggregate", "Sort", "Generate"):
         assert node not in plan, f"apply stage grew a {node} it does not need"
     schemas = read_schemas(df)

@@ -34,8 +34,8 @@ import pyarrow.parquet as pq
 # seeds outside this set, then add them here in the same commit.
 BURNED_SEEDS = frozenset(
     {7, 42, 73, 99, 307, 509, 641, 911, 1201, 1381, 1783, 2311, 2753,
-     3109, 3499, 4421, 4903, 5281, 5903, 6577, 6829, 7649, 8191, 8443,
-     9461}
+     3109, 3499, 4421, 4903, 5077, 5281, 5903, 6577, 6829, 7649, 8191,
+     8443, 9461, 9643}
 )
 
 N_CUSTOMER = 150

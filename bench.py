@@ -159,6 +159,10 @@ def main() -> None:
     t_start = time.time()
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        # Guide §1.5: label jobs so a UI/eventlog reading of the bench
+        # maps stages to queries. Thread-local, set OUTSIDE the timed
+        # region (one py4j call per query, before the clock starts).
+        spark.sparkContext.setJobDescription(f"bench:{name}")
         best = float("inf")
         for _ in range(iters):
             # Timed region (r15 protocol note): for PURE-LAZY builders the
@@ -181,8 +185,10 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+    spark.sparkContext.setJobDescription("bench:ann_serving")
 
     ann_serving = bench_ann_serving(spark, sf_dir, iters)
+    spark.sparkContext.setJobDescription(None)
 
     # Trailing canary (r19 lesson, VERDICT r19 #3): steal bursts WITHIN a
     # run on this host class, so the closing-number protocol brackets

@@ -168,6 +168,19 @@ PROBE = (
     "dedup_semantic",
     "sim_topk_ivf_quantized",
     "sim_topk_ivfpq",
+    # r21 (optimization round): direct octave evidence for the changed
+    # shapes. waiting_orders — ONE conditional-min/max agg exchange on
+    # l_orderkey + broadcasts (orders fan out with offset keys, so the
+    # agg's group count grows Nx with constant per-group state) — expect
+    # ~Nx or below. profile_table — per-column distinct->count subtrees
+    # (no Expand): scan bytes Nx, distinct-value exchanges grow with the
+    # per-column cardinality (sub-Nx for low-cardinality columns) —
+    # expect ~Nx or below. pq_train_codes — narrow literal-argmin
+    # assignments riding the scan + M x k x SUB partial-agg update
+    # (constant-size) — expect ~Nx or below.
+    "waiting_orders",
+    "profile_table",
+    "pq_train_codes",
     # r17: lm_bigram_score = two keyed agg exchanges (bigram + context
     # counts, map-side partials) + two keyed model joins + one doc-mean
     # agg — the first probe whose hot keys are natural-language stopwords

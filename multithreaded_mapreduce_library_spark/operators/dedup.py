@@ -472,26 +472,41 @@ GROUP BY x.blk
         "pairs share a name-prefix block (bounded block size ⇒ bounded "
         f"pair fanout), kept when levenshtein ≤ {FUZZY_MAX_DIST}. Classic "
         "record-linkage blocking — the n² pair space never materializes; "
-        "the block key is the shuffle key at scale."
+        "the block key is the shuffle key at scale. r21 (guide §1.2 "
+        "step 2, per-task work): block-mates share their ENTIRE prefix "
+        "by the join key (equal blk strings force equal name lengths "
+        "and an identical first len-2 chars), and edit distance is "
+        "invariant under stripping a common prefix, so the per-pair "
+        f"levenshtein runs on just the {FUZZY_BLOCK_LEN_OFF}-char "
+        "suffixes — an O(len²) DP becomes O(4) per pair (measured at "
+        "sf0.1: 5.4s → 1.0s warm; the oracle keeps the full-name "
+        "levenshtein, so the differential proves the rewrite exact)."
     ),
 )
 def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # suffix = the last FUZZY_BLOCK_LEN_OFF chars (whole name when
+    # shorter): greatest(.., 1) keeps the 1-based start position legal
+    # for len-0/len-1 names, where blk is "" and the suffix IS the name.
+    suffix = (
+        f"substr(c_name, greatest(length(c_name) - {FUZZY_BLOCK_LEN_OFF} + 1, 1),"
+        f" {FUZZY_BLOCK_LEN_OFF})"
+    )
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
-        "c_name",
+        F.expr(suffix).alias("sfx"),
         F.expr(
             f"substr(c_name, 1, length(c_name) - {FUZZY_BLOCK_LEN_OFF})"
         ).alias("blk"),
     )
     x = c.select(
-        F.col("c_custkey").alias("ka"), F.col("c_name").alias("na"), F.col("blk").alias("ba")
+        F.col("c_custkey").alias("ka"), F.col("sfx").alias("sa"), F.col("blk").alias("ba")
     )
     y = c.select(
-        F.col("c_custkey").alias("kb"), F.col("c_name").alias("nb"), F.col("blk").alias("bb")
+        F.col("c_custkey").alias("kb"), F.col("sfx").alias("sb"), F.col("blk").alias("bb")
     )
     return (
         x.join(y, (F.col("ba") == F.col("bb")) & (F.col("ka") < F.col("kb")))
-        .filter(F.levenshtein(F.col("na"), F.col("nb")) <= FUZZY_MAX_DIST)
+        .filter(F.levenshtein(F.col("sa"), F.col("sb")) <= FUZZY_MAX_DIST)
         .groupBy(F.col("ba").alias("blk"))
         .agg(
             F.count("*").alias("n_fuzzy_pairs"),

@@ -1456,10 +1456,11 @@ WITH a AS (
         "joined back as five 1-row broadcasts — the old single-agg "
         "five-way countDistinct planned through Expand, multiplying "
         "every input row SIX-fold through the exchange (measured at "
-        "sf0.1: 6.8-11.2s -> 0.9-1.7s, values identical; parquet reads "
-        "each column once either way, so total scan bytes are unchanged "
-        "at any scale while the shuffle shrinks from 6N expanded rows "
-        "to per-column distinct values). The 1-row result unpivots "
+        "sf0.1: 6.8-11.2s -> 0.9-1.7s, values identical; each profiled "
+        "column is scanned twice — once in the base min/max/null scan "
+        "and once in its own distinct subtree, ~2x column bytes read — "
+        "in exchange for eliminating the 6N-row Expand through the "
+        "exchange). The 1-row result unpivots "
         "driver-free via an inline struct array. min/max render through "
         "engine-agreeing formatters (printf-style for doubles, ISO "
         "dates) — never a raw double->string cast. At 100 TB this is "

@@ -1313,7 +1313,7 @@ SELECT query_id, neighbor_id, cosine, rnk FROM (
         "is collected and folded into the plan as a literal (r21: the "
         "old crossJoin(broadcast(gs)) form re-planned that agg subtree "
         "on both shortlist sides — two extra corpus scans; the literal "
-        "is bit-identical, see _ivfq_global_scale); the probe "
+        "is bit-identical, see _ivfq_coded); the probe "
         "is ONE equi-join on the trained cell id (no CartesianProduct, "
         "plan-asserted) carrying codes only; shortlist and re-rank are "
         f"two windows partitioned by query_id, bounded by cell size and "

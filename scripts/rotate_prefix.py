@@ -44,9 +44,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 PREFIX_SLOTS = 50
 
 
-def tracked_correctness(repo: str) -> dict[int, dict]:
+def tracked_correctness(repo: str, ignore_untracked: bool = False) -> dict[int, dict]:
     """Round -> parsed CORRECTNESS_r*.json, git-tracked files only when
-    git is available (same rule as tests/test_registry_oracle.py)."""
+    git is available (same rule as tests/test_registry_oracle.py).
+
+    ``ignore_untracked=True`` skips the untracked-newer-file refusal and
+    just returns the tracked rounds (ADVICE r21 #2): the reproducibility
+    tests validate the committed prefix against the committed history —
+    which is exactly the input it was computed from — so they stay
+    MEANINGFUL (not skipped) during the round-boundary window in which
+    the driver's new CORRECTNESS file sits untracked. The rotation tool
+    itself always keeps the loud refusal (default False): rotating
+    against a stale history corrupts the cohort math."""
     try:
         out = subprocess.run(
             ["git", "-C", repo, "ls-files", "CORRECTNESS_r*.json"],
@@ -65,7 +74,7 @@ def tracked_correctness(repo: str) -> dict[int, dict]:
     # UNTRACKED at round close; rotating before it is committed computes
     # the PREVIOUS round's cohort and corrupts the rotation math. This
     # recurred two rounds running — refuse instead of silently rotating.
-    if rounds:
+    if rounds and not ignore_untracked:
         tracked = set(map(os.path.abspath, files))
         stray = []
         for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):

@@ -526,7 +526,7 @@ def test_ivf_quantized_serving_path_is_cell_local(spark, sf_dir):
     """The capstone serving query must generate candidates through the
     cell equi-join only — no cartesian fallback anywhere in the composed
     train+quantize+probe+rerank plan. Since r21 the global code scale is
-    an eagerly-collected literal (_ivfq_global_scale) and the training
+    an eagerly-collected literal (folded in by _ivfq_coded) and the training
     centroids are the narrow literal argmin, so the plan must contain NO
     nested-loop join at all (the old crossJoin(broadcast(gs)) planned as
     BroadcastNestedLoopJoin on BOTH shortlist sides — the subtree the

@@ -294,26 +294,51 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
         f"{SIMHASH_BITS}-bit SimHash over token hashes (tf-weighted ±1 votes "
         f"per bit), candidate pairs via {SIMHASH_BANDS}-band LSH, kept when "
         f"Hamming distance ≤ {SIMHASH_MAX_HAMMING}. Entirely JVM-side bit "
-        "arithmetic — no UDFs."
+        "arithmetic — no UDFs. r22 (guide §2.3, narrower aggregation "
+        "state): the per-bit ±1 vote s_b = 2*cnt_b - n needs only cnt_b "
+        "(count of tokens with bit b set) and the token count n, so TWO "
+        "32-bit counters ride in each 64-bit sum — 24 packed aggregates "
+        "+ count(*) instead of 48 CASE sums, halving the agg buffer and "
+        "the partial-agg bytes per doc crossing the exchange. "
+        "No-overflow PROOF (unlike the r21-rejected 10/20-bit packing): "
+        "a Spark string column holds < 2^31 bytes and tokens are "
+        "non-empty and delimiter-separated, so n <= 2^30 per doc; the "
+        "low field accumulates at most n < 2^32 (never carries into the "
+        "high field) and the packed sum stays below n*(2^32+1) < 2^63 "
+        "(never overflows the long). Bit b is set iff 2*cnt_b >= n "
+        "(⟺ s_b >= 0); the oracle keeps the literal ±1 form, so the "
+        "hash differential proves the rewrite exact."
     ),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Rebalanced scan: per-token md5 + 48 bit-tests per token is the CPU
-    # hot path — don't let a one-row-group source serialize it.
+    # Rebalanced scan: the per-token md5 is the CPU hot path (measured
+    # r22 at sf0.1: explode+md5 ≈ 0.6s of the 1.66s total; the bit-sum
+    # aggregates add ~0.1s, the doc-scale band join + distinct the rest)
+    # — don't let a one-row-group source serialize it.
     d = rebalance_scan(load_table(spark, sf_dir, "documents"), spark)
     th = d.select("doc_id", F.explode(tokens("text")).alias("tok")).withColumn(
         "h", h31(F.col("tok"))
     )
-    bit_sums = [
+    half = SIMHASH_BITS // 2
+    pair_sums = [
         F.sum(
-            F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)
-        ).alias(f"s{b}")
-        for b in range(SIMHASH_BITS)
+            F.expr(f"((h >> {b}) & 1) + (((h >> {b + half}) & 1) * 4294967296)")
+        ).alias(f"p{b}")
+        for b in range(half)
     ]
-    bits = th.groupBy("doc_id").agg(*bit_sums)
+    bits = th.groupBy("doc_id").agg(*pair_sums, F.count("*").alias("n"))
     sim_terms = [
-        F.when(F.col(f"s{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-        for b in range(SIMHASH_BITS)
+        F.when(
+            F.expr(f"2 * (p{b} & 4294967295)") >= F.col("n"),
+            F.lit(1 << b).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for b in range(half)
+    ] + [
+        F.when(
+            F.expr(f"2 * (p{b} >> 32)") >= F.col("n"),
+            F.lit(1 << (b + half)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for b in range(half)
     ]
     sims = bits.select(
         "doc_id", _reduce(lambda p, q: p + q, sim_terms).alias("simhash")

@@ -33,7 +33,9 @@ from multithreaded_mapreduce_library_spark.operators.similarity import (
     _duck_cosine,
     _duck_fold_sum,
     _dvec,
-    _lloyd_final_assignment,
+    _lloyd_assign,
+    _lloyd_seeds,
+    _lloyd_update,
     _load_embeddings,
     exact_cosine_rerank,
     QUERY_MOD,
@@ -249,15 +251,12 @@ def _pq_codebooks(assigned: DataFrame) -> DataFrame:
     )
 
 
-def _pq_final(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list]:
-    """(final assignment, trained codebook ROWS) after one exact
-    refinement — the Spark twin of _DUCK_PQ_CTES (p2, pqnewc). r21: both
-    assignment passes use the narrow literal argmin (_pq_assign_narrow),
-    so training pays two small eager collects (the M×k seed subvectors,
-    then the M×k updated codebooks — the same constant-size
-    driver-fetch class as the Lloyd centroid collects) and the
-    assignments themselves ride the scan with ZERO exchanges, instead
-    of two broadcast-join + N×M×k window exchange+sort passes."""
+def _pq_trained(spark: SparkSession, sf_dir: str) -> list:
+    """Trained codebook ROWS after one exact refinement — the Spark twin
+    of _DUCK_PQ_CTES' pqnewc. Two small eager collects (the M×k seed
+    subvectors, then the M×k updated codebooks — the same constant-size
+    driver-fetch class as the Lloyd centroid collects); the assignment
+    pass between them is the narrow literal argmin riding the scan."""
     sub = _pq_sub(spark, sf_dir)
     seed_rows = (
         sub.filter(F.col("vec_id") < PQ_K)
@@ -265,8 +264,18 @@ def _pq_final(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list]:
         .collect()
     )
     a1 = _pq_assign_narrow(sub, seed_rows)
-    newc_rows = _pq_codebooks(a1).collect()
-    return _pq_assign_narrow(sub, newc_rows), newc_rows
+    return _pq_codebooks(a1).collect()
+
+
+def _pq_final(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list]:
+    """(final assignment, trained codebook ROWS) after one exact
+    refinement — the Spark twin of _DUCK_PQ_CTES (p2, pqnewc). r21: both
+    assignment passes use the narrow literal argmin (_pq_assign_narrow),
+    so training pays two small eager collects and the assignments
+    themselves ride the scan with ZERO exchanges, instead of two
+    broadcast-join + N×M×k window exchange+sort passes."""
+    newc_rows = _pq_trained(spark, sf_dir)
+    return _pq_assign_narrow(_pq_sub(spark, sf_dir), newc_rows), newc_rows
 
 
 def _pq_code_arrays(assigned: DataFrame) -> DataFrame:
@@ -279,6 +288,49 @@ def _pq_code_arrays(assigned: DataFrame) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("m", "cid"))),
             lambda s: s["cid"].cast("tinyint"),
         ).alias("codes")
+    )
+
+
+def _pq_codes_narrow(e: DataFrame, rows, vcol: str = "v") -> DataFrame:
+    """(vec_id, codes) — the per-vector tinyint code array computed as
+    ONE narrow projection over the full-vector frame ``e`` (vec_id,
+    ``vcol``: array<double>), r22 twin of
+    ``_pq_code_arrays(_pq_assign_narrow(_pq_sub(...), rows))`` with the
+    subvector explode AND the bounded groupBy(vec_id) exchange both
+    removed (guide §2.4): per subspace m the codeword argmin is the same
+    literal array_min over (d2, cid) structs as _pq_assign_narrow — the
+    slice/zip_with/fold operand order is textually identical, so d2 and
+    the picked cid are bit-identical — and the output array is ordered
+    by m exactly like _pq_code_arrays' array_sort over the dense m keys.
+    Agreement is pinned by
+    tests/test_pq.py::test_pq_narrow_codes_agree_with_grouped.
+    At 100 TB the code build rides the scan: no M-rows-per-vector
+    explode, no corpus-wide exchange carrying the code bytes."""
+    if not rows:
+        # grouped-path twin: an empty codebook assigns nothing
+        return (
+            e.select(
+                "vec_id",
+                F.lit(None).cast("array<tinyint>").alias("codes"),
+            ).where(F.lit(False))
+        )
+    return e.select("vec_id", F.expr(_pq_codes_expr(rows, vcol)).alias("codes"))
+
+
+def _pq_codes_expr(rows, vcol: str) -> str:
+    """The narrow per-vector code-array expression (see _pq_codes_narrow;
+    ``rows`` must be non-empty). Shared with _ivfpq_coded, whose input
+    frame also carries the trained cell id."""
+    cbs = _pq_codebook_literal(rows)
+    d2 = (
+        f"aggregate(zip_with(slice({vcol}, m * {SUB} + 1, {SUB}), cw.c,"
+        " (x, y) -> (x - y) * (x - y)),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    return (
+        f"transform(sequence(0, {PQ_M - 1}), m -> "
+        f"CAST(array_min(transform(element_at({cbs}, m + 1), "
+        f"cw -> struct({d2} AS d2, cw.cid AS cid))).cid AS TINYINT))"
     )
 
 
@@ -415,10 +467,14 @@ SELECT query_id, neighbor_id, adist_fx, rnk FROM (
         f"SUM OF {PQ_M} TABLE LOOKUPS on its stored tinyint codes — "
         f"{PQ_M} integer adds replace a {DIM}-element float dot product. "
         "All-integer scoring makes the differential exact with no float-"
-        "order caveats. Shuffle story (r21): per-vector code arrays need "
-        "one bounded groupBy(vec_id) exchange (M rows per key); each "
+        "order caveats. Shuffle story (r22): the per-vector code array "
+        "is ONE narrow projection against the LITERAL trained codebook "
+        "riding the embeddings scan (_pq_codes_narrow — r22 removed the "
+        "subvector explode and the corpus-wide groupBy(vec_id) exchange "
+        "the r21 form still paid; bit-identity with the grouped path is "
+        "test-pinned); each "
         "query's LUT row is built in ONE narrow projection against the "
-        "LITERAL trained codebook (the old broadcast join + per-"
+        "same literal (the old broadcast join + per-"
         "(query, m) agg exchange are gone), assembled per query by one "
         "tiny exchange and BROADCAST into the candidate scan, where the "
         "score is a pure zip_with/element-lookup projection (no explode, "
@@ -438,8 +494,9 @@ SELECT query_id, neighbor_id, adist_fx, rnk FROM (
     ),
 )
 def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assigned, newc = _pq_final(spark, sf_dir)
-    codes = _pq_code_arrays(assigned)
+    newc = _pq_trained(spark, sf_dir)
+    e = _load_embeddings(spark, sf_dir).select("vec_id", _dvec("embedding").alias("v"))
+    codes = _pq_codes_narrow(e, newc)
     lut = _pq_query_lut(spark, sf_dir, newc)
     scored = codes.join(
         F.broadcast(lut), F.col("query_id") != F.col("vec_id")
@@ -454,6 +511,59 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", "adist_fx", "rnk")
     )
+
+
+def _ivfpq_coded(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list]:
+    """((vec_id, cid, codes) materialized once per build, trained PQ
+    codebook ROWS) — the IVF-PQ index frame: trained Lloyd cell id plus
+    the narrow PQ code array, built in ONE scan with ZERO exchanges
+    (both argmins are literal folds riding the scan) and
+    ``localCheckpoint``'ed per invocation (computed fresh from parquet
+    every run — nothing persists across runs; the _ivfq_coded /
+    sim_topk_ivf_quantized r21 precedent). The checkpoint is what the
+    serving residual fix (VERDICT r21 #1) buys: the codes side and the
+    query side both READ the materialized frame instead of each
+    re-planning the scan→assign→codes subtree, and the rerank's
+    broadcast of the shortlist no longer drags the whole training
+    pipeline under a BroadcastExchange.
+
+    Eager-job budget (the ivfq fusion discipline): job 1 the Lloyd
+    seeds TakeOrdered collect (kept on its own so the limit fast path
+    stays intact — the r21 ivfq lesson), job 2 the PQ seed-subvector
+    collect (parquet-pushed ``vec_id < PQ_K`` filter), job 3 BOTH k-row
+    codebook updates (Lloyd k×dim ∥ PQ M×k×SUB — independent subtrees
+    as concurrent stages of ONE union'ed collect; m NULL marks the
+    Lloyd rows), then the checkpoint job itself. Both updates are
+    fixed-point integer means, so the fused collect is bit-identical
+    to the two separate collects it replaces."""
+    e = _load_embeddings(spark, sf_dir).select("vec_id", _dvec("embedding").alias("v"))
+    sub = _pq_sub(spark, sf_dir)
+    lloyd_a1 = _lloyd_assign(e, _lloyd_seeds(e), narrow=True)
+    seed_rows = (
+        sub.filter(F.col("vec_id") < PQ_K)
+        .select("m", F.col("vec_id").alias("cid"), F.col("sv").alias("vc"))
+        .collect()
+    )
+    pq_a1 = _pq_assign_narrow(sub, seed_rows)
+    lu = _lloyd_update(lloyd_a1).select(
+        F.lit(None).cast("int").alias("m"), "cid", "vc"
+    )
+    pu = _pq_codebooks(pq_a1).select(F.col("m").cast("int").alias("m"), "cid", "vc")
+    rows = lu.unionByName(pu).collect()
+    cent_rows = [r for r in rows if r["m"] is None]
+    newc_rows = [r for r in rows if r["m"] is not None]
+    base = _lloyd_assign(e, cent_rows, narrow=True)  # (vec_id, cid, d2, va)
+    if newc_rows:
+        coded = base.select(
+            "vec_id", "cid", F.expr(_pq_codes_expr(newc_rows, "va")).alias("codes")
+        )
+    else:
+        # empty corpus: no centroids and no codebooks — the empty frame
+        # (same schema) is what the unmaterialized path produced too
+        coded = base.select(
+            "vec_id", "cid", F.lit(None).cast("array<tinyint>").alias("codes")
+        ).where(F.lit(False))
+    return coded.localCheckpoint(eager=True), newc_rows
 
 
 @register(
@@ -514,10 +624,18 @@ SELECT query_id, neighbor_id, cosine, rnk FROM (
         "one plan is precisely the 100 TB serving layout: the index "
         "stores cell id + M bytes per vector, a query touches one "
         "cell's codes, and floats are read for K rows only. Shuffle "
-        "story (r21): both trainings fold their k-row codebooks into "
+        "story (r22): both trainings fold their k-row codebooks into "
         "the plan as literals (narrow zero-exchange assignments — "
-        "_lloyd_assign and _pq_assign_narrow); candidate generation is ONE "
-        "equi-join of the codes table against the BROADCAST "
+        "_lloyd_assign and _pq_codes_expr), and the whole (vec_id, "
+        "cell id, codes) index frame is built in ONE scan and "
+        "localCheckpoint'ed once per build (_ivfpq_coded, computed "
+        "fresh from parquet every invocation): the codes side and the "
+        "query-cell side READ the materialized frame instead of each "
+        "re-planning scan→assign→codes (r21 still re-planned the cells "
+        "frame on both sides and paid a corpus-wide groupBy(vec_id) "
+        "code-array exchange plus a codes⋈cells join — all gone); "
+        "candidate generation is ONE "
+        "equi-join of the index frame against the BROADCAST "
         "(query LUT x query cell) frame keyed on the trained cell id — "
         "the candidate side carries (ids, tinyint codes) only, no "
         "float column; ADC is a pure projection; shortlist is one "
@@ -527,16 +645,17 @@ SELECT query_id, neighbor_id, cosine, rnk FROM (
     ),
 )
 def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cells = _lloyd_final_assignment(spark, sf_dir, narrow=True).select("vec_id", "cid")
-    assigned, newc = _pq_final(spark, sf_dir)
-    codes = _pq_code_arrays(assigned).join(cells, "vec_id")
-    qlut = _pq_query_lut(spark, sf_dir, newc).join(
-        cells.select(
-            F.col("vec_id").alias("query_id"), F.col("cid").alias("qcid")
-        ),
-        "query_id",
+    # r22 (VERDICT r21 #1): ONE materialized (vec_id, cid, codes) index
+    # frame — the codes side and the query-cell side read the
+    # localCheckpoint instead of each re-planning scan→assign→codes,
+    # and the rerank's shortlist broadcast now hangs off the checkpoint
+    # instead of dragging the whole training pipeline under it.
+    coded, newc = _ivfpq_coded(spark, sf_dir)
+    qcells = coded.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("cid").alias("qcid")
     )
-    cand = codes.join(
+    qlut = _pq_query_lut(spark, sf_dir, newc).join(qcells, "query_id")
+    cand = coded.join(
         F.broadcast(qlut),
         (F.col("cid") == F.col("qcid")) & (F.col("query_id") != F.col("vec_id")),
     )

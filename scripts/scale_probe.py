@@ -35,6 +35,7 @@ EAGER_BUILD = frozenset({
     "sim_topk_ivf_trained",
     "sim_topk_ivf_quantized",
     "sim_topk_ivfpq",
+    "sim_topk_pq",
     "dedup_semantic",
     "dedup_semantic_incremental",
     "embedding_outliers",
@@ -181,6 +182,15 @@ PROBE = (
     "waiting_orders",
     "profile_table",
     "pq_train_codes",
+    # r22 (second optimization round): sim_topk_pq — the narrow
+    # per-vector code build rides the scan (no explode, no groupBy
+    # exchange), the LUT is query-scale, and the ADC BNLJ is corpus x
+    # queries over tinyint codes: with the query SET growing Nx (vec_id
+    # % QUERY_MOD keeps density on offset copies) the true scoring work
+    # grows ~N^2 — reported against that all-pairs ADC bound, not flat
+    # Nx (same class as the ivf/ivfpq cell-local notes, minus the cell
+    # restriction this query deliberately lacks).
+    "sim_topk_pq",
     # r17: lm_bigram_score = two keyed agg exchanges (bigram + context
     # counts, map-side partials) + two keyed model joins + one doc-mean
     # agg — the first probe whose hot keys are natural-language stopwords

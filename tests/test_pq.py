@@ -118,6 +118,19 @@ def test_ivfpq_serving_is_cell_local_and_float_free(spark, sf_dir):
 
     plan = formatted_plan(SPECS["sim_topk_ivfpq"].builder(spark, sf_dir))
     assert "CartesianProduct" not in plan
+    # r22 serving-residual pins (VERDICT r21 #1, strengthened — the r21
+    # plan had 6 parquet scans and a vec_id-keyed code-array exchange):
+    # the materialized index is read as ExistingRDD, the only parquet
+    # scans left are the query-LUT build and the rerank's two float
+    # re-acquisitions, nothing sort-merges, and no corpus-wide
+    # vec_id-keyed exchange exists anywhere in the serving plan.
+    assert "Scan ExistingRDD" in plan, "index frame must be materialized"
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    assert n_scans <= 3, f"serving must not re-plan the index ({n_scans} scans)"
+    assert "SortMergeJoin" not in plan
+    assert "hashpartitioning(vec_id" not in plan, (
+        "the narrow code build must not re-grow the groupBy(vec_id) exchange"
+    )
     float_cols = re.compile(r"\b(v|uv|va|vb|sv|norm)#")
     blocks = re.findall(
         r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\n"
@@ -134,12 +147,14 @@ def test_ivfpq_serving_is_cell_local_and_float_free(spark, sf_dir):
 
 
 def test_pq_plan_literal_training_and_broadcast_lut(spark, sf_dir):
-    """r21 narrow-PQ contract: the serving plan contains NO join for the
-    codebook at all (assignment is the literal argmin riding the scan —
-    the only join left is the documented tiny-query-side LUT
-    nested-loop broadcast), the code-array build partial-aggregates,
-    and nothing falls back to a cartesian product or a sort-merge
-    join."""
+    """r21/r22 narrow-PQ contract: the serving plan contains NO join for
+    the codebook at all (assignment is the literal argmin riding the
+    scan — the only join left is the documented tiny-query-side LUT
+    nested-loop broadcast), the per-vector code array is the r22 narrow
+    projection (no subvector explode, no corpus-wide groupBy(vec_id)
+    exchange — the only keyed exchanges left are the tiny query_id LUT
+    assembly and the top-k window), and nothing falls back to a
+    cartesian product or a sort-merge join."""
     plan = formatted_plan(SPECS["sim_topk_pq"].builder(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
@@ -147,7 +162,16 @@ def test_pq_plan_literal_training_and_broadcast_lut(spark, sf_dir):
         "the literal argmin must not re-grow a codebook join"
     )
     assert "BroadcastNestedLoopJoin" in plan, "query LUT must broadcast"
-    assert plan.count("HashAggregate") >= 2, "code-array build must partial-aggregate"
+    assert "hashpartitioning(vec_id" not in plan, (
+        "the narrow code build must not re-grow the groupBy(vec_id) exchange"
+    )
+    import re
+
+    n_generate = len(re.findall(r"^\(\d+\) Generate", plan, re.M))
+    assert n_generate <= 1, (
+        "only the tiny query-side LUT subvector explode may Generate — "
+        "the corpus-side code build must stay a narrow projection"
+    )
 
 
 def test_pq_narrow_assign_agrees_with_window(spark, sf_dir):
@@ -183,6 +207,81 @@ def test_pq_narrow_assign_agrees_with_window(spark, sf_dir):
     assert canon(_pq_assign_narrow(sub, newc_df.collect())) == canon(
         _pq_assign(sub, newc_df)
     ), "refined-pass argmin diverged"
+
+
+def test_pq_narrow_codes_agree_with_grouped(spark, sf_dir):
+    """The r22 narrow code-array migration's bit-identity claim, pinned
+    like test_pq_narrow_assign_agrees_with_window: _pq_codes_narrow's
+    one-projection (vec_id, codes) must EXACTLY equal the grouped path
+    _pq_code_arrays(_pq_assign_narrow(...)) — same argmin per subspace,
+    same m-ordered array, same tinyint values — for both the seed and
+    the refined codebooks."""
+    from multithreaded_mapreduce_library_spark.operators.pq import (
+        PQ_K,
+        _pq_assign_narrow,
+        _pq_code_arrays,
+        _pq_codebooks,
+        _pq_codes_narrow,
+        _pq_sub,
+    )
+    from multithreaded_mapreduce_library_spark.operators.similarity import (
+        _dvec,
+        _load_embeddings,
+    )
+
+    e = _load_embeddings(spark, sf_dir).select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    sub = _pq_sub(spark, sf_dir)
+    seed_rows = (
+        sub.filter(F.col("vec_id") < PQ_K)
+        .select("m", F.col("vec_id").alias("cid"), F.col("sv").alias("vc"))
+        .collect()
+    )
+
+    def canon(df):
+        return sorted((r["vec_id"], list(r["codes"])) for r in df.collect())
+
+    for rows in (seed_rows, _pq_codebooks(_pq_assign_narrow(sub, seed_rows)).collect()):
+        grouped = _pq_code_arrays(_pq_assign_narrow(sub, rows))
+        narrow = _pq_codes_narrow(e, rows)
+        assert canon(narrow) == canon(grouped), "narrow code arrays diverged"
+
+
+def test_ivfpq_coded_matches_unmaterialized_parts(spark, sf_dir):
+    """_ivfpq_coded's fused-collect + checkpointed index frame must hold
+    exactly the (vec_id, cell id, code array) triples the r21
+    unmaterialized path computed: Lloyd cells from
+    _lloyd_final_assignment, code arrays from the grouped PQ path."""
+    from multithreaded_mapreduce_library_spark.operators.pq import (
+        _ivfpq_coded,
+        _pq_code_arrays,
+        _pq_final,
+    )
+    from multithreaded_mapreduce_library_spark.operators.similarity import (
+        _lloyd_final_assignment,
+    )
+
+    coded, newc = _ivfpq_coded(spark, sf_dir)
+    got = sorted(
+        (r["vec_id"], r["cid"], list(r["codes"])) for r in coded.collect()
+    )
+    cells = {
+        r["vec_id"]: r["cid"]
+        for r in _lloyd_final_assignment(spark, sf_dir, narrow=True)
+        .select("vec_id", "cid")
+        .collect()
+    }
+    assigned, newc_ref = _pq_final(spark, sf_dir)
+    want = sorted(
+        (r["vec_id"], cells[r["vec_id"]], list(r["codes"]))
+        for r in _pq_code_arrays(assigned).collect()
+    )
+    assert got == want, "materialized IVF-PQ index diverged"
+    # and the fused collect returns the same trained codebooks
+    k_got = sorted((r["m"], r["cid"], list(r["vc"])) for r in newc)
+    k_want = sorted((r["m"], r["cid"], list(r["vc"])) for r in newc_ref)
+    assert k_got == k_want, "fused codebook collect diverged"
 
 
 def test_zorder_buckets_are_prunable_envelopes(spark, sf_dir):

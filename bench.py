@@ -158,11 +158,20 @@ def main() -> None:
     canary = _canary_pair()
     t_start = time.time()
     timings: dict[str, float] = {}
+    # Per-query wall-clock windows (VERDICT r21 #7): the run-level canary
+    # brackets certify a TOTAL, but a steal burst inside an otherwise
+    # clean run inflates individual queries invisibly (r20's sessionize
+    # 1.731s vs its 0.33s band). Recording [start_unix, end_unix] per
+    # query lets the next PERF comparison place a suspect number inside
+    # the loadavg/wall timeline. Two time.time() reads per query, both
+    # OUTSIDE the timed regions — additive, timing-neutral.
+    query_wall: dict[str, list[float]] = {}
     for name in HEADLINE:
         # Guide §1.5: label jobs so a UI/eventlog reading of the bench
         # maps stages to queries. Thread-local, set OUTSIDE the timed
         # region (one py4j call per query, before the clock starts).
         spark.sparkContext.setJobDescription(f"bench:{name}")
+        q_wall0 = time.time()
         best = float("inf")
         for _ in range(iters):
             # Timed region (r15 protocol note): for PURE-LAZY builders the
@@ -185,6 +194,7 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        query_wall[name] = [round(q_wall0, 1), round(time.time(), 1)]
     spark.sparkContext.setJobDescription("bench:ann_serving")
 
     ann_serving = bench_ann_serving(spark, sf_dir, iters)
@@ -212,6 +222,9 @@ def main() -> None:
                 "sf": sf,
                 "cpu_canary": canary,
                 "cpu_canary_end": canary_end,
+                # additive (r22): per-query wall windows for post-hoc
+                # burst attribution; see the comment at query_wall above
+                "query_wall": query_wall,
                 "load_avg_start": [round(x, 2) for x in load_start],
                 "load_avg_end": [round(x, 2) for x in os.getloadavg()],
                 "wall_start_unix": round(t_start, 1),

@@ -277,6 +277,24 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cogroup_buckets(spark: SparkSession) -> int:
+    """Cogroup bucket count for cogroup_reconcile: scale-adaptive, not a
+    local[32] constant (optimization-round rule). 16 buckets per core
+    keeps every core fed with per-call batches big enough to amortize
+    the per-key Python call (the measured cost: B=512 beat B=2048 by
+    1.9x at sf0.1 because halving batch size doubles call overhead);
+    on a real cluster B grows with parallelism so bucket SIZE tracks
+    the ordinary rows-per-task story. Override via
+    spark.graft.cogroup.buckets when a deployment wants a different
+    batch/memory trade (each bucket is one Arrow stream in one task).
+    Output is invariant to B — each custkey lands wholly in one bucket.
+    """
+    explicit = spark.conf.get("spark.graft.cogroup.buckets", None)
+    if explicit is not None:
+        return int(explicit)
+    return max(512, 16 * spark.sparkContext.defaultParallelism)
+
+
 @register(
     "cogroup_reconcile",
     oracle="""
@@ -298,13 +316,22 @@ FROM o LEFT JOIN l ON o.o_custkey = l.o_custkey
     tags=("udf", "pandas", "cogroup"),
     doc=(
         "cogroup().applyInPandas — the two-sided grouped-map surface "
-        "(each key's orders AND lineitems arrive as a pandas DataFrame "
-        "pair): per-customer order/item reconciliation with fixed-point "
-        "spend. The modern form of a reduce-side join the reference user "
-        "would hand-roll across two Mapper tag streams. Shuffle story: "
-        "both sides exchange once on the cogroup key (lineitem pre-keyed "
-        "by custkey via a broadcast orders-key join), then the pandas "
-        "function runs partition-local; one Arrow hop per side."
+        "(each cogroup key's orders AND lineitems arrive as a pandas "
+        "DataFrame pair): per-customer order/item reconciliation with "
+        "fixed-point spend. The modern form of a reduce-side join the "
+        "reference user would hand-roll across two Mapper tag streams. "
+        "The cogroup key is a custkey BUCKET (pmod(custkey, B)), not the "
+        "raw custkey: FlatMapCoGroupsInPandas makes one Python call per "
+        "key, and per-key calls over every customer were the measured "
+        "cost (r22 A/B: 8.15s -> 1.44s at sf0.1) — inside each bucket "
+        "the reconciliation is vectorized pandas groupby, bit-identical "
+        "because each custkey lands wholly in one bucket and the "
+        "per-custkey int64-cent sums are order-independent. Shuffle "
+        "story: both sides exchange once on the bucket key (lineitem "
+        "pre-keyed by custkey via a broadcast orders-key join), then the "
+        "pandas function runs partition-local; one Arrow hop per side. "
+        "B scales with cluster parallelism (see _cogroup_buckets); at "
+        "any B the output is identical, B only sets call granularity."
     ),
 )
 def cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -316,6 +343,9 @@ def cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(okeys), F.col("l_orderkey") == F.col("o_orderkey"))
         .select("o_custkey")
     )
+    n_buckets = _cogroup_buckets(spark)
+    ob = o.withColumn("bk", F.pmod(F.col("o_custkey"), F.lit(n_buckets)))
+    lib = li.withColumn("bk", F.pmod(F.col("o_custkey"), F.lit(n_buckets)))
 
     def reconcile(orders_pdf: pd.DataFrame, items_pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -324,24 +354,30 @@ def cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             return pd.DataFrame(
                 columns=["custkey", "n_orders", "n_items", "total_spend"]
             )
-        custkey = int(orders_pdf["o_custkey"].iloc[0])
-        spend_fx = int(
-            np.floor(orders_pdf["o_totalprice"].to_numpy() * 100 + 0.5)
-            .astype("int64")
-            .sum()
+        # Identical per-customer arithmetic to the per-key form: int64
+        # cents per order row, grouped integer sum (order-independent).
+        fx = np.floor(orders_pdf["o_totalprice"].to_numpy() * 100 + 0.5).astype(
+            "int64"
         )
-        return pd.DataFrame(
-            {
-                "custkey": [custkey],
-                "n_orders": [len(orders_pdf)],
-                "n_items": [len(items_pdf)],
-                "total_spend": [spend_fx / 100.0],
-            }
+        g = (
+            pd.DataFrame({"custkey": orders_pdf["o_custkey"].to_numpy(), "fx": fx})
+            .groupby("custkey", sort=False)
+            .agg(n_orders=("fx", "size"), spend_fx=("fx", "sum"))
+            .reset_index()
         )
+        it = (
+            items_pdf.groupby("o_custkey", sort=False).size().rename("n_items")
+            if len(items_pdf)
+            else pd.Series(dtype="int64", name="n_items")
+        )
+        out = g.merge(it, left_on="custkey", right_index=True, how="left")
+        out["n_items"] = out["n_items"].fillna(0).astype("int64")
+        out["total_spend"] = out["spend_fx"] / 100.0
+        return out[["custkey", "n_orders", "n_items", "total_spend"]]
 
     return (
-        o.groupBy("o_custkey")
-        .cogroup(li.groupBy("o_custkey"))
+        ob.groupBy("bk")
+        .cogroup(lib.groupBy("bk"))
         .applyInPandas(
             reconcile,
             "custkey long, n_orders long, n_items long, total_spend double",

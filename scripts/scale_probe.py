@@ -191,6 +191,14 @@ PROBE = (
     # Nx (same class as the ivf/ivfpq cell-local notes, minus the cell
     # restriction this query deliberately lacks).
     "sim_topk_pq",
+    # r22: cogroup_reconcile — bucketed cogroup (pmod(custkey, B), one
+    # vectorized pandas call per bucket): both sides exchange once on
+    # the bucket key, per-bucket work is linear in its rows, and B is
+    # constant per host class — so rows per bucket grow Nx while the
+    # per-call Python overhead is amortized over Nx more rows; expect
+    # ~Nx or below end-to-end (Arrow transfer + vectorized groupby are
+    # both linear).
+    "cogroup_reconcile",
     # r17: lm_bigram_score = two keyed agg exchanges (bigram + context
     # counts, map-side partials) + two keyed model joins + one doc-mean
     # agg — the first probe whose hot keys are natural-language stopwords

@@ -258,10 +258,15 @@ def test_fact_join_gets_runtime_bloom_filter_at_scale(spark, sf_dir):
 
 def test_cogroup_plan_shape(spark, sf_dir):
     """cogroup().applyInPandas: both sides exchange once on the cogroup
-    key into a FlatMapCoGroupsInPandas node; no cartesian fallback."""
+    key into a FlatMapCoGroupsInPandas node; no cartesian fallback.
+    r22: the cogroup key must be the custkey BUCKET (pmod), not the raw
+    custkey — one Python call per key was the measured cost (guide §4.2),
+    so a raw-key plan is a performance regression even though its output
+    is identical."""
     plan = formatted_plan(SPECS["cogroup_reconcile"].builder(spark, sf_dir))
     assert "FlatMapCoGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
+    assert "pmod" in plan, "cogroup key must be the bucketed custkey"
 
 
 def test_corpus_curation_broadcasts_drop_list(spark, sf_dir):

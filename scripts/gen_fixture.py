@@ -33,9 +33,9 @@ import pyarrow.parquet as pq
 # forcing-test seeds (tests/test_staging.py). Pick NEW sweep/forcing
 # seeds outside this set, then add them here in the same commit.
 BURNED_SEEDS = frozenset(
-    {7, 42, 73, 99, 307, 509, 641, 911, 1201, 1381, 1783, 2311, 2753,
-     3109, 3499, 4421, 4903, 5077, 5281, 5903, 6577, 6829, 7649, 8191,
-     8443, 9461, 9643}
+    {7, 42, 73, 99, 307, 509, 641, 911, 1097, 1201, 1381, 1783, 2311,
+     2753, 3109, 3499, 4421, 4903, 5077, 5281, 5903, 6113, 6577, 6829,
+     7649, 8191, 8443, 9461, 9643}
 )
 
 N_CUSTOMER = 150
